@@ -1,0 +1,56 @@
+"""Driver-facing query registry.
+
+Each engine operator from SURVEY.md §2 is exposed as a named :class:`Query`
+pairing the Spark DataFrame builder with its DuckDB oracle SQL (or ``None``
+for genuinely non-SQL-expressible operators, which get a rows-only check).
+Keeping the pair in one object is what guarantees the column-name contract:
+the driver sorts columns by name before value-hashing, so every computed
+column is aliased identically on both sides.
+
+Cross-engine determinism rules (see functions/numeric.py, functions/detrand.py):
+- sums/averages of doubles go through exact DECIMAL accumulation;
+- time scalars are microsecond-epoch BIGINTs;
+- libm-dependent results (sin/cos/ln/corr/stddev/regr_*) are ROUND(.,6);
+- every window/top-k ordering carries a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered views, or None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id: {name}")
+        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect modules once, lazily, to populate REGISTRY.
+    from . import relational  # noqa: F401
+    from . import graph  # noqa: F401
+    from . import generation  # noqa: F401
+    from . import timeseries  # noqa: F401
+    from . import llm_pipeline  # noqa: F401
+
+    return dict(REGISTRY)

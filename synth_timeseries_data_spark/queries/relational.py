@@ -1,0 +1,428 @@
+"""Relational core queries (SURVEY.md §2.2: scans, projections, joins,
+aggregations, windows, sorts, set ops) — Phase 1 of the build plan.
+
+Every query here is DuckDB-oracle-checkable. The `events` table stands in for
+the reference's time-series tables (user_id = series id, ts = time,
+value = Xi); `lineitem`/`orders`/dims exercise joins, aggregation, rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.detrand import lcg_uniform_sql
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..sources import load
+from . import register
+
+# Shared deterministic-uniform snippet: the Spark expression and the DuckDB
+# oracle embed the *same* formula string, so masks match bit-for-bit.
+_MCAR_U = lcg_uniform_sql("event_id", salt=3)
+
+# --------------------------------------------------------------------------
+# Window / lag queries — serve G4 lagged terms and M13 lagged design matrix
+# (reference: Codes/a1.py:185-188, helper_funcs/py_tetrad_helper.py:225-237)
+# --------------------------------------------------------------------------
+
+_WIN_ORACLE = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "lag_features",
+    f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+           LAG(value, 1) OVER ({_WIN_ORACLE}) AS value_lag1,
+           LAG(value, 2) OVER ({_WIN_ORACLE}) AS value_lag2,
+           value - LAG(value, 1) OVER ({_WIN_ORACLE}) AS value_diff1
+    FROM events
+    """,
+)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lagged features — the engine form of the reference's lagged
+    term reads (Codes/a1.py:185-188). Window.partitionBy(series).orderBy(time)
+    with a unique-key tiebreak; scales as one shuffle on the series key."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value", 1).over(w).alias("value_lag1"),
+        F.lag("value", 2).over(w).alias("value_lag2"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_diff1"),
+    )
+
+
+@register(
+    "lagged_matrix",
+    f"""
+    SELECT * FROM (
+      SELECT user_id, event_id,
+             value AS value_0,
+             LAG(value, 1) OVER ({_WIN_ORACLE}) AS value_1,
+             LAG(value, 2) OVER ({_WIN_ORACLE}) AS value_2
+      FROM events
+    ) WHERE value_1 IS NOT NULL AND value_2 IS NOT NULL
+    """,
+)
+def lagged_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged design matrix `{var}_{lag}` with incomplete rows dropped —
+    helper_funcs/py_tetrad_helper.py:225-237 (create_lagged_df)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("value_0"),
+        F.lag("value", 1).over(w).alias("value_1"),
+        F.lag("value", 2).over(w).alias("value_2"),
+    )
+    return out.dropna(subset=["value_1", "value_2"])
+
+
+@register(
+    "ts_diff",
+    f"""
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts), 1) OVER ({_WIN_ORACLE}) AS gap_us
+    FROM events
+    """,
+)
+def ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.diff(time) per series (Codes/a2.py:336-347) — exact integer
+    microsecond gaps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (t - F.lag(t, 1).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "sampling_hist",
+    f"""
+    SELECT CAST(FLOOR(gap_us / 60000000.0) AS BIGINT) AS gap_min_bucket,
+           COUNT(*) AS n
+    FROM (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts), 1) OVER ({_WIN_ORACLE}) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def sampling_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-interval histogram (Codes/a2.py:342-347; c2.py:332-341):
+    floor(gap/width) + groupBy().count()."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    gaps = ev.select((t - F.lag(t, 1).over(w)).alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy(
+        F.floor(F.col("gap_us") / 60000000.0).cast("bigint").alias("gap_min_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Aggregation queries — V1/V2/V5 summary & profiling, TPC-H-flavored joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "summary_stats",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           {sql_dsum("l_extendedprice")} AS sum_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_davg("l_quantity")} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() analog (Codes/a1.py:374, b2.py:317-320) as a grouped
+    aggregate — partial+final hash agg, map-side combine for free."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+    )
+
+
+@register(
+    "corr_matrix",
+    """
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc,
+           ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_price_disc
+    FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation over variable pairs — df.corr()
+    (Codes/b2.py:323-326) as corr() aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+    )
+
+
+_T0_US = 1704067200000000  # 2024-01-01 UTC — fixed origin for trend regressions
+_TDAYS = f"((epoch_us(ts) - {_T0_US}) / 86400000000.0)"
+
+
+@register(
+    "trend_fit",
+    f"""
+    SELECT user_id,
+           ROUND(REGR_SLOPE(value, {_TDAYS}), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, {_TDAYS}), 6) AS intercept,
+           COUNT(*) AS n_points
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.polyfit(time, y, 1) per series (Codes/c1.py:400-403) as
+    regr_slope/regr_intercept aggregates."""
+    ev = load(spark, sf_dir, "events")
+    t_days = (F.unix_micros("ts") - F.lit(_T0_US)) / 86400000000.0
+    return (
+        ev.withColumn("t_days", t_days)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.expr("regr_slope(value, t_days)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, t_days)"), 6).alias("intercept"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join + aggregate (TPC-H Q5 flavor). Fact-fact join
+    (lineitem⋈orders) shuffles on the order key; every dim join is explicitly
+    broadcast so no shuffle grows with the dims at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", rev.alias("rev"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_items"), dsum("rev", "revenue"))
+    )
+
+
+@register(
+    "missing_profile",
+    f"""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN {_MCAR_U} < 0.2 THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS n_missing,
+           CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) AS missing_rate,
+           {sql_davg("value")} AS mean_observed
+    FROM masked
+    GROUP BY event_type
+    """,
+)
+def missing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data profiling (Codes/d1.py:350-378): apply a deterministic
+    MCAR mask (rate 0.2) then count nulls / compare observed means per group.
+    NULL is the canonical missing marker (SURVEY.md §1.3)."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        F.when(F.expr(_MCAR_U) < 0.2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return masked.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("n_missing"),
+        ((F.count("*") - F.count("value")).cast("double") / F.count("*")).alias(
+            "missing_rate"
+        ),
+        davg("value", "mean_observed"),
+    )
+
+
+@register(
+    "metrics_rollup",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_returnflag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-level metric reporting over grid dims (G20 × M2-M5) — rollup
+    with GROUPING() markers so subtotal rows are unambiguous."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_returnflag",
+            "g_linestatus",
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / dedup / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_value",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def topk_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with unique-key tiebreak — Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject (no global sort materialization)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_firstseen",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen dedup (M11, py_tetrad_helper.py:91-96 order-preserving
+    dedup) generalized to exact text dedup: keep the lowest doc_id per
+    md5(text). One shuffle on the hash key; md5 agrees across engines."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "config_grid",
+    """
+    SELECT 'n' || n || '_v' || n_vars || '_l' || max_lag || '_' || noise AS config_id,
+           n, n_vars, max_lag, noise
+    FROM (VALUES (500),(1000),(3000),(5000)) AS t1(n)
+    CROSS JOIN (VALUES (4),(6),(8)) AS t2(n_vars)
+    CROSS JOIN (VALUES (2),(3),(4)) AS t3(max_lag)
+    CROSS JOIN (VALUES ('gaussian'),('student_t')) AS t4(noise)
+    """,
+)
+def config_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The factorial sweep grid (G20, Codes/a1.py:308-344): crossJoin of
+    dimension literals → 72 configs. This is the scale-out axis for
+    generation — each config generates independently."""
+    sizes = spark.createDataFrame([(n,) for n in (500, 1000, 3000, 5000)], "n int")
+    nvars = spark.createDataFrame([(v,) for v in (4, 6, 8)], "n_vars int")
+    lags = spark.createDataFrame([(l,) for l in (2, 3, 4)], "max_lag int")
+    noise = spark.createDataFrame([("gaussian",), ("student_t",)], "noise string")
+    grid = sizes.crossJoin(nvars).crossJoin(lags).crossJoin(noise)
+    cid = F.concat(
+        F.lit("n"), "n", F.lit("_v"), "n_vars", F.lit("_l"), "max_lag", F.lit("_"), "noise"
+    )
+    return grid.select(cid.alias("config_id"), "n", "n_vars", "max_lag", "noise")
+
+
+@register(
+    "order_set_ops",
+    """
+    WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '2000-01-01'),
+         late  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
+      (SELECT COUNT(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_early_only,
+      (SELECT COUNT(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_late_only,
+      (SELECT COUNT(*) FROM (SELECT * FROM early UNION SELECT * FROM late)) AS n_any
+    """,
+)
+def order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (intersect / except / union distinct) — the engine form
+    of M4's symmetric-difference SHD building block. Built as one lazy plan
+    (crossJoin of four 1-row aggregates) — no driver-side collect."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    early = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    late = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    n_both = early.intersect(late).agg(F.count("*").alias("n_both"))
+    n_early = early.subtract(late).agg(F.count("*").alias("n_early_only"))
+    n_late = late.subtract(early).agg(F.count("*").alias("n_late_only"))
+    n_any = early.union(late).distinct().agg(F.count("*").alias("n_any"))
+    return n_both.crossJoin(n_early).crossJoin(n_late).crossJoin(n_any)

@@ -1,0 +1,43 @@
+"""Fixture-table loaders.
+
+The driver materializes a TPC-H-ish star schema plus event/text/vector tables
+as one parquet file per table per scale factor (TESTDATA.md). Parquet scans
+get predicate pushdown + column pruning from Catalyst for free; callers should
+``select`` only needed columns so ``ReadSchema`` stays narrow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
