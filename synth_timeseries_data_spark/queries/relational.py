@@ -27,6 +27,10 @@ _MCAR_U = lcg_uniform_sql("event_id", salt=3)
 
 _WIN_ORACLE = "PARTITION BY user_id ORDER BY ts, event_id"
 
+# events.ts arrives as an epoch-NANOSECOND bigint (see session.py nanosAsLong);
+# canonical time scale is integer microseconds (≡ DuckDB epoch_us(ts)).
+_TS_US = "(ts div 1000)"
+
 
 @register(
     "lag_features",
@@ -47,7 +51,7 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        F.expr(_TS_US).alias("ts_us"),
         "value",
         F.lag("value", 1).over(w).alias("value_lag1"),
         F.lag("value", 2).over(w).alias("value_lag2"),
@@ -95,7 +99,7 @@ def ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond gaps."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load(spark, sf_dir, "events")
-    t = F.unix_micros("ts")
+    t = F.expr(_TS_US)
     return ev.select(
         "user_id",
         "event_id",
@@ -120,7 +124,7 @@ def sampling_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(gap/width) + groupBy().count()."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load(spark, sf_dir, "events")
-    t = F.unix_micros("ts")
+    t = F.expr(_TS_US)
     gaps = ev.select((t - F.lag(t, 1).over(w)).alias("gap_us")).where(
         F.col("gap_us").isNotNull()
     )
@@ -205,7 +209,7 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """np.polyfit(time, y, 1) per series (Codes/c1.py:400-403) as
     regr_slope/regr_intercept aggregates."""
     ev = load(spark, sf_dir, "events")
-    t_days = (F.unix_micros("ts") - F.lit(_T0_US)) / 86400000000.0
+    t_days = (F.expr(_TS_US) - F.lit(_T0_US)) / 86400000000.0
     return (
         ev.withColumn("t_days", t_days)
         .groupBy("user_id")
@@ -375,30 +379,26 @@ def dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "config_grid",
-    """
+_CONFIG_GRID_SQL = """
     SELECT 'n' || n || '_v' || n_vars || '_l' || max_lag || '_' || noise AS config_id,
            n, n_vars, max_lag, noise
     FROM (VALUES (500),(1000),(3000),(5000)) AS t1(n)
     CROSS JOIN (VALUES (4),(6),(8)) AS t2(n_vars)
     CROSS JOIN (VALUES (2),(3),(4)) AS t3(max_lag)
     CROSS JOIN (VALUES ('gaussian'),('student_t')) AS t4(noise)
-    """,
-)
+    """
+
+
+@register("config_grid", _CONFIG_GRID_SQL)
 def config_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The factorial sweep grid (G20, Codes/a1.py:308-344): crossJoin of
-    dimension literals → 72 configs. This is the scale-out axis for
-    generation — each config generates independently."""
-    sizes = spark.createDataFrame([(n,) for n in (500, 1000, 3000, 5000)], "n int")
-    nvars = spark.createDataFrame([(v,) for v in (4, 6, 8)], "n_vars int")
-    lags = spark.createDataFrame([(l,) for l in (2, 3, 4)], "max_lag int")
-    noise = spark.createDataFrame([("gaussian",), ("student_t",)], "noise string")
-    grid = sizes.crossJoin(nvars).crossJoin(lags).crossJoin(noise)
-    cid = F.concat(
-        F.lit("n"), "n", F.lit("_v"), "n_vars", F.lit("_l"), "max_lag", F.lit("_"), "noise"
-    )
-    return grid.select(cid.alias("config_id"), "n", "n_vars", "max_lag", "noise")
+    """The factorial sweep grid (G20, Codes/a1.py:308-344): cross join of
+    dimension literals → 72 configs — the scale-out axis for generation.
+
+    One SQL string shared verbatim with the DuckDB oracle. Expressed as a
+    single spark.sql over VALUES relations: Catalyst folds the whole grid into
+    one LocalRelation, avoiding the 32×32×… cartesian *task* explosion that a
+    crossJoin of separately-parallelized literal DataFrames would schedule."""
+    return spark.sql(_CONFIG_GRID_SQL)
 
 
 @register(

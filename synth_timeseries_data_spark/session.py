@@ -23,9 +23,16 @@ def get_session(app_name: str = "synth_timeseries_data_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
+        # Spark 4.x rejects by default; read it as an epoch-nanosecond BIGINT
+        # (queries convert with `ts div 1000` to the canonical microsecond
+        # scale — DuckDB oracles keep epoch_us(ts) since DuckDB reads NANOS
+        # natively as TIMESTAMP).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

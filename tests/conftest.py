@@ -9,7 +9,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMALL = os.path.join(TESTDATA_ROOT, "sf0.001")
+# The driver's correctness gate runs at sf0.01 — oracle tests use the same SF
+# on BOTH engines so there is no scale mismatch.
 SF_ORACLE = os.path.join(TESTDATA_ROOT, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def oracle_sf_dir() -> str:
+    return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def smoke_sf_dir() -> str:
+    return SF_SMALL
 
 
 @pytest.fixture(scope="session")
@@ -30,7 +42,7 @@ def duck():
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMALL}/{name}.parquet'"
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_ORACLE}/{name}.parquet'"
         )
     yield con
     con.close()
