@@ -22,8 +22,10 @@ engines, no drift.
 
 from __future__ import annotations
 
-# Classic glibc LCG constants; modulus 2^31 keeps every intermediate product
-# below 2^63 for keys < ~4e9 so bigint arithmetic never overflows.
+# Classic glibc LCG constants; the key is reduced mod 2^31 BEFORE the first
+# multiply so every intermediate stays below 2^63 for ANY non-negative bigint
+# key — Spark (non-ANSI) silently wraps on overflow where DuckDB raises, so
+# without the reduction the cross-engine bit-identity breaks above ~4.18e9.
 _A = 1103515245
 _C = 12345
 _M = 2147483648  # 2^31
@@ -36,7 +38,7 @@ def lcg_uniform_sql(key_expr: str, salt: int = 0) -> str:
     sequential ids produces a visible lattice). ``salt`` derives independent
     streams from the same key.
     """
-    s1 = f"(({key_expr}) * {_A} + {_C + salt * 7919}) % {_M}"
+    s1 = f"((({key_expr}) % {_M}) * {_A} + {_C + salt * 7919}) % {_M}"
     s2 = f"(({s1}) * {_A} + {_C}) % {_M}"
     return f"((({s2}) + 0.5) / {_M}.0)"
 

@@ -404,25 +404,38 @@ def config_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_set_ops",
     """
-    WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '2000-01-01'),
-         late  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
-    SELECT
-      (SELECT COUNT(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
-      (SELECT COUNT(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_early_only,
-      (SELECT COUNT(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_late_only,
-      (SELECT COUNT(*) FROM (SELECT * FROM early UNION SELECT * FROM late)) AS n_any
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderdate <  TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS early,
+             MAX(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS late
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early_only,
+           CAST(SUM(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_only,
+           COUNT(*) AS n_any
+    FROM flags
     """,
 )
 def order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators (intersect / except / union distinct) — the engine form
-    of M4's symmetric-difference SHD building block. Built as one lazy plan
-    (crossJoin of four 1-row aggregates) — no driver-side collect."""
+    """Intersect / except / union-distinct cardinalities — the engine form of
+    M4's symmetric-difference SHD building block — computed in ONE pass: a
+    per-key flag aggregate then a conditional count. The naive
+    intersect/except/union plan scans `orders` ~8× and runs four wide
+    distinct-shuffles; this plan is one scan + one shuffle on o_custkey,
+    which is the shape that survives 100 TB."""
     orders = load(spark, sf_dir, "orders")
     cutoff = F.lit("2000-01-01").cast("timestamp")
-    early = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
-    late = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
-    n_both = early.intersect(late).agg(F.count("*").alias("n_both"))
-    n_early = early.subtract(late).agg(F.count("*").alias("n_early_only"))
-    n_late = late.subtract(early).agg(F.count("*").alias("n_late_only"))
-    n_any = early.union(late).distinct().agg(F.count("*").alias("n_any"))
-    return n_both.crossJoin(n_early).crossJoin(n_late).crossJoin(n_any)
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0)).alias("early"),
+        F.max(F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0)).alias("late"),
+    )
+    both = (F.col("early") == 1) & (F.col("late") == 1)
+    early_only = (F.col("early") == 1) & (F.col("late") == 0)
+    late_only = (F.col("early") == 0) & (F.col("late") == 1)
+    return flags.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_both"),
+        F.sum(F.when(early_only, 1).otherwise(0)).cast("bigint").alias("n_early_only"),
+        F.sum(F.when(late_only, 1).otherwise(0)).cast("bigint").alias("n_late_only"),
+        F.count("*").alias("n_any"),
+    )
