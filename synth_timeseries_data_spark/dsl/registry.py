@@ -1,0 +1,138 @@
+"""Equation registries (G1) — the reference's causal structures as data.
+
+The reference hard-codes DSL strings per (n_vars, max_lag) family
+(linear: Codes/a1.py:20-106; polynomial: Codes/b2.py:19-57 — 6/8-var built by
+prepending two extra equations to the smaller config, b2.py:44-56;
+trigonometric+trend+season: Codes/c1.py:19-109). These strings ARE the
+semantic contract: grammar
+``target[t] = Σ coef * f(source[t|t-k]) (+ trend_i[t] + season_i[t]) + e_i``.
+
+Stored flat as (family, n_vars, max_lag, eq) rows so both engines (Spark
+createDataFrame / DuckDB VALUES) consume the identical text.
+"""
+
+from __future__ import annotations
+
+_A1: dict[tuple[int, int], list[str]] = {
+    (4, 2): [
+        "X4[t] = 0.25 * X1[t-2] + e4",
+        "X3[t] = 0.35 * X4[t] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + e1",
+    ],
+    (4, 3): [
+        "X4[t] = 0.25 * X1[t-2] + e4",
+        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + e1",
+    ],
+    (4, 4): [
+        "X4[t] = 0.25 * X1[t-4] + e4",
+        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + e1",
+    ],
+}
+# 6- and 8-var linear configs extend the 4-var core with a fixed prefix chain
+# (a1.py:44-106); the X4 equation differs per max_lag exactly as in 4-var,
+# plus the lag-2 config adds a 0.3*X5[t-1] feedback term into X4.
+_A1_PREFIX_6 = ["X6[t] = 0.85 * X5[t] + e6", "X5[t] = 0.4 * X4[t-1] + e5"]
+_A1_PREFIX_8 = [
+    "X8[t] = 0.4 * X7[t] + e8",
+    "X7[t] = 0.35 * X6[t-1] + e7",
+    "X6[t] = 0.45 * X5[t] + e6",
+    "X5[t] = 0.4 * X4[t-1] + e5",
+]
+for _lag in (2, 3, 4):
+    _core = list(_A1[(4, _lag)])
+    if _lag == 2:
+        _core[0] = "X4[t] = 0.25 * X1[t-2] + 0.3 * X5[t-1] + e4"
+    _A1[(6, _lag)] = _A1_PREFIX_6 + _core
+    _A1[(8, _lag)] = _A1_PREFIX_8 + _core
+
+
+_B2_4: dict[int, list[str]] = {
+    2: [
+        "X4[t] = 0.25 * X1[t-2]^2 - 0.1 * X1[t-2]^3 + e4",
+        "X3[t] = 0.35 * X4[t]^2 - 0.15 * X4[t]^3 + e3",
+        "X2[t] = 0.3 * X3[t-1]^2 - 0.05 * X3[t-1]^3 + e2",
+        "X1[t] = 0.4 * X2[t]^2 - 0.2 * X2[t]^3 + e1",
+    ],
+    3: [
+        "X4[t] = 0.25 * X1[t-2]^2 - 0.1 * X1[t-2]^3 + e4",
+        "X3[t] = 0.35 * X4[t]^2 - 0.15 * X4[t]^3 + 0.2 * X2[t-3]^2 + e3",
+        "X2[t] = 0.3 * X3[t-1]^2 - 0.05 * X3[t-1]^3 + e2",
+        "X1[t] = 0.4 * X2[t]^2 - 0.2 * X2[t]^3 + e1",
+    ],
+    4: [
+        "X4[t] = 0.25 * X1[t-4]^2 - 0.1 * X1[t-4]^3 + e4",
+        "X3[t] = 0.35 * X4[t]^2 - 0.15 * X4[t]^3 + 0.2 * X2[t-3]^2 + e3",
+        "X2[t] = 0.3 * X3[t-1]^2 - 0.05 * X3[t-1]^3 + e2",
+        "X1[t] = 0.4 * X2[t]^2 - 0.2 * X2[t]^3 + e1",
+    ],
+}
+# b2.py:44-56: larger configs prepend two equations to the smaller config.
+_B2_PREFIX_6 = [
+    "X6[t] = 0.45 * X5[t]^2 - 0.15 * X5[t]^3 + e6",
+    "X5[t] = 0.3 * X4[t-1]^2 - 0.1 * X4[t-1]^3 + e5",
+]
+_B2_PREFIX_8 = [
+    "X8[t] = 0.4 * X7[t]^2 - 0.12 * X7[t]^3 + e8",
+    "X7[t] = 0.35 * X6[t-1]^2 - 0.08 * X6[t-1]^3 + e7",
+]
+
+
+_C1_4: dict[int, list[str]] = {
+    2: [
+        "X4[t] = 0.25 * cos(X1[t-2] * pi/2) + trend4[t] + season4[t] + e4",
+        "X3[t] = 0.35 * (X4[t])^2 + trend3[t] + season3[t] + e3",
+        "X2[t] = 0.3 * sin(X3[t-1] * pi/2) + trend2[t] + season2[t] + e2",
+        "X1[t] = 0.4 * (X2[t])^3 + trend1[t] + season1[t] + e1",
+    ],
+    3: [
+        "X4[t] = 0.25 * cos(X1[t-2] * pi/2) + trend4[t] + season4[t] + e4",
+        "X3[t] = 0.35 * (X4[t])^2 + 0.2 * cos(X2[t-3] * pi/2) + trend3[t] + season3[t] + e3",
+        "X2[t] = 0.3 * sin(X3[t-1] * pi/2) + trend2[t] + season2[t] + e2",
+        "X1[t] = 0.4 * (X2[t])^3 + trend1[t] + season1[t] + e1",
+    ],
+    4: [
+        "X4[t] = 0.25 * cos(X1[t-4] * pi/2) + trend4[t] + season4[t] + e4",
+        "X3[t] = 0.35 * (X4[t])^2 + 0.2 * cos(X2[t-3] * pi/2) + trend3[t] + season3[t] + e3",
+        "X2[t] = 0.3 * sin(X3[t-1] * pi/2) + trend2[t] + season2[t] + e2",
+        "X1[t] = 0.4 * (X2[t])^3 + trend1[t] + season1[t] + e1",
+    ],
+}
+
+
+def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
+    """DSL strings for a configuration; [] for unknown configs (the
+    reference's registries return [] off-grid, a1.py:106)."""
+    if family == "a1":
+        return list(_A1.get((n_vars, max_lag), []))
+    if family == "b2":
+        if n_vars == 4:
+            return list(_B2_4.get(max_lag, []))
+        if n_vars == 6:
+            return _B2_PREFIX_6 + equations("b2", 4, max_lag)
+        if n_vars == 8:
+            return _B2_PREFIX_8 + equations("b2", 6, max_lag)
+        return []
+    if family == "c1":
+        # 4-var configs only in the engine registry; the reference's 6/8-var
+        # C1 configs (c1.py:46-107) use the identical grammar, so parser
+        # coverage does not grow with them.
+        return list(_C1_4.get(max_lag, [])) if n_vars == 4 else []
+    return []
+
+
+def _rows() -> list[tuple[str, int, int, int, str]]:
+    out = []
+    for family in ("a1", "b2", "c1"):
+        for n_vars in (4, 6, 8):
+            for max_lag in (2, 3, 4):
+                for idx, eq in enumerate(equations(family, n_vars, max_lag)):
+                    out.append((family, n_vars, max_lag, idx, eq))
+    return out
+
+
+EQUATION_ROWS: list[tuple[str, int, int, int, str]] = _rows()

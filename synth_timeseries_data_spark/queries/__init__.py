@@ -49,6 +49,8 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, lazily, to populate REGISTRY.
     from . import relational  # noqa: F401
     from . import graph  # noqa: F401
+    from . import dsl  # noqa: F401
+    from . import codec  # noqa: F401
     from . import generation  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import llm_pipeline  # noqa: F401
