@@ -51,6 +51,8 @@ def all_queries() -> dict[str, Query]:
     from . import graph  # noqa: F401
     from . import dsl  # noqa: F401
     from . import codec  # noqa: F401
+    from . import masks  # noqa: F401
+    from . import projections  # noqa: F401
     from . import generation  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import llm_pipeline  # noqa: F401
