@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
     from . import dsl  # noqa: F401
     from . import codec  # noqa: F401
     from . import masks  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import projections  # noqa: F401
     from . import generation  # noqa: F401
     from . import timeseries  # noqa: F401

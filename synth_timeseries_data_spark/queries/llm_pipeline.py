@@ -1,1 +1,510 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-training-data pipeline operators (EXT surface, first-class at 100 TB):
+text statistics, token counting, language-ID heuristic, quality scoring,
+document fingerprinting, MinHash-LSH near-dup detection, n-gram Jaccard,
+and embedding similarity search (brute-force + LSH-bucketed ANN).
+
+Design rules for scale:
+- Near-dup is banded MinHash LSH — candidates come from equality joins on
+  (band, signature) buckets, never an all-pairs self-join.
+- ANN: random-hyperplane signatures bucket the vectors; exact cosine runs
+  only inside the query's bucket. Brute-force cosine is kept as the exact
+  baseline (one pass, broadcast query vector).
+- Everything is expressed in both engines from shared templates; the only
+  differences are function names (split/str_split, size/len, ...), captured
+  in a dialect table. Hashes are md5 hex strings (identical in Spark and
+  DuckDB), so MinHash signatures match bit-for-bit with zero integer-
+  conversion tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.detrand import lcg_uniform_sql
+from ..sources import load
+from . import register
+
+# --------------------------------------------------------------------------
+# Dialect table: name differences between Spark SQL and DuckDB for the
+# array/lambda functions used here. Semantics are identical.
+# --------------------------------------------------------------------------
+
+_SPARK_D = {
+    "split": lambda s: f"split({s}, ' ')",
+    "len": lambda a: f"size({a})",
+    "distinct": lambda a: f"array_distinct({a})",
+    "el": lambda a, i: f"element_at({a}, {i})",
+    "filter": lambda a, lam: f"filter({a}, {lam})",
+    "minarr": lambda a: f"array_min({a})",
+    "transform": lambda a, lam: f"transform({a}, {lam})",
+    "retokens": lambda s, p: f"size(regexp_extract_all({s}, '{p}', 0))",
+    "expand": lambda lo, hi: f"explode(sequence({lo}, {hi}))",
+    "posexplode": "posexplode",  # handled inline
+}
+
+_DUCK_D = {
+    "split": lambda s: f"str_split({s}, ' ')",
+    "len": lambda a: f"len({a})",
+    "distinct": lambda a: f"list_distinct({a})",
+    "el": lambda a, i: f"list_extract({a}, {i})",
+    "filter": lambda a, lam: f"list_filter({a}, {lam})",
+    "minarr": lambda a: f"list_aggregate({a}, 'min')",
+    "transform": lambda a, lam: f"list_transform({a}, {lam})",
+    "retokens": lambda s, p: f"len(regexp_extract_all({s}, '{p}', 0))",
+    "expand": lambda lo, hi: f"unnest(generate_series({lo}, {hi}))",
+}
+
+
+def _dual(build):
+    """(spark_sql, duck_sql) from a dialect-parameterized builder."""
+    return build(_SPARK_D), build(_DUCK_D)
+
+
+def _spark_docs(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def _text_stats_sql(d) -> str:
+    ws = "ws"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      {d['split']('text')} AS ws FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           {d['len'](ws)} AS n_words,
+           {d['len'](d['distinct'](ws))} AS n_unique_words,
+           ROUND(CAST(n_chars - ({d['len'](ws)} - 1) AS DOUBLE)
+                 / {d['len'](ws)}, 6) AS avg_word_len,
+           ROUND(CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
+                 / {d['len'](ws)}, 6) AS unique_ratio
+    FROM t
+    """
+
+
+_TEXT_STATS_SPARK, _TEXT_STATS_DUCK = _dual(_text_stats_sql)
+
+
+@register("text_stats", _TEXT_STATS_DUCK)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/word/uniqueness statistics — quality-pipeline
+    basics; single narrow scan, no shuffle."""
+    return _spark_docs(spark, sf_dir, _TEXT_STATS_SPARK)
+
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _token_count_sql(d) -> str:
+    return f"""
+    SELECT doc_id,
+           {d['len'](d['split']('text'))} AS ws_tokens,
+           {d['retokens']('text', _TOKEN_RE)} AS re_tokens
+    FROM documents
+    """
+
+
+_TOKEN_SPARK, _TOKEN_DUCK = _dual(_token_count_sql)
+
+
+@register("token_count", _TOKEN_DUCK)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens (word / number / symbol
+    classes) per document — the two standard budget estimators."""
+    return _spark_docs(spark, sf_dir, _TOKEN_SPARK)
+
+
+_DOCS_BY_LANG_SQL = """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """
+
+
+@register("docs_by_lang", _DOCS_BY_LANG_SQL)
+def docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by language × source — one partial+final hash agg."""
+    return _spark_docs(spark, sf_dir, _DOCS_BY_LANG_SQL)
+
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+def _lang_id_sql(d) -> str:
+    ws = d["split"]("text")
+    hits = d["filter"](ws, f"w -> w IN {_STOPWORDS}")
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+             CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
+    FROM scored
+    GROUP BY lang, CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END
+    """
+
+
+_LANG_ID_SPARK, _LANG_ID_DUCK = _dual(_lang_id_sql)
+
+
+@register("lang_id", _LANG_ID_DUCK)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic with a confusion rollup against
+    the labeled lang column — lambda filter over the word array, JVM-side."""
+    return _spark_docs(spark, sf_dir, _LANG_ID_SPARK)
+
+
+def _quality_sql(d) -> str:
+    ws = d["split"]("text")
+    hits = d["filter"](ws, f"w -> w IN {_STOPWORDS}")
+    return f"""
+    WITH f AS (
+      SELECT source,
+             {d['len'](ws)} AS n_words,
+             CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio,
+             CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
+               / {d['len'](ws)} AS unique_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             LEAST(1.0, n_words / 100.0) * 0.5
+               + LEAST(1.0, stop_ratio * 10.0) * 0.2
+               + unique_ratio * 0.3 AS q
+      FROM f
+    )
+    SELECT source,
+           CAST(FLOOR(ROUND(q, 6) * 10) AS INT) AS q_bucket,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY source, CAST(FLOOR(ROUND(q, 6) * 10) AS INT)
+    """
+
+
+_QUALITY_SPARK, _QUALITY_DUCK = _dual(_quality_sql)
+
+
+@register("quality_score", _QUALITY_DUCK)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / stopword / uniqueness mix) bucketed
+    per source — the keep/drop histogram a filtering pipeline works from."""
+    return _spark_docs(spark, sf_dir, _QUALITY_SPARK)
+
+
+def _fingerprint_sql(d) -> str:
+    ws = d["split"]("text")
+    return f"""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           {d['minarr'](d['transform'](ws, 'w -> md5(w)'))} AS fp_min_word,
+           md5(CONCAT({d['el'](ws, 1)}, ' ', {d['el'](ws, 2)}, ' ',
+                      {d['el'](ws, 3)})) AS fp_prefix
+    FROM documents
+    WHERE {d['len'](ws)} >= 3
+    """
+
+
+_FP_SPARK, _FP_DUCK = _dual(_fingerprint_sql)
+
+
+@register("doc_fingerprint", _FP_DUCK)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level fingerprint: exact md5, 1-perm MinHash (lexicographic min
+    of word hashes), and leading-shingle hash — md5 hex agrees across
+    engines, so fingerprints are portable."""
+    return _spark_docs(spark, sf_dir, _FP_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Near-dup: banded MinHash LSH. H=8 string-min hashes over 3-word shingles,
+# 4 bands × r=2; candidates from bucket equality joins; exact Jaccard
+# verification ≥ 0.5 on candidates only.
+# --------------------------------------------------------------------------
+
+_MH_H = 8
+_MH_BANDS = 4  # r = 2
+
+
+def _shingles_cte(d) -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
+            FROM w WHERE {d['len']('ws')} >= 3),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             CONCAT({d['el']('ws', 'i')}, ' ', {d['el']('ws', 'i + 1')}, ' ',
+                    {d['el']('ws', 'i + 2')}) AS s
+      FROM pos
+    )
+    """
+
+
+def _minhash_sql(d) -> str:
+    return (
+        _shingles_cte(d)
+        + f"""
+    , hashed AS (
+      SELECT doc_id, j, MIN(md5(CONCAT(CAST(j AS STRING), ':', s))) AS minh
+      FROM (SELECT doc_id, s, {d['expand']('1', str(_MH_H))} AS j FROM shingles) x
+      GROUP BY doc_id, j
+    ),
+    sigs AS (
+      SELECT doc_id, CAST((j - 1) / 2 AS INT) AS band,
+             md5(CONCAT(MAX(CASE WHEN j % 2 = 1 THEN minh END), '|',
+                        MAX(CASE WHEN j % 2 = 0 THEN minh END))) AS sig
+      FROM hashed
+      GROUP BY doc_id, CAST((j - 1) / 2 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+    """
+    )
+
+
+def _dk_minhash(d):
+    sql = _minhash_sql(d)
+    # DuckDB has no STRING type name; Spark has no VARCHAR-free cast concern.
+    return sql if d is _SPARK_D else sql.replace("CAST(j AS STRING)", "CAST(j AS VARCHAR)")
+
+
+_MINHASH_SPARK = _dk_minhash(_SPARK_D)
+_MINHASH_DUCK = _dk_minhash(_DUCK_D)
+
+
+@register("minhash_dedup", _MINHASH_DUCK)
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by banded MinHash LSH (shingle → 8 md5-string
+    min-hashes → 4 band signatures → bucket join → exact-Jaccard verify).
+    No all-pairs join anywhere: candidate generation is equality joins on
+    band signatures, which at 100 TB shuffles only bucket-collision rows."""
+    return _spark_docs(spark, sf_dir, _MINHASH_SPARK)
+
+
+def _ngram_jaccard_sql(d) -> str:
+    return (
+        _shingles_cte(d)
+        + """
+    , small AS (SELECT * FROM shingles WHERE doc_id < 200),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM small a JOIN small b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM small GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    ORDER BY ROUND(CAST(i.n_inter AS DOUBLE)
+                   / (za.n_sh + zb.n_sh - i.n_inter), 6) DESC, i.doc_a, i.doc_b
+    LIMIT 50
+    """
+    )
+
+
+_NGRAM_SPARK, _NGRAM_DUCK = _dual(_ngram_jaccard_sql)
+
+
+@register("ngram_jaccard", _NGRAM_DUCK)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard top-50 over a bounded doc subset — the
+    brute-force baseline the LSH path approximates; the join is on shared
+    shingles (inverted-index shape), not doc×doc."""
+    return _spark_docs(spark, sf_dir, _NGRAM_SPARK)
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit signature from md5-nibble votes.
+# --------------------------------------------------------------------------
+
+
+def _simhash_sql(d) -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    words AS (SELECT doc_id, h
+              FROM (SELECT doc_id, {d['transform']('ws', 'x -> md5(x)')} AS hs
+                    FROM w) t {'LATERAL VIEW explode(hs) ex AS h' if d is _SPARK_D else ', unnest(hs) AS u(h)'}),
+    votes AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN SUBSTR(h, p, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS vote
+      FROM (SELECT doc_id, h, {d['expand']('1', '16')} AS p FROM words) x
+      GROUP BY doc_id, p
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote >= 0
+                         THEN CAST(ROUND(POWER(2, p - 1)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash16
+    FROM votes
+    GROUP BY doc_id
+    """
+
+
+_SIMHASH_SPARK, _SIMHASH_DUCK = _dual(_simhash_sql)
+
+
+@register("simhash", _SIMHASH_DUCK)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: md5-nibble majority votes packed into an
+    integer — near-dup docs land on nearby signatures; two aggregations,
+    both shuffling on doc_id only."""
+    return _spark_docs(spark, sf_dir, _SIMHASH_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k + LSH-bucketed ANN.
+# --------------------------------------------------------------------------
+
+
+def _spark_vecs(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql)
+
+
+_VEC_SPARK = """
+    WITH v AS (SELECT vec_id, label,
+                      transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT v.vec_id, v.label,
+             aggregate(zip_with(v.e, q.qe, (x, y) -> x * y),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+             / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE),
+                               (acc, x) -> acc + x * x))
+                * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE),
+                                 (acc, x) -> acc + x * x))) AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id != 0
+    )
+    SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim
+    FROM sims
+    ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+    LIMIT 20
+    """
+
+_VEC_DUCK = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT v.vec_id, v.label,
+             list_dot_product(v.e, q.qe)
+             / (SQRT(list_dot_product(v.e, v.e))
+                * SQRT(list_dot_product(q.qe, q.qe))) AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id != 0
+    )
+    SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim
+    FROM sims
+    ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+    LIMIT 20
+    """
+
+
+@register("vec_topk", _VEC_DUCK)
+def vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against a broadcast query vector — the
+    exact ANN baseline. Array math folds JVM-side (zip_with/aggregate);
+    TakeOrderedAndProject caps the result without a global sort."""
+    return _spark_vecs(spark, sf_dir, _VEC_SPARK)
+
+
+_ANN_PLANES = 8
+_ANN_DIMS = 64
+_PLANE_W = f"(2.0 * {lcg_uniform_sql('(p * 64 + dim)', salt=71)} - 1.0)"
+
+
+def _ann_sql(d, posexp: str) -> str:
+    return f"""
+    WITH planes AS (
+      SELECT p, dim, {_PLANE_W} AS w
+      FROM (SELECT {d['expand']('0', str(_ANN_PLANES - 1))} AS p) pp,
+           (SELECT {d['expand']('1', str(_ANN_DIMS))} AS dim) dd
+    ),
+    comps AS ({posexp}),
+    dots AS (
+      SELECT c.vec_id, pl.p, ROUND(SUM(c.x * pl.w), 6) AS dot_p
+      FROM comps c JOIN planes pl ON pl.dim = c.dim
+      GROUP BY c.vec_id, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot_p >= 0
+                           THEN CAST(ROUND(POWER(2, p)) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id FROM sigs s, qsig
+      WHERE s.sig = qsig.sig AND s.vec_id != 0
+    ),
+    v AS (SELECT vec_id, label, {'transform(embedding, x -> CAST(x AS DOUBLE))' if d is _SPARK_D else 'CAST(embedding AS DOUBLE[])'} AS e
+          FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT v.vec_id, v.label,
+             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
+              if d is _SPARK_D else
+              'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
+      FROM v JOIN cand ON cand.vec_id = v.vec_id CROSS JOIN q
+    )
+    SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim
+    FROM sims
+    ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+    LIMIT 10
+    """
+
+
+_ANN_SPARK = _ann_sql(
+    _SPARK_D,
+    "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+)
+_ANN_DUCK = _ann_sql(
+    _DUCK_D,
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings",
+)
+
+
+@register("vec_topk_lsh", _ANN_DUCK)
+def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 random-hyperplane sign bits (LCG-derived planes,
+    identical in both engines) bucket every vector; exact cosine runs only
+    inside the query's bucket (~1/256 of the corpus). This is the scale
+    path — the signature pass is one narrow shuffle and the verify set is
+    tiny, vs the brute-force full-corpus scan."""
+    return _spark_vecs(spark, sf_dir, _ANN_SPARK)
