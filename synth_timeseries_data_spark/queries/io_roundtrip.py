@@ -1,0 +1,56 @@
+"""CSV round-trip query (G16): write → read back → aggregate.
+
+The reference persists every generated series as CSV and reads it back for
+analysis (a1.py:242-243); lossless round-tripping of doubles (shortest-repr
+formatting), NULLs (empty string), and BIGINT timestamps is the contract.
+The DuckDB oracle aggregates the ORIGINAL parquet — so any loss anywhere in
+the engine's CSV write/read path fails the value-hash check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from . import register
+
+_CSV_ORACLE = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """
+
+
+@register("csv_roundtrip", _CSV_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the event table to CSV (header, empty-string nulls), read it
+    back with an explicit schema, and aggregate — matching the oracle's
+    aggregate over the original parquet proves the sink/source pair is
+    lossless for doubles, strings, and BIGINTs."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"csv_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", True).option("nullValue", "").csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("nullValue", "")
+        .schema("event_id long, ts long, user_id long, event_type string, value double")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(26,6)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -1,0 +1,115 @@
+"""Batch-checkable analogs of the streaming surface (SURVEY.md §2.2 EXT):
+tumbling / sliding / session windows over the event stream.
+
+The true Structured-Streaming forms (readStream → withWatermark → window /
+session_window → sink) live in synth_timeseries_data_spark/streaming and are
+exercised by behavior tests (tests/test_streaming.py) — watermark trigger
+timing is not SQL-expressible, but the WINDOWED AGGREGATION SEMANTICS are,
+so each analog here is oracle-checked and must agree with its streaming
+twin on the same input (also asserted in tests).
+
+events.ts is an epoch-nanosecond BIGINT in Spark (see session.py), so
+windows are integer bucket arithmetic on microseconds — identical text in
+both engines apart from the µs conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load
+from . import register
+
+_HOUR_US = 3_600_000_000
+_QTR_US = 900_000_000
+_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+def _tumbling_sql(tus: str) -> str:
+    return f"""
+    WITH e AS (SELECT {tus} AS tus, event_type, value FROM events)
+    SELECT CAST(FLOOR(tus / {_HOUR_US}.0) AS BIGINT) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value
+    FROM e
+    GROUP BY CAST(FLOOR(tus / {_HOUR_US}.0) AS BIGINT), event_type
+    """
+
+
+@register("tumbling_agg", _tumbling_sql("epoch_us(ts)"))
+def tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type — the batch analog of
+    `groupBy(window(ts, '1 hour'), event_type)`; one shuffle, map-side
+    partial aggregation."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_tumbling_sql("(ts div 1000)"))
+
+
+def _sliding_sql(tus: str) -> str:
+    # Each event belongs to 4 overlapping 1h windows sliding by 15 min;
+    # enumerate them by offset k and keep windows that contain the event.
+    return f"""
+    WITH e AS (SELECT {tus} AS tus, event_type, value FROM events),
+    assigned AS (
+      SELECT (CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) - k) * {_QTR_US} AS win_start,
+             event_type, value, tus
+      FROM e
+      CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1
+                  UNION ALL SELECT 2 UNION ALL SELECT 3) ks
+    )
+    SELECT win_start / {_QTR_US} AS win_start_qtr,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value
+    FROM assigned
+    WHERE tus >= win_start AND tus < win_start + {_HOUR_US}
+    GROUP BY win_start / {_QTR_US}, event_type
+    """
+
+
+@register("sliding_agg", _sliding_sql("epoch_us(ts)"))
+def sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — the `window(ts, '1h', '15m')`
+    analog via explicit 4-way window assignment; row expansion happens
+    before the shuffle exactly like Spark's streaming window operator."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sliding_sql("(ts div 1000)"))
+
+
+def _session_sql(tus: str) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, {tus} AS tus,
+             LAG({tus}, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN prev_tus IS NULL OR tus - prev_tus > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(tus) AS session_start_us,
+           MAX(tus) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_no
+    """
+
+
+@register("session_agg", _session_sql("epoch_us(ts)"))
+def session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-min inactivity gap — gaps-and-islands
+    (lag → new-session flag → running sum) per series; the batch analog of
+    `session_window(ts, '30 minutes')` and the reference's burst-mask state
+    (G14). One window shuffle on the series key."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_session_sql("(ts div 1000)"))

@@ -1,0 +1,8 @@
+"""Structured-Streaming jobs (EXT surface — the reference is pure batch)."""
+
+from .jobs import (  # noqa: F401
+    sessionized_stream,
+    stream_events,
+    streaming_dedup,
+    tumbling_stream,
+)

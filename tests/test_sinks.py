@@ -1,0 +1,78 @@
+"""Sink round-trips: CSV, edge-list parquet, structure sidecars, and the
+partitioned layout with partition pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from synth_timeseries_data_spark import sinks
+from synth_timeseries_data_spark.queries.dsl import _parsed_edges
+
+
+@pytest.fixture()
+def tmpdir_():
+    d = tempfile.mkdtemp(prefix="sinks_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_edge_list_parquet_roundtrip(spark, tmpdir_):
+    path = os.path.join(tmpdir_, "edges")
+    sinks.write_edge_list(spark, path)
+    back = spark.read.parquet(path)
+    assert back.count() == _parsed_edges(spark).count()
+    assert set(back.columns) == {
+        "family", "n_vars", "max_lag", "target", "source", "lag", "func", "coef",
+    }
+
+
+def test_structure_json_sidecar(spark, tmpdir_):
+    path = os.path.join(tmpdir_, "structure")
+    sinks.write_structure_json(spark, path)
+    back = spark.read.json(path)
+    row = back.where(
+        "family = 'a1' AND n_vars = 4 AND max_lag = 2 AND target = 'X3'"
+    ).collect()[0]
+    assert row.link_str == "(X4, 0, X3) => 0.35"
+
+
+def test_structure_txt(tmpdir_):
+    path = os.path.join(tmpdir_, "structure.txt")
+    sinks.write_structure_txt("a1", 4, 2, path)
+    text = open(path).read()
+    assert "X4[t] = 0.25 * X1[t-2] + e4" in text
+    assert text.startswith("True Causal Structure")
+
+
+def test_partitioned_layout_prunes(spark, tmpdir_):
+    path = os.path.join(tmpdir_, "dataset")
+    edges = _parsed_edges(spark)
+    sinks.write_partitioned_dataset(edges, path, "family", "n_vars")
+    assert os.path.isdir(os.path.join(path, "family=a1", "n_vars=4"))
+    pruned = spark.read.parquet(path).where("family = 'a1' AND n_vars = 4")
+    explained = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter must reach PartitionFilters, not a scan+filter
+    assert "PartitionFilters" in explained and "family" in explained
+    assert pruned.count() == _parsed_edges(spark).where(
+        "family = 'a1' AND n_vars = 4"
+    ).count()
+
+
+def test_series_csv_null_roundtrip(spark, tmpdir_):
+    path = os.path.join(tmpdir_, "series_csv")
+    df = spark.createDataFrame(
+        [(0, 1.5), (1, None), (2, -0.25)], "t int, x1 double"
+    )
+    sinks.write_series_csv(df, path)
+    raw = ""
+    for f in glob.glob(os.path.join(path, "*.csv")):
+        raw += open(f).read()
+    assert ",\n" in raw or raw.rstrip().endswith(",")  # NULL wrote as empty
+    back = sinks.read_series_csv(spark, path, "t int, x1 double")
+    rows = {r.t: r.x1 for r in back.collect()}
+    assert rows == {0: 1.5, 1: None, 2: -0.25}
