@@ -40,7 +40,12 @@ def lcg_uniform_sql(key_expr: str, salt: int = 0) -> str:
     """
     s1 = f"((({key_expr}) % {_M}) * {_A} + {_C + salt * 7919}) % {_M}"
     s2 = f"(({s1}) * {_A} + {_C}) % {_M}"
-    return f"((({s2}) + 0.5) / {_M}.0)"
+    # Explicit DOUBLE before the final scale: a bare `(int + 0.5) / 2^31.0`
+    # parses as DECIMAL arithmetic in Spark (slow decimal division per row,
+    # and engine-specific quotient scales). s2 + 0.5 and the power-of-two
+    # division are exactly representable in binary64, so all-double math is
+    # both fast and bit-identical across engines.
+    return f"((CAST(({s2}) AS DOUBLE) + 0.5) / {_M}.0)"
 
 
 def gaussian_sql(key_expr: str, salt: int = 0, mean: float = 0.0, std: float = 1.0) -> str:

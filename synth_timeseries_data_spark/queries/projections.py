@@ -105,13 +105,21 @@ _MIX_L = laplace_sql("event_id", salt=64, loc=0.0, scale=0.1)
 
 _MIX_SQL = f"""
     WITH ratios AS (SELECT CAST(0.3 AS DOUBLE) AS ratio UNION ALL SELECT 0.5 UNION ALL SELECT 0.7),
+    base AS (
+      -- one projection computes each stream once; the per-ratio CASE then
+      -- works on plain columns (keeps the codegen'd expression tree small —
+      -- inlining the Box-Muller/LCG text into every branch tripled compile
+      -- and eval cost)
+      SELECT {_MIX_SEL} AS u_sel,
+             ROUND({_MIX_G}, 6) AS g,
+             ROUND({_MIX_L}, 6) AS l
+      FROM events e
+    ),
     draws AS (
       SELECT r.ratio,
-             CASE WHEN {_MIX_SEL} < r.ratio
-                  THEN ROUND({_MIX_G}, 6)
-                  ELSE ROUND({_MIX_L}, 6) END AS x,
-             CASE WHEN {_MIX_SEL} < r.ratio THEN 1 ELSE 0 END AS is_gauss
-      FROM events e CROSS JOIN ratios r
+             CASE WHEN b.u_sel < r.ratio THEN b.g ELSE b.l END AS x,
+             CASE WHEN b.u_sel < r.ratio THEN 1 ELSE 0 END AS is_gauss
+      FROM base b CROSS JOIN ratios r
     )
     SELECT ratio,
            COUNT(*) AS n,

@@ -15,10 +15,16 @@ from pyspark.sql import SparkSession
 
 def get_session(app_name: str = "synth_timeseries_data_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle parallelism is decoupled from executor threads: at local test
+    # scale the data is small enough that fewer, larger shuffle partitions
+    # beat per-task scheduling overhead; AQE still coalesces further. On a
+    # real cluster SPARK_GRAFT_SHUFFLE would be sized to the data (~128 MB
+    # per partition), not to the core count.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
