@@ -104,6 +104,61 @@ _C1_4: dict[int, list[str]] = {
 }
 
 
+# A2 (irregular sampling, Codes/a2.py:20-106): 4-var configs are identical
+# to A1; 6/8-var make X5 implicitly exogenous via the literal string
+# "X5[t] = noise_extra" that the parser skips (quirk Q3).
+_A2_PREFIX_6 = ["X6[t] = 0.85 * X5[t] + e6", "X5[t] = noise_extra"]
+_A2_PREFIX_8 = [
+    "X8[t] = 0.4 * X7[t] + e8",
+    "X7[t] = 0.35 * X6[t-1] + e7",
+    "X6[t] = 0.45 * X5[t] + e6",
+    "X5[t] = noise_extra",
+]
+
+
+def _a2_equations(n_vars: int, max_lag: int) -> list[str]:
+    core = list(_A1.get((4, max_lag), []))
+    if not core:
+        return []
+    if n_vars == 4:
+        return core
+    # a2.py:48-50: 6/8-var add a 0.3*X5[t-1] feedback term into X4.
+    core[0] = core[0].replace(" + e4", " + 0.3 * X5[t-1] + e4")
+    if n_vars == 6:
+        return _A2_PREFIX_6 + core
+    if n_vars == 8:
+        return _A2_PREFIX_8 + core
+    return []
+
+
+# A1C (hidden confounder U, Codes/a1c.py:19-114): U[t] = eU feeds exactly two
+# observed nodes; only 4-var configs are in the engine registry (larger ones
+# share the grammar, incl. the exogenous "X5[t] = e5" line).
+_A1C_4: dict[int, list[str]] = {
+    2: [
+        "X4[t] = 0.25 * X1[t-2] + e4",
+        "X3[t] = 0.35 * X4[t] + 0.3 * U[t] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
+        "U[t] = eU",
+    ],
+    3: [
+        "X4[t] = 0.25 * X1[t-2] + e4",
+        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + 0.3 * U[t] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
+        "U[t] = eU",
+    ],
+    4: [
+        "X4[t] = 0.25 * X1[t-4] + e4",
+        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + 0.3 * U[t] + e3",
+        "X2[t] = 0.3 * X3[t-1] + e2",
+        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
+        "U[t] = eU",
+    ],
+}
+
+
 def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
     """DSL strings for a configuration; [] for unknown configs (the
     reference's registries return [] off-grid, a1.py:106)."""
@@ -122,6 +177,10 @@ def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
         # C1 configs (c1.py:46-107) use the identical grammar, so parser
         # coverage does not grow with them.
         return list(_C1_4.get(max_lag, [])) if n_vars == 4 else []
+    if family == "a2":
+        return _a2_equations(n_vars, max_lag)
+    if family == "a1c":
+        return list(_A1C_4.get(max_lag, [])) if n_vars == 4 else []
     return []
 
 

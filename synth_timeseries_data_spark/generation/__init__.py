@@ -1,3 +1,9 @@
 """Generation layer: the sequential SCM recurrence kernel (G4-G6)."""
 
-from .kernel import generate_linear_config, topo_order  # noqa: F401
+from .kernel import (  # noqa: F401
+    generate_confounded_config,
+    generate_irregular_config,
+    generate_linear_config,
+    irregular_timestamps,
+    topo_order,
+)

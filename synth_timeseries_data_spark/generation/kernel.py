@@ -146,3 +146,216 @@ def generate_linear_config(
     out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
     out["time"] = np.arange(n_points)
     return out
+
+
+# ---------------------------------------------------------------------------
+# A2: irregular sampling + nearest-abs lag resolution (Codes/a2.py:131-233).
+# ---------------------------------------------------------------------------
+
+
+def irregular_timestamps(
+    n_points: int,
+    total_time: float = 100.0,
+    min_gap: float = 0.1,
+    seed: int | None = 42,
+) -> np.ndarray:
+    """Adaptive-scale exponential gaps with a min-gap floor and rescale-on-
+    overflow (a2.py:146-160). The reference RE-SEEDS inside this function
+    (quirk Q4) — replicated so draw choreography matches."""
+    if seed is not None:
+        np.random.seed(seed)
+    times = np.zeros(n_points)
+    times[0] = np.random.uniform(0, min_gap)
+    for i in range(1, n_points):
+        gap = np.random.exponential(scale=(total_time - times[i - 1]) / (n_points - i))
+        times[i] = times[i - 1] + max(gap, min_gap)
+        if times[i] > total_time:
+            times = times * (total_time / times[i])
+    return times
+
+
+def generate_irregular_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+    ts_mode: str = "adaptive_exp",
+) -> pd.DataFrame:
+    """Irregular-sampling linear family (a2.py:203-233).
+
+    Semantics replicated exactly: per-t full-series mean(diff) look-ahead
+    (Q5), nearest-abs lag index over the prefix (a2.py:162-167), the
+    exogenous pass for non-target variables (Q3's noise_extra), noise
+    gating `if value != 0` (Q2), and contemporaneous reads straight from
+    the current row (no memo — evaluation order covers the registry DAGs).
+
+    ts_mode:
+      'adaptive_exp' — the current reference algorithm (a2.py:146-160);
+      'linspace'     — evenly spaced, zero draws consumed. The shipped A2
+                       corpus was generated this way (every file's `time`
+                       column is exactly linspace(0, 100, n) and the values
+                       replay the regular-lag recurrence), so this mode
+                       reproduces those CSVs bit-for-bit.
+    """
+    from ..dsl.registry import equations
+
+    eqs = equations("a2", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no a2 registry for ({n_vars}, {max_lag})")
+    # a2 parser semantics (a2.py:108-129): skip 'noise' equations entirely,
+    # keep insertion order — iteration order feeds accumulation order.
+    links: dict[tuple[str, int, str], float] = {}
+    for eq in eqs:
+        if "=" not in eq or "noise" in eq:
+            continue
+        left, right = [s.strip() for s in eq.split("=")]
+        tgt = left.split("[")[0]
+        for raw in right.split("+"):
+            term = raw.strip()
+            if "*" in term and "X" in term:
+                coeff, var_part = [p.strip() for p in term.split("*")]
+                var = var_part.split("[")[0]
+                lag_part = var_part.split("[")[1].split("]")[0]
+                lag = 0 if lag_part == "t" else -int(lag_part.split("-")[1])
+                links[(var, lag, tgt)] = float(coeff)
+
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    if ts_mode == "linspace":
+        ts = np.linspace(0.0, 100.0, n_points)
+    elif ts_mode == "adaptive_exp":
+        ts = irregular_timestamps(n_points, seed=seed)
+    else:
+        raise ValueError(f"unknown ts_mode: {ts_mode}")
+
+    for i in range(max_lag):
+        X[i] = _draw(noise_type, n_vars, noise_scale, df)
+
+    targets = [t for (_, _, t) in links]
+    for t in range(max_lag, n_points):
+        mean_diff = np.mean(np.diff(ts))
+        lag_idx = [
+            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin()) if t > 0 else 0
+            for k in range(1, max_lag + 1)
+        ]
+        noise = _draw(noise_type, n_vars, noise_scale, df)
+        for i in range(n_vars):
+            if f"X{i + 1}" not in targets:
+                X[t, i] = noise[i]
+        for i in range(n_vars - 1, -1, -1):
+            var_name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt), coef in links.items():
+                if tgt != var_name:
+                    continue
+                si = int(src[1:]) - 1
+                if lag == 0:
+                    value += coef * X[t, si]
+                else:
+                    value += coef * X[lag_idx[abs(lag) - 1], si]
+            if value != 0:
+                X[t, i] = value + noise[i]
+
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    out["time"] = ts
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A1C: hidden-confounder family (Codes/a1c.py:116-277).
+# ---------------------------------------------------------------------------
+
+
+def generate_confounded_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+    hide_u: bool = False,
+) -> pd.DataFrame:
+    """Confounded linear family: U[t] = pure noise feeding two observed
+    nodes, retry-queue contemporaneous scheduling (a1c.py:171-253), warmup
+    rows drawing X then U separately (a1c.py:260-263), per-t draws of
+    n_vars+1 with U taking the last slot. Bit-exact vs the reference's
+    seed-42 A1C CSVs (4-var goldens).
+
+    The reference writes U as an ordinary column (quirk Q8 — "hidden" only
+    by convention); hide_u=True makes the hiding an explicit projection.
+    """
+    from ..dsl.registry import equations
+
+    eqs = equations("a1c", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no a1c registry for ({n_vars}, {max_lag})")
+
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    U = np.zeros(n_points)
+    for i in range(max_lag):
+        X[i] = _draw(noise_type, n_vars, noise_scale, df)
+        U[i] = _draw(noise_type, 1, noise_scale, df)[0]
+
+    for t in range(max_lag, n_points):
+        noise = _draw(noise_type, n_vars + 1, noise_scale, df)
+        U[t] = noise[-1]
+        var_values: dict[str, float] = {"U": U[t]}
+        remaining = list(range(n_vars))[::-1]
+        while remaining:
+            vi = remaining[0]
+            name = f"X{vi + 1}"
+            eq = next((e for e in eqs if e.startswith(name)), None)
+            if eq is None:
+                remaining.pop(0)
+                continue
+            _, right = eq.split("=")
+            terms = [x.strip() for x in right.split("+")]
+            # deferral: a same-t X dependency not yet computed sends this
+            # variable to the back of the queue (a1c.py:196-214)
+            ready = True
+            for term in terms:
+                if term.startswith("e") or "U[t]" in term:
+                    continue
+                parts = term.split("*")
+                if len(parts) < 2:
+                    continue
+                vp = parts[1].strip()
+                if "[t]" in vp and vp.split("[")[0] not in var_values:
+                    ready = False
+                    break
+            if not ready:
+                remaining.pop(0)
+                remaining.append(vi)
+                continue
+            value = 0.0
+            for term in terms:
+                if term.startswith("e"):
+                    value += noise[vi]
+                    continue
+                parts = term.split("*")
+                coef = float(parts[0].strip())
+                var = parts[1].strip()
+                if "U[t]" in var:
+                    value += coef * U[t]
+                    continue
+                sn = var.split("[")[0].strip()
+                ti = var.split("[")[1].split("]")[0].strip()
+                si = int(sn[1:]) - 1
+                if ti == "t":
+                    value += coef * var_values.get(sn, X[t, si])
+                else:
+                    value += coef * X[t - int(ti.split("-")[1]), si]
+            X[t, vi] = value
+            var_values[name] = value
+            remaining.pop(0)
+
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    if not hide_u:
+        out["U"] = U
+    out["time"] = np.arange(n_points)
+    return out
