@@ -9,15 +9,19 @@ columns, text analysis) required for 100 TB-scale training-data work.
 
 Layout
 ------
-- ``session``     SparkSession builders tuned for local testing / cluster posture
-- ``sources``     table loaders (parquet/csv/json) for the test fixtures
-- ``functions``   reusable column expressions (deterministic randoms, vectors, time)
-- ``dsl``         the reference's equation DSL: registry, parser, topo sort
-- ``generation``  the synthetic-series generation kernel (applyInPandas)
-- ``graph``       causal-edge-list operators + scoring metrics
-- ``operators``   relational/window/dedup/similarity/text operator library
-- ``streaming``   Structured Streaming pipelines (session windows, watermark dedup)
-- ``queries``     the driver-facing query registry (Spark build + DuckDB oracle SQL)
+- ``session``     SparkSession builder (nanosAsLong parquet posture, AQE, UTC)
+- ``sources``     fixture-table loaders (parquet, narrow-select discipline)
+- ``sinks``       CSV / edge-list parquet / structure sidecars / partitioned layout
+- ``functions``   cross-engine deterministic randoms (LCG) + decimal numerics
+- ``dsl``         equation registries (linear/poly/trig/irregular/confounded) as data
+- ``generation``  sequential SCM kernels (regular, irregular, confounded) —
+                  bit-exact vs the reference's seed-42 CSVs, scale-out across configs
+- ``streaming``   Structured Streaming jobs (tumbling/session windows, watermark dedup)
+- ``queries``     the driver-facing registry: every operator as a named query
+                  pairing the Spark builder with its DuckDB oracle SQL
+                  (relational, graph metrics, DSL parse, codecs, masks,
+                  projections, time-series/as-of, LLM pipeline, multimodal,
+                  streaming analogs, IO round-trips)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
     from . import multimodal  # noqa: F401
     from . import streaming_analog  # noqa: F401
     from . import io_roundtrip  # noqa: F401
+    from . import events_ext  # noqa: F401
     from . import projections  # noqa: F401
     from . import generation  # noqa: F401
     from . import timeseries  # noqa: F401

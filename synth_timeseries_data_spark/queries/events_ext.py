@@ -1,0 +1,82 @@
+"""Event-table extensions: JSON property parsing and the missing-pattern
+plot data (the third G19 plot query).
+
+props is a JSON string column ({"k": <int>}); the engine parses it with the
+real JSON path functions (Spark get_json_object / DuckDB json_extract), not
+string surgery — at scale the JSON parse is JVM-side and vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detrand import lcg_uniform_sql
+from ..sources import load
+from . import register
+
+_PROPS_ORACLE = """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_with_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           ROUND(AVG(k), 6) AS avg_k
+    FROM parsed
+    GROUP BY event_type
+    """
+
+
+@register("props_parse", _PROPS_ORACLE)
+def props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props JSON and profile the extracted key per event type
+    — get_json_object stays inside whole-stage codegen; one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+# G19 — missing-pattern plot data (d1.py:327-337): where in time are the
+# holes, per variable/group. MCAR mask (rate 0.2, same stream as
+# missing_profile) bucketed by hour.
+_MCAR_U = lcg_uniform_sql("event_id", salt=3)
+
+
+def _pattern_sql(tus: str) -> str:
+    return f"""
+    WITH masked AS (
+      SELECT event_type,
+             CAST(FLOOR({tus} / 3600000000.0) AS BIGINT) AS hour_bucket,
+             CASE WHEN {_MCAR_U} < 0.2 THEN 1 ELSE 0 END AS is_missing
+      FROM events
+    )
+    SELECT hour_bucket, event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(is_missing) AS BIGINT) AS n_missing,
+           ROUND(CAST(SUM(is_missing) AS DOUBLE) / COUNT(*), 6) AS missing_rate
+    FROM masked
+    GROUP BY hour_bucket, event_type
+    """
+
+
+@register("missing_pattern", _pattern_sql("epoch_us(ts)"))
+def missing_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-pattern heatmap data (G19, d1.py:327-337): MCAR-mask holes
+    bucketed by hour × event type — the per-cell counts behind the
+    reference's missing-pattern plot."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_pattern_sql("(ts div 1000)"))
