@@ -4,6 +4,9 @@ from .kernel import (  # noqa: F401
     generate_confounded_config,
     generate_irregular_config,
     generate_linear_config,
+    generate_mcar_config,
+    generate_poly_mixture_config,
+    generate_trend_season_config,
     irregular_timestamps,
     topo_order,
 )

@@ -359,3 +359,315 @@ def generate_confounded_config(
         out["U"] = U
     out["time"] = np.arange(n_points)
     return out
+
+
+# ---------------------------------------------------------------------------
+# B2: polynomial SCM, Gaussian⊕Laplace mixture noise, irregular sampling
+# (Codes/b2.py:59-158). Quirk Q1 applies: the '+'-only term split drops the
+# '- coef * X^3' tails, so effective dynamics are quadratic-only.
+# ---------------------------------------------------------------------------
+
+
+def _parse_poly_links(eqs: list[str]) -> dict[tuple[str, int, str, int], float]:
+    """b2.py:160-194 split-chain semantics, including Q1 (power and coef of
+    the first term win; the cubic tail is discarded)."""
+    links: dict[tuple[str, int, str, int], float] = {}
+    for eq in eqs:
+        if "=" not in eq:
+            continue
+        left, right = [s.strip() for s in eq.split("=")]
+        if "e" in right and len(right.split("+")) == 1:
+            continue
+        tgt = left.split("[")[0]
+        for raw in right.split("+"):
+            term = raw.strip()
+            if "*" not in term or "X" not in term:
+                continue
+            parts = term.split("*")
+            coeff = float(parts[0].strip())
+            vp = parts[1].strip()
+            base = vp.split("^")[0] if "^" in vp else vp
+            var = base.split("[")[0]
+            power = int(vp.split("^")[1].split(" ")[0]) if "^" in vp else 1
+            lag_part = base.split("[")[1].split("]")[0]
+            lag = 0 if lag_part == "t" else -int(lag_part.split("-")[1])
+            links[(var, lag, tgt, power)] = coeff
+    return links
+
+
+def generate_poly_mixture_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    mix_ratio: float = 0.5,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+) -> pd.DataFrame:
+    """B2 family, bit-exact vs the reference's seed-42 CSVs: mixture noise
+    (Bernoulli mask, then BOTH component draws each call — three RNG calls,
+    b2.py:75-85), adaptive-exp timestamps WITHOUT the A2 re-seed (the ctor
+    seeds once), nearest-abs lag resolution, reverse-order evaluation with
+    direct current-row reads, noise always added (no gating)."""
+    from ..dsl.registry import equations
+
+    eqs = equations("b2", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no b2 registry for ({n_vars}, {max_lag})")
+    links = _parse_poly_links(eqs)
+
+    np.random.seed(seed)
+
+    def _mixed(size: int) -> np.ndarray:
+        mask = np.random.random(size) < mix_ratio
+        g = np.random.normal(0, noise_scale, size)
+        l = np.random.laplace(0, noise_scale, size)
+        return np.where(mask, g, l)
+
+    X = np.zeros((n_points, n_vars))
+    ts = np.zeros(n_points)
+    ts[0] = np.random.uniform(0, 0.1)
+    for i in range(1, n_points):
+        gap = np.random.exponential(scale=(100.0 - ts[i - 1]) / (n_points - i))
+        ts[i] = ts[i - 1] + max(gap, 0.1)
+        if ts[i] > 100.0:
+            ts = ts * (100.0 / ts[i])
+
+    for i in range(max_lag):
+        X[i] = _mixed(n_vars)
+
+    for t in range(max_lag, n_points):
+        mean_diff = np.mean(np.diff(ts))
+        lag_idx = [
+            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
+            for k in range(1, max_lag + 1)
+        ]
+        nz = _mixed(n_vars)
+        for i in range(n_vars - 1, -1, -1):
+            name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt, power), coef in links.items():
+                if tgt != name:
+                    continue
+                si = int(src[1:]) - 1
+                if lag == 0:
+                    value += coef * (X[t, si] ** power)
+                else:
+                    value += coef * (X[lag_idx[abs(lag) - 1], si] ** power)
+            X[t, i] = value + nz[i]
+
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    out["time"] = ts
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C1: trigonometric SCM + deterministic trend + two-harmonic seasonality,
+# regular sampling (Codes/c1.py:111-246).
+# ---------------------------------------------------------------------------
+
+
+def generate_trend_season_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    trend_strength: float = 0.01,
+    seasonal_strength: float = 0.5,
+    seasonal_period: int = 12,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+) -> pd.DataFrame:
+    """C1 family, bit-exact vs the reference's seed-42 CSVs: precomputed
+    trend/seasonality arrays added to warmup rows too (c1.py:228-234);
+    equations evaluated in LIST order with a per-t memo; term evaluation
+    replicates evaluate_term (c1.py:143-187) including its sub-grammar
+    branches for cos/sin/power/linear and the t>lag guards."""
+    from ..dsl.registry import equations
+
+    eqs = equations("c1", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no c1 registry for ({n_vars}, {max_lag})")
+
+    np.random.seed(seed)
+    tt = np.arange(n_points)
+    trends = [trend_strength * (i + 1) * 0.5 * tt for i in range(n_vars)]
+    seas = []
+    for i in range(n_vars):
+        ph = 2 * np.pi * i / 8
+        seas.append(
+            seasonal_strength
+            * (
+                np.sin(2 * np.pi * tt / seasonal_period + ph)
+                + 0.5 * np.cos(4 * np.pi * tt / seasonal_period + ph)
+            )
+        )
+    X = np.zeros((n_points, n_vars))
+    for i in range(max_lag):
+        X[i] = np.random.normal(0, noise_scale, n_vars)
+        for j in range(n_vars):
+            X[i, j] += trends[j][i] + seas[j][i]
+
+    def _eval_term(term: str, var_values: dict, t: int) -> float:
+        parts = term.split("*")
+        coef = float(parts[0].strip())
+        expr = parts[1].strip()
+        if "[t-" in expr and not any(f in expr for f in ("cos", "sin", "^")):
+            vi = int(expr[1]) - 1  # single-digit parse, quirk Q6
+            lag = int(expr.split("-")[1].split("]")[0])
+            return coef * X[t - lag, vi] if t > lag else 0.0
+        if "cos(" in expr:
+            inner = expr.split("cos(")[1].split(")")[0]
+            vi = int(inner.split("X")[1].split("[")[0]) - 1
+            tp = inner.split("[")[1].split("]")[0]
+        elif "sin(" in expr:
+            inner = expr.split("sin(")[1].split(")")[0]
+            vi = int(inner.split("X")[1].split("[")[0]) - 1
+            tp = inner.split("[")[1].split("]")[0]
+        elif "^" in expr:
+            power = int(expr.split("^")[1])
+            vi = int(expr.split("X")[1].split("[")[0]) - 1
+            tp = expr.split("[")[1].split("]")[0]
+        else:
+            vi = int(expr.split("X")[1].split("[")[0]) - 1
+            tp = expr.split("[")[1].split("]")[0]
+        if tp == "t":
+            value = var_values.get(f"X{vi + 1}", X[t, vi])
+        else:
+            lag = int(tp.split("-")[1])
+            value = X[t - lag, vi] if t >= lag else 0.0
+        if "cos(" in expr:
+            return coef * np.cos(value * np.pi / 2)
+        if "sin(" in expr:
+            return coef * np.sin(value * np.pi / 2)
+        if "^" in expr:
+            return coef * (value ** power)
+        return coef * value
+
+    for t in range(max_lag, n_points):
+        noise = np.random.normal(0, noise_scale, n_vars)
+        var_values: dict[str, float] = {}
+        for eq in eqs:
+            if "=" not in eq:
+                continue
+            left, right = eq.split("=")
+            name = left.split("[")[0]
+            vi = int(name[1:]) - 1
+            value = 0.0
+            for raw in right.split("+"):
+                term = raw.strip()
+                if term.startswith("e"):
+                    value += noise[vi]
+                elif term.startswith("trend"):
+                    value += trends[vi][t]
+                elif term.startswith("season"):
+                    value += seas[vi][t]
+                else:
+                    value += _eval_term(term, var_values, t)
+            X[t, vi] = value
+            var_values[name] = value
+
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    out["time"] = tt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D1: linear SCM + MCAR, two-pass scheduling WITH the reference's memo-
+# shadowing bug (Codes/d1.py:136-235) — which the shipped corpus confirms:
+# in the 4-var datasets X1 and X3 are identically zero after warmup because
+# pass 1 stores each computed value under its LAST SOURCE variable's name
+# (d1.py:156-168 reuse `var_name` for the source), so pass 2's "already
+# processed" check skips the wrong variables. Replicated for bit-exactness;
+# the corrected semantics live in generate_linear_config.
+# ---------------------------------------------------------------------------
+
+
+def generate_mcar_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    missing_rate: float = 0.2,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (missing_df, complete_df) like the reference's generator
+    (d1.py:213-235): the MCAR mask draws AFTER the full recurrence, one
+    uniform per cell in row-major order."""
+    from ..dsl.registry import equations
+
+    eqs = equations("a1", n_vars, max_lag)  # d1 shares the a1 registry
+    if not eqs:
+        raise ValueError(f"no linear registry for ({n_vars}, {max_lag})")
+
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    for i in range(max_lag):
+        X[i] = _draw(noise_type, n_vars, noise_scale, df)
+
+    for t in range(max_lag, n_points):
+        noise = _draw(noise_type, n_vars, noise_scale, df)
+        var_values: dict[str, float] = {}
+        # pass 1: past-only equations; the memo key is the LAST SOURCE name
+        # (the reference's shadowing bug — kept deliberately)
+        for eq in eqs:
+            if "=" not in eq:
+                continue
+            left, right = eq.split("=")
+            var_name = left.split("[")[0]
+            var_idx = int(var_name[1:]) - 1
+            if any("t]" in term for term in right.split("+")):
+                continue
+            value = 0.0
+            for raw in right.split("+"):
+                term = raw.strip()
+                if term.startswith("e"):
+                    value += noise[var_idx]
+                else:
+                    coef = float(term.split("*")[0].strip())
+                    var = term.split("*")[1].strip()
+                    var_name = var.split("[")[0].strip()  # shadows the target
+                    time_idx = var.split("[")[1].split("]")[0].strip()
+                    si = int(var_name[1:]) - 1
+                    lag = int(time_idx.split("-")[1])
+                    value += coef * X[t - lag, si]
+            X[t, var_idx] = value
+            var_values[var_name] = value
+        # pass 2: remaining equations, skipping any target whose name was
+        # (wrongly) claimed in pass 1
+        for eq in eqs:
+            if "=" not in eq:
+                continue
+            left, right = eq.split("=")
+            var_name = left.split("[")[0]
+            var_idx = int(var_name[1:]) - 1
+            if var_name in var_values:
+                continue
+            value = 0.0
+            for raw in right.split("+"):
+                term = raw.strip()
+                if term.startswith("e"):
+                    value += noise[var_idx]
+                else:
+                    coef = float(term.split("*")[0].strip())
+                    var = term.split("*")[1].strip()
+                    src_name = var.split("[")[0].strip()
+                    time_idx = var.split("[")[1].split("]")[0].strip()
+                    si = int(src_name[1:]) - 1
+                    if time_idx == "t":
+                        value += coef * var_values.get(src_name, X[t, si])
+                    else:
+                        value += coef * X[t - int(time_idx.split("-")[1]), si]
+            X[t, var_idx] = value
+            var_values[var_name] = value
+
+    mask = np.random.random(X.shape) < missing_rate
+    X_missing = X.copy()
+    X_missing[mask] = np.nan
+
+    cols = [f"X{i + 1}" for i in range(n_vars)]
+    missing = pd.DataFrame(X_missing, columns=cols)
+    complete = pd.DataFrame(X, columns=cols)
+    missing["time"] = np.arange(n_points)
+    complete["time"] = np.arange(n_points)
+    return missing, complete

@@ -140,3 +140,123 @@ def scm_generate_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("config_id").applyInPandas(
         _generate_confounded_group, _OUT_SCHEMA
     )
+
+
+def _generate_poly_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_poly_mixture_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_poly_mixture_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["mix_ratio"]), seed=42,
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    long["mix_ratio"] = float(cfg["mix_ratio"])
+    return long[["config_id", "mix_ratio", "t", "var", "value"]]
+
+
+@register("scm_generate_poly", None)
+def scm_generate_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial/mixture-noise sweep (B2 family, b2.py:328-365) over the
+    mix-ratio grid — quadratic-only effective dynamics (quirk Q1), adaptive
+    irregular timestamps, per-config applyInPandas."""
+    grid = spark.createDataFrame(
+        [
+            (f"poly_n{n}_v{v}_l{lag}_r{int(r * 100)}", n, v, lag, r)
+            for n in (500, 1000)
+            for v in (4, 6)
+            for lag in (2, 3)
+            for r in (0.3, 0.5, 0.7)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, mix_ratio double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_poly_group,
+        "config_id string, mix_ratio double, t double, var string, value double",
+    )
+
+
+def _generate_trendseason_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_trend_season_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_trend_season_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["trend_strength"]), float(cfg["seasonal_strength"]), seed=42,
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_trend", None)
+def scm_generate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend+seasonality sweep (C1 family, c1.py:423-454) over the
+    (trend, seasonal) strength grid."""
+    grid = spark.createDataFrame(
+        [
+            (f"c1_n{n}_v4_l{lag}_t{int(ts * 100)}_s{int(ss * 10)}", n, 4, lag, ts, ss)
+            for n in (500, 1000)
+            for lag in (2, 3, 4)
+            for ts in (0.01, 0.02)
+            for ss in (0.3, 0.5)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, "
+        "trend_strength double, seasonal_strength double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_trendseason_group,
+        "config_id string, t long, var string, value double",
+    )
+
+
+def _generate_mcar_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_mcar_config
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_mcar_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        cfg["noise"], float(cfg["rate"]), seed=42,
+    )
+    value_cols = [c for c in complete.columns if c != "time"]
+    out_rows = []
+    for var in value_cols:
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "config_id": cfg["config_id"],
+                    "rate": float(cfg["rate"]),
+                    "t": complete["time"],
+                    "var": var,
+                    "value_complete": complete[var],
+                    "value_observed": missing[var],
+                }
+            )
+        )
+    return pd.concat(out_rows, ignore_index=True)
+
+
+@register("scm_generate_mcar", None)
+def scm_generate_mcar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCAR sweep (D1 family, d1.py:380-419): missing and complete versions
+    of every cell side by side (the reference persists both files). The
+    kernel replicates the reference's two-pass memo-shadowing bug, which the
+    shipped corpus confirms (X1/X3 identically zero in 4-var datasets)."""
+    grid = spark.createDataFrame(
+        [
+            (f"mcar_n{n}_v4_l{lag}_{noise}_r{int(r * 100)}", n, 4, lag, noise, r)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+            for r in (0.1, 0.2, 0.3)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string, rate double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_mcar_group,
+        "config_id string, rate double, t long, var string, "
+        "value_complete double, value_observed double",
+    )
