@@ -1,0 +1,60 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted on
+the actual executed plans (column pruning, broadcast joins, top-k strategy,
+partial aggregation, whole-stage codegen)."""
+
+from __future__ import annotations
+
+import pytest
+
+from synth_timeseries_data_spark.queries import all_queries
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = all_queries()[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lag_features_scan_is_pruned(spark, oracle_sf_dir):
+    """The events scan must read only the 4 needed columns — props and
+    event_type stay out of ReadSchema."""
+    plan = _plan(spark, "lag_features", oracle_sf_dir)
+    assert "props" not in plan
+    assert "event_type" not in plan
+
+
+def test_revenue_star_join_broadcasts_dims(spark, oracle_sf_dir):
+    plan = _plan(spark, "revenue_by_nation", oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_topk_uses_take_ordered(spark, oracle_sf_dir):
+    plan = _plan(spark, "topk_value", oracle_sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_summary_stats_partial_aggregation(spark, oracle_sf_dir):
+    """Two HashAggregates (partial + final) around one exchange — map-side
+    combine is what keeps the shuffle narrow at scale."""
+    plan = _plan(spark, "summary_stats", oracle_sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # map-side combine present
+    # scan reads only the 5 referenced columns
+    assert "l_orderkey" not in plan and "l_shipdate" not in plan
+
+
+def test_order_set_ops_single_scan(spark, oracle_sf_dir):
+    """The rewrite's contract: ONE scan of orders, no intersect/except."""
+    plan = _plan(spark, "order_set_ops", oracle_sf_dir)
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_dedup_single_shuffle(spark, oracle_sf_dir):
+    plan = _plan(spark, "dedup_firstseen", oracle_sf_dir)
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("name", ["lag_features", "ts_diff", "rolling_stats"])
+def test_window_queries_one_shuffle(spark, oracle_sf_dir, name):
+    """All per-series window ops shuffle exactly once, on the series key."""
+    plan = _plan(spark, name, oracle_sf_dir)
+    assert plan.count("Exchange") == 1, name
