@@ -179,6 +179,28 @@ def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
         return list(_C1_4.get(max_lag, [])) if n_vars == 4 else []
     if family == "a2":
         return _a2_equations(n_vars, max_lag)
+    if family == "c2":
+        # c2.py:19-58: 4-var configs equal C1's; 6/8-var prepend two extra
+        # equations (continuous-time seasonality happens in the kernel, not
+        # the DSL text).
+        core = list(_C1_4.get(max_lag, []))
+        if not core:
+            return []
+        if n_vars == 4:
+            return core
+        add6 = [
+            "X6[t] = 0.45 * sin(X5[t] * pi/2) + trend6[t] + season6[t] + e6",
+            "X5[t] = 0.3 * cos(X4[t-1] * pi/2) + trend5[t] + season5[t] + e5",
+        ]
+        if n_vars == 6:
+            return add6 + core
+        if n_vars == 8:
+            add8 = [
+                "X8[t] = 0.4 * sin(X7[t] * pi/2) + trend8[t] + season8[t] + e8",
+                "X7[t] = 0.35 * cos(X6[t-1] * pi/2) + trend7[t] + season7[t] + e7",
+            ]
+            return add8 + add6 + core
+        return []
     if family == "a1c":
         return list(_A1C_4.get(max_lag, [])) if n_vars == 4 else []
     return []

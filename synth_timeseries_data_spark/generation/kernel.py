@@ -671,3 +671,283 @@ def generate_mcar_config(
     missing["time"] = np.arange(n_points)
     complete["time"] = np.arange(n_points)
     return missing, complete
+
+
+# ---------------------------------------------------------------------------
+# D2: polynomial SCM, irregular sampling, BLOCK missingness applied post-hoc
+# (Codes/d2.py:59-199). Shares B2's registry and evaluation; single-dist
+# noise; the block pattern is the reference's Markov burst walk
+# (d2.py:112-138) — start suppression while a block is active, length
+# U{5..19}, random variable subset via choice-without-replacement.
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_timestamps_noreseed(n_points: int) -> np.ndarray:
+    """Shared timestamp walk (b2/c2/d2/d3 variants seed only in the ctor)."""
+    ts = np.zeros(n_points)
+    ts[0] = np.random.uniform(0, 0.1)
+    for i in range(1, n_points):
+        gap = np.random.exponential(scale=(100.0 - ts[i - 1]) / (n_points - i))
+        ts[i] = ts[i - 1] + max(gap, 0.1)
+        if ts[i] > 100.0:
+            ts = ts * (100.0 / ts[i])
+    return ts
+
+
+def _block_pattern(n_points: int, n_vars: int, block_prob: float) -> np.ndarray:
+    mask = np.zeros((n_points, n_vars), dtype=bool)
+    current, rem = False, 0
+    for t in range(n_points):
+        if not current and np.random.random() < block_prob:
+            current = True
+            rem = np.random.randint(5, 20)
+            k = np.random.randint(1, n_vars + 1)
+            affected = np.random.choice(n_vars, size=k, replace=False)
+            for d in range(rem):
+                if t + d < n_points:
+                    mask[t + d, affected] = True
+        if current:
+            rem -= 1
+            if rem <= 0:
+                current = False
+    return mask
+
+
+def generate_block_missing_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    block_prob: float = 0.2,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(missing_df, complete_df), bit-exact vs the D2 seed-42 CSVs."""
+    from ..dsl.registry import equations
+
+    links = _parse_poly_links(equations("b2", n_vars, max_lag))
+    if not links:
+        raise ValueError(f"no poly registry for ({n_vars}, {max_lag})")
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    ts = _adaptive_timestamps_noreseed(n_points)
+    for i in range(max_lag):
+        X[i] = _draw(noise_type, n_vars, noise_scale, df)
+    for t in range(max_lag, n_points):
+        mean_diff = np.mean(np.diff(ts))
+        lag_idx = [
+            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
+            for k in range(1, max_lag + 1)
+        ]
+        nz = _draw(noise_type, n_vars, noise_scale, df)
+        for i in range(n_vars - 1, -1, -1):
+            name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt, power), coef in links.items():
+                if tgt != name:
+                    continue
+                si = int(src[1:]) - 1
+                v = X[t, si] if lag == 0 else X[lag_idx[abs(lag) - 1], si]
+                value += coef * (v ** power)
+            X[t, i] = value + nz[i]
+    mask = _block_pattern(n_points, n_vars, block_prob)
+    X_missing = X.copy()
+    X_missing[mask] = np.nan
+    cols = [f"X{i + 1}" for i in range(n_vars)]
+    missing = pd.DataFrame(X_missing, columns=cols)
+    complete = pd.DataFrame(X, columns=cols)
+    missing["time"] = ts
+    complete["time"] = ts
+    return missing, complete
+
+
+# ---------------------------------------------------------------------------
+# C2: trigonometric SCM with trend + CONTINUOUS-TIME seasonality over
+# irregular timestamps (Codes/c2.py:59-235). Unlike C1, contemporaneous
+# terms read the current row directly (no memo) and lagged terms go through
+# the nearest-abs lag indices.
+# ---------------------------------------------------------------------------
+
+
+def generate_trig_irregular_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    trend_strength: float = 0.01,
+    seasonal_strength: float = 0.5,
+    seasonal_period: int = 12,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+) -> pd.DataFrame:
+    """C2 family, bit-exact vs the reference's seed-42 gaussian CSVs:
+    trend over the integer index but seasonality over continuous timestamps
+    (c2.py:96-108 — the index/continuous mismatch is the reference's),
+    list-order evaluation with direct X[t] reads, nearest-abs lags inside
+    sin/cos/power sub-expressions (c2.py:118-171)."""
+    from ..dsl.registry import equations
+
+    eqs = equations("c2", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no c2 registry for ({n_vars}, {max_lag})")
+    np.random.seed(seed)
+
+    def _noise(size: int) -> np.ndarray:
+        return _draw(noise_type, size, noise_scale, df)
+
+    X, ts = _trig_irregular_core(
+        eqs, n_points, n_vars, max_lag, _noise,
+        trend_strength, seasonal_strength, seasonal_period,
+    )
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    out["time"] = ts
+    return out
+
+
+def _trig_irregular_core(
+    eqs: list[str],
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_fn,
+    trend_strength: float,
+    seasonal_strength: float,
+    seasonal_period: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared C2/D3 machinery: adaptive timestamps, index-trend +
+    continuous-time seasonality, list-order eval with direct current-row
+    reads, nearest-abs lags. Caller seeds the RNG and supplies the noise."""
+    ts = _adaptive_timestamps_noreseed(n_points)
+    tt = np.arange(n_points)
+    trends = [trend_strength * (i + 1) * 0.5 * tt for i in range(n_vars)]
+    seas = []
+    for i in range(n_vars):
+        ph = 2 * np.pi * i / 8
+        seas.append(
+            seasonal_strength
+            * (
+                np.sin(2 * np.pi * ts / seasonal_period + ph)
+                + 0.5 * np.cos(4 * np.pi * ts / seasonal_period + ph)
+            )
+        )
+    X = np.zeros((n_points, n_vars))
+    for i in range(max_lag):
+        X[i] = noise_fn(n_vars)
+        for j in range(n_vars):
+            X[i, j] += trends[j][i] + seas[j][i]
+
+    def _ev(term: str, t: int, li: list[int]) -> float:
+        parts = term.split("*")
+        coef = float(parts[0].strip())
+        expr = parts[1].strip()
+        if "[t-" in expr and not any(f in expr for f in ("cos", "sin", "^")):
+            vi = int(expr[1]) - 1
+            lag = int(expr.split("-")[1].split("]")[0])
+            return coef * X[li[lag - 1], vi]
+        for fname, fn in (("cos(", np.cos), ("sin(", np.sin)):
+            if fname in expr:
+                inner = expr.split(fname)[1].split(")")[0]
+                vi = int(inner.split("X")[1].split("[")[0]) - 1
+                if "[t-" in inner:
+                    lag = int(inner.split("-")[1].split("]")[0])
+                    v = X[li[lag - 1], vi]
+                else:
+                    v = X[t, vi]
+                return coef * fn(v * np.pi / 2)
+        if "^" in expr:
+            power = int(expr.split("^")[1])
+            vi = int(expr.split("X")[1].split("[")[0]) - 1
+            if "[t-" in expr:
+                lag = int(expr.split("-")[1].split("]")[0])
+                v = X[li[lag - 1], vi]
+            else:
+                v = X[t, vi]
+            return coef * (v ** power)
+        vi = int(expr.split("X")[1].split("[")[0]) - 1
+        if "[t-" in expr:
+            lag = int(expr.split("-")[1].split("]")[0])
+            v = X[li[lag - 1], vi]
+        else:
+            v = X[t, vi]
+        return coef * v
+
+    for t in range(max_lag, n_points):
+        mean_diff = np.mean(np.diff(ts))
+        li = [
+            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
+            for k in range(1, max_lag + 1)
+        ]
+        noise = noise_fn(n_vars)
+        for eq in eqs:
+            if "=" not in eq:
+                continue
+            left, right = eq.split("=")
+            name = left.split("[")[0]
+            vi = int(name[1:]) - 1
+            value = 0.0
+            for raw in right.split("+"):
+                term = raw.strip()
+                if term.startswith("e"):
+                    value += noise[vi]
+                elif term.startswith("trend"):
+                    value += trends[vi][t]
+                elif term.startswith("season"):
+                    value += seas[vi][t]
+                else:
+                    value += _ev(term, t, li)
+            X[t, vi] = value
+    return X, ts
+
+
+# ---------------------------------------------------------------------------
+# D3: C2's trig/trend/continuous-seasonality dynamics + mixture noise +
+# MCAR ∪ block missingness (Codes/d3.py:59-267). The MCAR matrix draws
+# FIRST, then the block walk (d3.py:97-124); masks union.
+# ---------------------------------------------------------------------------
+
+
+def generate_mixed_missing_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    mix_ratio: float = 0.5,
+    mcar_prob: float = 0.05,
+    block_prob: float = 0.05,
+    trend_strength: float = 0.01,
+    seasonal_strength: float = 0.5,
+    seasonal_period: int = 12,
+    seed: int = 42,
+    noise_scale: float = 0.1,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(missing_df, complete_df) for the D3 family — bit-exact vs the
+    reference's seed-42 CSVs."""
+    from ..dsl.registry import equations
+
+    eqs = equations("c2", n_vars, max_lag)  # d3 shares c2's registry
+    if not eqs:
+        raise ValueError(f"no c2/d3 registry for ({n_vars}, {max_lag})")
+    np.random.seed(seed)
+
+    def _noise(size: int) -> np.ndarray:
+        mask = np.random.random(size) < mix_ratio
+        g = np.random.normal(0, noise_scale, size)
+        l = np.random.laplace(0, noise_scale, size)
+        return np.where(mask, g, l)
+
+    X, ts = _trig_irregular_core(
+        eqs, n_points, n_vars, max_lag, _noise,
+        trend_strength, seasonal_strength, seasonal_period,
+    )
+    mcar = np.random.random((n_points, n_vars)) < mcar_prob
+    block = _block_pattern(n_points, n_vars, block_prob)
+    mask = block | mcar
+    X_missing = X.copy()
+    X_missing[mask] = np.nan
+    cols = [f"X{i + 1}" for i in range(n_vars)]
+    missing = pd.DataFrame(X_missing, columns=cols)
+    complete = pd.DataFrame(X, columns=cols)
+    missing["time"] = ts
+    complete["time"] = ts
+    return missing, complete

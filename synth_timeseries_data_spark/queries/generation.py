@@ -260,3 +260,121 @@ def scm_generate_mcar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config_id string, rate double, t long, var string, "
         "value_complete double, value_observed double",
     )
+
+
+_PAIR_SCHEMA = (
+    "config_id string, t double, var string, "
+    "value_complete double, value_observed double"
+)
+
+
+def _pair_long(cfg, missing: pd.DataFrame, complete: pd.DataFrame) -> pd.DataFrame:
+    value_cols = [c for c in complete.columns if c != "time"]
+    rows = []
+    for var in value_cols:
+        rows.append(
+            pd.DataFrame(
+                {
+                    "config_id": cfg["config_id"],
+                    "t": complete["time"],
+                    "var": var,
+                    "value_complete": complete[var],
+                    "value_observed": missing[var],
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def _generate_block_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_block_missing_config
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_block_missing_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        cfg["noise"], float(cfg["block_prob"]), seed=42,
+    )
+    return _pair_long(cfg, missing, complete)
+
+
+@register("scm_generate_block", None)
+def scm_generate_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-missingness sweep (D2 family, d2.py:453-470): polynomial
+    dynamics over irregular time with the Markov burst mask, both missing
+    and complete outputs."""
+    grid = spark.createDataFrame(
+        [
+            (f"blk_n{n}_v4_l{lag}_{noise}_b{int(p * 100)}", n, 4, lag, noise, p)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+            for p in (0.1, 0.2, 0.3)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string, block_prob double",
+    )
+    return grid.groupBy("config_id").applyInPandas(_generate_block_group, _PAIR_SCHEMA)
+
+
+def _generate_mixed_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_mixed_missing_config
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_mixed_missing_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["mix_ratio"]), float(cfg["mcar_prob"]), float(cfg["block_prob"]),
+        seed=42,
+    )
+    return _pair_long(cfg, missing, complete)
+
+
+@register("scm_generate_mixed", None)
+def scm_generate_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-missingness sweep (D3 family, d3.py:389-436): trig dynamics +
+    mixture noise + MCAR ∪ block masks over the reference's grid corners."""
+    grid = spark.createDataFrame(
+        [
+            (
+                f"mix_n{n}_v4_l{lag}_r{int(r * 100)}_m{int(m * 100)}_b{int(b * 100)}",
+                n, 4, lag, r, m, b,
+            )
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for r in (0.3, 0.5, 0.7)
+            for m in (0.05, 0.1)
+            for b in (0.05, 0.1)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, "
+        "mix_ratio double, mcar_prob double, block_prob double",
+    )
+    return grid.groupBy("config_id").applyInPandas(_generate_mixed_group, _PAIR_SCHEMA)
+
+
+def _generate_trig_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel import generate_trig_irregular_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_trig_irregular_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_trig_irregular", None)
+def scm_generate_trig_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular trig sweep (C2 family, c2.py:354-392): continuous-time
+    seasonality over adaptive timestamps."""
+    grid = spark.createDataFrame(
+        [
+            (f"c2_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
+            for n in (500, 1000)
+            for v in (4, 6)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string",
+    )
+    return grid.groupBy("config_id").applyInPandas(_generate_trig_group, _PAIR_SCHEMA.replace(
+        ", value_complete double, value_observed double", ", value double"))
