@@ -31,6 +31,28 @@ from ..dsl.registry import equations
 _TERM_RE = re.compile(r"^([0-9]+\.?[0-9]*)\s*\*\s*X([0-9]+)\[t(?:-([0-9]+))?\]$")
 
 
+def _nearest_lag_indices(ts: np.ndarray, t: int, mean_diff: float, max_lag: int):
+    """Bit-equal replacement for the reference's per-lag prefix scan
+    ``np.abs(ts[:t] - (ts[t] - k*mean_diff)).argmin()`` (Codes/a2.py:162-167)
+    when ts is strictly increasing (always true here: exponential gaps with a
+    positive floor, monotone rescale). The argmin over a sorted prefix is one
+    of the two rows bracketing the target time; binary search finds them in
+    O(log n) instead of O(n), and the ``<=`` tie-break reproduces np.argmin's
+    first-index rule (midpoint ties go to the earlier row)."""
+    out = []
+    prefix = ts[:t]
+    for k in range(1, max_lag + 1):
+        target = ts[t] - k * mean_diff
+        j = int(np.searchsorted(prefix, target, side="left"))
+        if j <= 0:
+            out.append(0)
+        elif j >= t:
+            out.append(t - 1)
+        else:
+            out.append(j - 1 if target - ts[j - 1] <= ts[j] - target else j)
+    return out
+
+
 def parse_linear_equation(eq: str):
     """One linear DSL string → (target_idx0, ordered term list).
 
@@ -235,12 +257,9 @@ def generate_irregular_config(
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
 
     targets = [t for (_, _, t) in links]
+    mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
     for t in range(max_lag, n_points):
-        mean_diff = np.mean(np.diff(ts))
-        lag_idx = [
-            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin()) if t > 0 else 0
-            for k in range(1, max_lag + 1)
-        ]
+        lag_idx = _nearest_lag_indices(ts, t, mean_diff, max_lag)
         noise = _draw(noise_type, n_vars, noise_scale, df)
         for i in range(n_vars):
             if f"X{i + 1}" not in targets:
@@ -435,12 +454,9 @@ def generate_poly_mixture_config(
     for i in range(max_lag):
         X[i] = _mixed(n_vars)
 
+    mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
     for t in range(max_lag, n_points):
-        mean_diff = np.mean(np.diff(ts))
-        lag_idx = [
-            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
-            for k in range(1, max_lag + 1)
-        ]
+        lag_idx = _nearest_lag_indices(ts, t, mean_diff, max_lag)
         nz = _mixed(n_vars)
         for i in range(n_vars - 1, -1, -1):
             name = f"X{i + 1}"
@@ -734,12 +750,9 @@ def generate_block_missing_config(
     ts = _adaptive_timestamps_noreseed(n_points)
     for i in range(max_lag):
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
+    mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
     for t in range(max_lag, n_points):
-        mean_diff = np.mean(np.diff(ts))
-        lag_idx = [
-            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
-            for k in range(1, max_lag + 1)
-        ]
+        lag_idx = _nearest_lag_indices(ts, t, mean_diff, max_lag)
         nz = _draw(noise_type, n_vars, noise_scale, df)
         for i in range(n_vars - 1, -1, -1):
             name = f"X{i + 1}"
@@ -873,12 +886,9 @@ def _trig_irregular_core(
             v = X[t, vi]
         return coef * v
 
+    mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
     for t in range(max_lag, n_points):
-        mean_diff = np.mean(np.diff(ts))
-        li = [
-            int(np.abs(ts[:t] - (ts[t] - k * mean_diff)).argmin())
-            for k in range(1, max_lag + 1)
-        ]
+        li = _nearest_lag_indices(ts, t, mean_diff, max_lag)
         noise = noise_fn(n_vars)
         for eq in eqs:
             if "=" not in eq:

@@ -10,12 +10,17 @@ ASOF JOIN is not equivalent: a later-but-closer past row wins.
 Two scale notes baked into the plan:
 - mean(diff(ts)) telescopes to (max−min)/(n−1), so the look-ahead is one
   grouped aggregate, not a window over sorted diffs.
-- the argmin over an ever-growing prefix is O(n²) in the reference; here the
-  candidate set is bounded to the last 100 past rows. For targets k·mean_gap
-  back (k ≤ 4) the true argmin lives a handful of rows back — the bound is
-  semantics-preserving on real data (asserted against an unbounded DuckDB
-  rerun in tests) and turns the op into a banded self-join that scales
-  linearly with series length.
+- the argmin over an ever-growing prefix is O(n²) in the reference. Because
+  timestamps are sorted within a series, the nearest-abs past row is always
+  one of the two rows BRACKETING the target time: the last row at-or-below
+  it (max ts ≤ target, min rn on ties) or the first past row above it. The
+  Spark plan finds the bracket with a merge-style union (points + probes
+  sorted on the time key, `last(..) ignore nulls` carries the below-row
+  rank forward), fetches both candidates with one equi-join, and picks
+  min-by (delta, rn) — exact argmin semantics, O(n) rows, no candidate
+  blowup. The DuckDB oracle keeps the direct banded scan; the band is
+  proven equal to the unbounded prefix in tests/test_asof.py, so both
+  forms compute the same argmin by construction.
 """
 
 from __future__ import annotations
@@ -131,7 +136,81 @@ def _asof_sql(tus: str) -> str:
 
 
 _ASOF_DUCK = _asof_sql("epoch_us(ts)")
-_ASOF_SPARK = _asof_sql("(ts div 1000)")
+
+# Spark plan: bracket-based exact argmin (see module docstring). For each
+# probe (event, k) the answer is either the last point at-or-below target_t
+# (ties in ts → min rn, matching np.argmin's first-index rule) or the first
+# past point above it (= below group's max rn + 1 in scan order, or rn 1 when
+# nothing lies below). Both candidates are fetched by an equi-join on
+# (user_id, rn) and the winner is min-by (delta, rn).
+_ASOF_SPARK = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value, (ts div 1000) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, tus, rn,
+             MIN(rn) OVER (PARTITION BY user_id, tus) AS grp_first_rn,
+             MAX(rn) OVER (PARTITION BY user_id, tus) AS grp_last_rn
+      FROM ev
+    ),
+    stats AS (
+      SELECT user_id,
+             (MAX(tus) - MIN(tus)) / CAST(COUNT(*) - 1 AS DOUBLE) AS mean_gap
+      FROM ev GROUP BY user_id HAVING COUNT(*) > 1
+    ),
+    probes AS (
+      SELECT e.user_id, e.event_id, e.rn, l.k,
+             e.tus - l.k * s.mean_gap AS target_t
+      FROM ev e
+      JOIN stats s ON s.user_id = e.user_id
+      CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) l
+      WHERE e.rn >= 2
+    ),
+    merged AS (
+      SELECT user_id, CAST(tus AS DOUBLE) AS key, 0 AS is_probe, rn,
+             grp_first_rn, grp_last_rn,
+             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS INT) AS k,
+             CAST(NULL AS INT) AS probe_rn, CAST(NULL AS DOUBLE) AS target_t
+      FROM grp
+      UNION ALL
+      SELECT user_id, target_t AS key, 1, NULL, NULL, NULL,
+             event_id, k, rn, target_t
+      FROM probes
+    ),
+    bracketed AS (
+      SELECT user_id, event_id, k, probe_rn, target_t,
+             LAST(CASE WHEN is_probe = 0 THEN grp_first_rn END, true)
+               OVER (PARTITION BY user_id ORDER BY key, is_probe, rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_first,
+             LAST(CASE WHEN is_probe = 0 THEN grp_last_rn END, true)
+               OVER (PARTITION BY user_id ORDER BY key, is_probe, rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_last,
+             is_probe
+      FROM merged
+    ),
+    cands AS (
+      SELECT user_id, event_id, k, probe_rn, target_t, cand_rn
+      FROM bracketed
+      LATERAL VIEW EXPLODE(ARRAY(below_first,
+                                 COALESCE(below_last + 1, 1))) c AS cand_rn
+      WHERE is_probe = 1 AND cand_rn IS NOT NULL AND cand_rn <= probe_rn - 1
+    ),
+    joined AS (
+      SELECT c.user_id, c.event_id, c.k,
+             STRUCT(ABS(g.tus - c.target_t) AS delta, c.cand_rn AS rn,
+                    g.value AS lag_value, g.event_id AS lag_event_id) AS s
+      FROM cands c
+      JOIN ev g ON g.user_id = c.user_id AND g.rn = c.cand_rn
+    )
+    SELECT user_id, event_id, k,
+           MIN(s).lag_value AS lag_value,
+           MIN(s).lag_event_id AS lag_event_id,
+           ROUND(MIN(s).delta / 1000000.0, 6) AS delta_sec
+    FROM joined
+    GROUP BY user_id, event_id, k
+    """
 
 
 @register("asof_lag", _ASOF_DUCK)
@@ -139,9 +218,10 @@ def asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-abs as-of lag (G8): argmin |past_ts − (ts − k·mean_gap)| over
     past rows, k ∈ {1,2}, mean_gap = whole-series mean(diff) computed as
     (max−min)/(n−1) (a2.py:162-167, 220-223; quirk Q5 — nearest wins even if
-    farther below, and the mean gap look-ahead is deliberate). Banded
-    self-join on (series, row-rank band) + rank-1 pick; ties break to the
-    earlier row exactly like np.argmin."""
+    farther below, and the mean gap look-ahead is deliberate). Ties break to
+    the earlier row exactly like np.argmin. Spark plan is the bracket-based
+    exact argmin (module docstring): sorted-merge bracket discovery + one
+    equi-join — O(n) rows end-to-end, no per-probe candidate scan."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ASOF_SPARK)
 
