@@ -131,34 +131,6 @@ def _a2_equations(n_vars: int, max_lag: int) -> list[str]:
     return []
 
 
-# A1C (hidden confounder U, Codes/a1c.py:19-114): U[t] = eU feeds exactly two
-# observed nodes; only 4-var configs are in the engine registry (larger ones
-# share the grammar, incl. the exogenous "X5[t] = e5" line).
-_A1C_4: dict[int, list[str]] = {
-    2: [
-        "X4[t] = 0.25 * X1[t-2] + e4",
-        "X3[t] = 0.35 * X4[t] + 0.3 * U[t] + e3",
-        "X2[t] = 0.3 * X3[t-1] + e2",
-        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
-        "U[t] = eU",
-    ],
-    3: [
-        "X4[t] = 0.25 * X1[t-2] + e4",
-        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + 0.3 * U[t] + e3",
-        "X2[t] = 0.3 * X3[t-1] + e2",
-        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
-        "U[t] = eU",
-    ],
-    4: [
-        "X4[t] = 0.25 * X1[t-4] + e4",
-        "X3[t] = 0.35 * X4[t] + 0.2 * X2[t-3] + 0.3 * U[t] + e3",
-        "X2[t] = 0.3 * X3[t-1] + e2",
-        "X1[t] = 0.4 * X2[t] + 0.5 * U[t] + e1",
-        "U[t] = eU",
-    ],
-}
-
-
 def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
     """DSL strings for a configuration; [] for unknown configs (the
     reference's registries return [] off-grid, a1.py:106)."""
@@ -201,9 +173,27 @@ def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
             ]
             return add8 + add6 + core
         return []
-    if family == "a1c":
-        return list(_A1C_4.get(max_lag, [])) if n_vars == 4 else []
+    if family in _CONFOUNDED_ALIAS:
+        from .registry_confounded import CONFOUNDED_REG
+
+        key = (_CONFOUNDED_ALIAS[family], n_vars, max_lag)
+        return list(CONFOUNDED_REG.get(key, []))
     return []
+
+
+# Confounded twins; a2c and b2c declare verbatim-identical registries to
+# a1c and b1c respectively (Codes/a2c.py:19, Codes/b2c.py:19).
+_CONFOUNDED_ALIAS = {
+    "a1c": "a1c",
+    "a2c": "a1c",
+    "b1c": "b1c",
+    "b2c": "b1c",
+    "c1c": "c1c",
+    "c2c": "c2c",
+    "d1c": "d1c",
+    "d2c": "d2c",
+    "d3c": "d3c",
+}
 
 
 def _rows() -> list[tuple[str, int, int, int, str]]:

@@ -349,6 +349,250 @@ def scm_generate_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("config_id").applyInPandas(_generate_mixed_group, _PAIR_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Confounded twins (kernel_confounded.py): every family with hidden U.
+# U rides along as an ordinary long-form var (quirk Q8 — the reference
+# persists it); hiding it for discovery benchmarks is a downstream filter.
+# ---------------------------------------------------------------------------
+
+
+def _generate_conf_poly_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import generate_confounded_poly_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_confounded_poly_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
+    )
+    return _melt(cfg, wide)
+
+
+@register("scm_generate_poly_confounded", None)
+def scm_generate_poly_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1C sweep (b1c.py:355-390): polynomial + U^2, regular sampling —
+    quadratic-only effective dynamics (quirk Q1) with the confounder's
+    square honored."""
+    grid = spark.createDataFrame(
+        [
+            (f"b1c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
+            for n in (500, 1000)
+            for v in (4, 6)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string",
+    )
+    return grid.groupBy("config_id").applyInPandas(_generate_conf_poly_group, _OUT_SCHEMA)
+
+
+_IRR_NOCFG_SCHEMA = "config_id string, t double, var string, value double"
+
+
+def _generate_conf_mixture_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import generate_confounded_poly_mixture_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_confounded_poly_mixture_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["mix_ratio"]), seed=42,
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_mixture_confounded", None)
+def scm_generate_mixture_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2C sweep (b2c.py:241-280): polynomial + U^2 over irregular time with
+    Gaussian(+)Laplace mixture noise across the mix-ratio grid."""
+    grid = spark.createDataFrame(
+        [
+            (f"b2c_n{n}_v4_l{lag}_r{int(r * 100)}", n, 4, lag, r)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for r in (0.3, 0.5, 0.7)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, mix_ratio double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_mixture_group, _IRR_NOCFG_SCHEMA
+    )
+
+
+def _generate_conf_trend_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import generate_confounded_trend_season_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_confounded_trend_season_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["trend_strength"]), float(cfg["seasonal_strength"]), seed=42,
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_trend_confounded", None)
+def scm_generate_trend_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1C sweep (c1c.py:generate_all_combinations): trig + trend/season +
+    linear U over the (trend, seasonal) strength grid."""
+    grid = spark.createDataFrame(
+        [
+            (f"c1c_n{n}_v4_l{lag}_t{int(ts * 100)}_s{int(ss * 10)}", n, 4, lag, ts, ss)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for ts in (0.01, 0.02)
+            for ss in (0.3, 0.5)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, "
+        "trend_strength double, seasonal_strength double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_trend_group, "config_id string, t long, var string, value double"
+    )
+
+
+def _generate_conf_trig_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import (
+        generate_confounded_trig_irregular_config,
+    )
+
+    cfg = pdf.iloc[0]
+    wide = generate_confounded_trig_irregular_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_trig_confounded", None)
+def scm_generate_trig_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2C sweep (c2c.py:330-370): trig + continuous-time seasonality over
+    irregular time with U — linear-U quirk replicated (kernel docstring)."""
+    grid = spark.createDataFrame(
+        [
+            (f"c2c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
+            for n in (500, 1000)
+            for v in (4, 6)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_trig_group, _IRR_NOCFG_SCHEMA
+    )
+
+
+def _generate_conf_mcar_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import generate_confounded_mcar_config
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_confounded_mcar_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        cfg["noise"], float(cfg["rate"]), seed=42,
+    )
+    out = _pair_long(cfg, missing, complete)
+    out["t"] = out["t"].astype("int64")
+    return out
+
+
+@register("scm_generate_mcar_confounded", None)
+def scm_generate_mcar_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1C sweep (d1c.py:418-460): linear + U + MCAR on X only (U fully
+    observed, d1c.py:246-251); missing and complete versions side by side.
+    Replicates the reference's two-pass memo-shadowing bug (kernel
+    docstring)."""
+    grid = spark.createDataFrame(
+        [
+            (f"d1c_n{n}_v4_l{lag}_{noise}_r{int(r * 100)}", n, 4, lag, noise, r)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+            for r in (0.1, 0.2, 0.3)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string, rate double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_mcar_group,
+        "config_id string, t long, var string, "
+        "value_complete double, value_observed double",
+    )
+
+
+def _generate_conf_block_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import (
+        generate_confounded_block_missing_config,
+    )
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_confounded_block_missing_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        cfg["noise"], float(cfg["block_prob"]), seed=42,
+    )
+    return _pair_long(cfg, missing, complete)
+
+
+@register("scm_generate_block_confounded", None)
+def scm_generate_block_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2C sweep (d2c.py:505-560): polynomial + U^2 irregular dynamics with
+    the Markov burst mask on X only; U always observed (d2c.py:257)."""
+    grid = spark.createDataFrame(
+        [
+            (f"d2c_n{n}_v4_l{lag}_{noise}_b{int(p * 100)}", n, 4, lag, noise, p)
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+            for p in (0.1, 0.2, 0.3)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string, block_prob double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_block_group, _PAIR_SCHEMA
+    )
+
+
+def _generate_conf_mixed_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import (
+        generate_confounded_mixed_missing_config,
+    )
+
+    cfg = pdf.iloc[0]
+    missing, complete = generate_confounded_mixed_missing_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        float(cfg["mix_ratio"]), float(cfg["mcar_prob"]), float(cfg["block_prob"]),
+        seed=42,
+    )
+    return _pair_long(cfg, missing, complete)
+
+
+@register("scm_generate_mixed_confounded", None)
+def scm_generate_mixed_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3C sweep (d3c.py:440-500): trig + mixture noise + MCAR ∪ block
+    masks + U with the warmup double-draw (kernel docstring)."""
+    grid = spark.createDataFrame(
+        [
+            (
+                f"d3c_n{n}_v4_l{lag}_r{int(r * 100)}_m{int(m * 100)}_b{int(b * 100)}",
+                n, 4, lag, r, m, b,
+            )
+            for n in (500, 1000)
+            for lag in (2, 3)
+            for r in (0.3, 0.5, 0.7)
+            for m in (0.05, 0.1)
+            for b in (0.05, 0.1)
+        ],
+        "config_id string, n int, n_vars int, max_lag int, "
+        "mix_ratio double, mcar_prob double, block_prob double",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_mixed_group, _PAIR_SCHEMA
+    )
+
+
 def _generate_trig_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from ..generation.kernel import generate_trig_irregular_config
 
