@@ -581,3 +581,86 @@ def generate_confounded_mcar_config(
     Xm[mask] = np.nan
     tt = np.arange(n_points)
     return _frame(Xm, U, tt), _frame(X, U, tt)
+
+
+# ---------------------------------------------------------------------------
+# A2C: linear + U over irregular time (Codes/a2c.py:116-223).
+# ---------------------------------------------------------------------------
+
+
+def _parse_a2c_links(eqs: list[str]) -> dict[tuple[str, int, str], float]:
+    """extract_coefficients_from_equations (a2c.py:227-250) — including its
+    fatal guard: ``'e' not in eq.split('=')[1]`` skips any equation whose
+    RHS contains the letter 'e'. Every registry equation carries a noise
+    term ('+ e4'), so the returned link dict is EMPTY and the generator's
+    causal pass never fires (corpus-confirmed: A2C datasets are pure noise).
+    Replicated rather than fixed so the kernel matches the shipped data."""
+    links: dict[tuple[str, int, str], float] = {}
+    for eq in eqs:
+        if "=" not in eq or "e" in eq.split("=")[1]:
+            continue
+        left, right = [s.strip() for s in eq.split("=")]
+        tgt = left.split("[")[0]
+        for raw in right.split("+"):
+            term = raw.strip()
+            if "*" not in term:
+                continue
+            coeff, var_part = [p.strip() for p in term.split("*")[:2]]
+            var = var_part.split("[")[0]
+            if var == "U":
+                lag = 0
+            else:
+                lag_part = var_part.split("[")[1].split("]")[0]
+                lag = 0 if lag_part == "t" else -int(lag_part.split("-")[1])
+            links[(var, lag, tgt)] = float(coeff)
+    return links
+
+
+def generate_confounded_irregular_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+) -> pd.DataFrame:
+    """A2C (a2c.py:154-223): double re-seed (Q4 — once in the driver, again
+    inside timestamp generation), interleaved X/U warmup, per-t draws of
+    n_vars+1 with U last. Because _parse_a2c_links returns {} for the real
+    registry, every X cell is exogenous: the ``value != 0`` noise gate
+    (a2c.py:190-192) never rewrites it, leaving pure noise — bit-exact vs
+    the shipped A2C corpus."""
+    from .kernel import irregular_timestamps
+
+    links = _parse_a2c_links(equations("a2c", n_vars, max_lag))
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    U = np.zeros(n_points)
+    ts = irregular_timestamps(n_points, seed=seed)  # re-seeds (Q4)
+    for i in range(max_lag):
+        X[i] = _draw(noise_type, n_vars, noise_scale, df)
+        U[i] = _draw(noise_type, 1, noise_scale, df)[0]
+    targets = {t for (_, _, t) in links}
+    mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
+    for t in range(max_lag, n_points):
+        li = _nearest_lag_indices(ts, t, mean_diff, max_lag)
+        noise = _draw(noise_type, n_vars + 1, noise_scale, df)
+        U[t] = noise[-1]
+        for i in range(n_vars):
+            if f"X{i + 1}" not in targets:
+                X[t, i] = noise[i]
+        for i in range(n_vars - 1, -1, -1):
+            name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt), coef in links.items():
+                if tgt != name:
+                    continue
+                if src == "U":
+                    value += coef * U[t]
+                else:
+                    si = int(src[1:]) - 1
+                    value += coef * (X[t, si] if lag == 0 else X[li[abs(lag) - 1], si])
+            if value != 0:
+                X[t, i] = value + noise[i]
+    return _frame(X, U, ts)

@@ -419,6 +419,41 @@ def scm_generate_mixture_confounded(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _generate_conf_irr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..generation.kernel_confounded import generate_confounded_irregular_config
+
+    cfg = pdf.iloc[0]
+    wide = generate_confounded_irregular_config(
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
+    )
+    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
+    long = long.rename(columns={"time": "t"})
+    long["config_id"] = cfg["config_id"]
+    return long[["config_id", "t", "var", "value"]]
+
+
+@register("scm_generate_irregular_confounded", None)
+def scm_generate_irregular_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2C sweep (a2c.py:330-370): linear + U over irregular time. The
+    reference's link extractor skips every RHS containing the letter 'e'
+    (a2c.py:227-231) — all registry equations carry noise terms, so the
+    shipped A2C corpus is pure noise; replicated for fidelity (kernel
+    docstring)."""
+    grid = spark.createDataFrame(
+        [
+            (f"a2c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
+            for n in (500, 1000)
+            for v in (4, 6)
+            for lag in (2, 3)
+            for noise in ("gaussian", "student_t")
+        ],
+        "config_id string, n int, n_vars int, max_lag int, noise string",
+    )
+    return grid.groupBy("config_id").applyInPandas(
+        _generate_conf_irr_group, _IRR_NOCFG_SCHEMA
+    )
+
+
 def _generate_conf_trend_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from ..generation.kernel_confounded import generate_confounded_trend_season_config
 
