@@ -58,3 +58,38 @@ def test_window_queries_one_shuffle(spark, oracle_sf_dir, name):
     """All per-series window ops shuffle exactly once, on the series key."""
     plan = _plan(spark, name, oracle_sf_dir)
     assert plan.count("Exchange") == 1, name
+
+
+def test_asof_no_candidate_blowup(spark, oracle_sf_dir):
+    """The bracket-based as-of must not contain the banded range self-join
+    (cartesian-within-band candidate blowup): every join in the plan is a
+    hash or sort-merge EQUI join keyed on (user_id, rn) — no
+    BroadcastNestedLoopJoin, and no band predicate pushed into a join
+    condition."""
+    plan = _plan(spark, "asof_lag", oracle_sf_dir)
+    # the only nested-loop join is the 2-row lag-constant cross join
+    # (broadcast both ways); a data-sized nested loop would be the band scan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    # the old plan's band filter appeared as a join range condition
+    assert "rn#" in plan  # still rank-based
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2  # probes⨝stats and cands⨝ev are both equi joins
+
+
+def test_edge_tensor_broadcasts_edges(spark, oracle_sf_dir):
+    """Domain × edges joins stay broadcast at any scale (edge lists are
+    dim-sized by construction)."""
+    plan = _plan(spark, "edge_tensor", oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_vec_topk_no_cartesian(spark, oracle_sf_dir):
+    """Brute-force cosine top-k broadcasts the query vector as a literal /
+    small side — the scan side must stream once with TakeOrdered, never a
+    doc×doc product."""
+    plan = _plan(spark, "vec_topk", oracle_sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
