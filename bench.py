@@ -1,12 +1,24 @@
 """Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {id: sec, ...}, "sf": ...}.
+JSON line:
+
+    {"metric": "steady_state_query_time", "value": total_sec, "unit": "sec",
+     "queries": {id: sec, ...}, "cold_total": sec,
+     "duckdb": {id: sec, ...}, "ratio": {id: spark/duckdb, ...}, "sf": ...}
 
 Timing discipline: one warm-up pass of the flagship query absorbs JVM/codegen
-startup; each query is then timed as a full plan-build + execute with a
-count-style action that forces every operator without collecting rows to the
-driver (`df.write.format("noop")` — Spark's no-op sink, pulls all partitions).
+startup; each query is then timed twice as a full plan-build + execute with
+`df.write.format("noop")` (Spark's no-op sink — forces every operator and
+pulls all partitions without collecting to the driver). Run 1 is the cold
+number (includes codegen compile); run 2 is the steady-state number a
+long-lived cluster session sees. `value` totals the steady-state column;
+`cold_total` keeps the cold sum so round-over-round comparisons can use
+either methodology.
+
+The DuckDB oracle SQL for each query is timed on the same parquet files
+(fetch to arrow, which materializes every value), giving the per-query
+`ratio` — the driver's "within 2× of the oracle" criterion — directly in the
+bench artifact instead of requiring a separate measurement session.
 """
 
 from __future__ import annotations
@@ -20,6 +32,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synth_timeseries_data_spark.queries import all_queries  # noqa: E402
 from synth_timeseries_data_spark.session import get_session  # noqa: E402
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duckdb_times(queries, sf_dir: str) -> dict[str, float]:
+    """Time each query's oracle SQL in DuckDB over the same parquet files."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    con = duckdb.connect()
+    for t in _TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for name, q in queries.items():
+        if q.oracle is None:
+            continue
+        try:
+            con.execute(q.oracle).arrow()  # warm (IO cache, plan)
+            t0 = time.perf_counter()
+            con.execute(q.oracle).arrow()
+            out[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            out[name] = float("nan")
+    return out
 
 
 def main() -> None:
@@ -37,10 +81,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(queries):
-        # Run 1 (cold): plan build + codegen + execute. Run 2 (steady):
-        # plan build + execute with compiled codegen cached — the number a
-        # long-lived cluster session sees per query. Both are recorded;
-        # `value` totals the steady-state column.
         t0 = time.perf_counter()
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -50,15 +90,24 @@ def main() -> None:
         df2.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t1, 4)
 
+    duck = _duckdb_times(queries, sf_dir)
+    ratio = {
+        name: round(timings[name] / duck[name], 2)
+        for name in duck
+        if duck.get(name) and duck[name] == duck[name] and duck[name] > 0
+    }
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_time",
+                "metric": "steady_state_query_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 4),
+                "duckdb": duck,
+                "ratio": ratio,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -45,9 +45,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+# Oracle-checkable queries whose operator coverage is fully duplicated by an
+# earlier query (ts_diff ~ sampling_hist for V4; docs_by_lang ~ text_stats;
+# topk_value ~ vec_topk). Demoted to the end of the oracle block so that a
+# driver which checks only the first N registry entries spends its window on
+# queries that uniquely cover an operator.
+_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value")
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, lazily, to populate REGISTRY.
     from . import relational  # noqa: F401
+    from . import timeseries  # noqa: F401
     from . import graph  # noqa: F401
     from . import dsl  # noqa: F401
     from . import codec  # noqa: F401
@@ -57,8 +66,16 @@ def all_queries() -> dict[str, Query]:
     from . import io_roundtrip  # noqa: F401
     from . import events_ext  # noqa: F401
     from . import projections  # noqa: F401
-    from . import generation  # noqa: F401
-    from . import timeseries  # noqa: F401
     from . import llm_pipeline  # noqa: F401
+    from . import generation  # noqa: F401
 
-    return dict(REGISTRY)
+    # The driver verifies registry entries in order and may cap how many it
+    # checks, so ordering is part of the contract: every oracle-checkable
+    # query first (stable in import order, minus the demoted tail), then the
+    # rows-only generation sweeps whose real check is the bit-exact golden
+    # suite.
+    ordered = sorted(
+        REGISTRY.values(),
+        key=lambda q: (q.oracle is None, q.name in _DEMOTED),
+    )
+    return {q.name: q for q in ordered}

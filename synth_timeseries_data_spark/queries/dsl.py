@@ -68,7 +68,11 @@ _PARSE_ORACLE = f"""
 
 
 def _parsed_edges(spark: SparkSession) -> DataFrame:
-    eqs = spark.createDataFrame(EQUATION_ROWS, _EQS_SCHEMA)
+    # VALUES literal instead of createDataFrame(local list): the latter
+    # pickles rows through a Python RDD on every call (~1.5 s of pure
+    # serialization overhead per build); a SQL literal stays JVM-side and
+    # plans in milliseconds.
+    eqs = spark.sql(f"SELECT * FROM {_eqs_values_sql()}")
     split_eq = F.split(F.col("eq"), "=")
     terms = eqs.select(
         "family",

@@ -1,14 +1,20 @@
-"""Generation queries — the scale-out face of the recurrence kernel (G6/G20).
+"""Generation queries — the scale-out face of the recurrence kernels (G6/G12/G20).
 
-The reference's sweep driver (Codes/a1.py:308-344) loops configs serially in
-one process; the engine expresses the same sweep as a config DataFrame
-grouped into `applyInPandas`, so a 1000-executor cluster generates millions
-of configs with zero coordination — the sequential recurrence stays inside
-each group exactly where it belongs (SURVEY.md §4.3.1).
+The reference's sweep drivers (Codes/a1.py:308-344 and the 16 sibling
+scripts) loop configs serially in one process; the engine expresses the same
+sweeps as a config DataFrame grouped into ``applyInPandas``, so a
+1000-executor cluster generates millions of configs with zero coordination —
+the sequential recurrence stays inside each group exactly where it belongs
+(SURVEY.md §4.3.1).
 
-Seeded-numpy streams are not expressible in SQL, so this query has no DuckDB
-oracle (driver records a rows-only check); numeric fidelity is pinned by
-tests/test_generation.py against the reference's seed-42 CSVs instead.
+All 17 corpus families are exposed through FOUR umbrella queries rather than
+one query per family: the family is a grid axis, not an API. Each umbrella
+unions its families' factorial grids (with a ``family`` discriminator column
+and generic ``p1..p3`` parameter slots) and dispatches to the right kernel
+inside the pandas group function. Seeded-numpy streams are not expressible
+in SQL, so these queries carry no DuckDB oracle (driver records a rows-only
+check); numeric fidelity is pinned by tests/test_generation.py bit-exact
+against the reference's seed-42 corpus CSVs instead.
 """
 
 from __future__ import annotations
@@ -16,644 +22,277 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..generation.kernel import generate_linear_config
+from ..generation import kernel as K
+from ..generation import kernel_confounded as KC
 from . import register
 
-_GRID = [
-    (n, v, lag, noise)
-    for n in (500, 1000, 3000, 5000)
-    for v in (4, 6, 8)
-    for lag in (2, 3, 4)
-    for noise in ("gaussian", "student_t")
-]
-
-_OUT_SCHEMA = (
-    "config_id string, n int, n_vars int, max_lag int, noise string, "
-    "t int, var string, value double"
+# Grid rows are (family, config_id, n, n_vars, max_lag, noise, p1, p2, p3);
+# noise/p1..p3 are per-family (NULL where unused).
+_GRID_SCHEMA = (
+    "family string, config_id string, n int, n_vars int, max_lag int, "
+    "noise string, p1 double, p2 double, p3 double"
 )
 
+_COMPLETE_SCHEMA = "family string, config_id string, t double, var string, value double"
+_PAIR_SCHEMA = (
+    "family string, config_id string, t double, var string, "
+    "value_complete double, value_observed double"
+)
 
-def _generate_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    cfg = pdf.iloc[0]
-    wide = generate_linear_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
+# family -> fn(n, n_vars, max_lag, noise, p1, p2, p3) -> wide DataFrame
+# (complete-data families) or (missing, complete) pair (masking families).
+_COMPLETE_KERNELS = {
+    # A1 linear regular (a1.py:308-344)
+    "a1": lambda n, v, l, noise, p1, p2, p3: K.generate_linear_config(n, v, l, noise, seed=42),
+    # A2 linear irregular (a2.py:306-325)
+    "a2": lambda n, v, l, noise, p1, p2, p3: K.generate_irregular_config(n, v, l, noise, seed=42),
+    # B2 poly + mixture noise + irregular (b2.py:328-365); p1 = mix_ratio
+    "b2": lambda n, v, l, noise, p1, p2, p3: K.generate_poly_mixture_config(n, v, l, p1, seed=42),
+    # C1 trig + trend + season (c1.py:423-454); p1/p2 = trend/seasonal strength
+    "c1": lambda n, v, l, noise, p1, p2, p3: K.generate_trend_season_config(n, v, l, p1, p2, seed=42),
+    # C2 trig irregular, continuous-time seasonality (c2.py:354-392)
+    "c2": lambda n, v, l, noise, p1, p2, p3: K.generate_trig_irregular_config(n, v, l, noise, seed=42),
+}
+
+_CONFOUNDED_KERNELS = {
+    # A1C linear + U, retry-queue contemporaneous scheduling (a1c.py:116-277)
+    "a1c": lambda n, v, l, noise, p1, p2, p3: K.generate_confounded_config(n, v, l, noise, seed=42),
+    # A2C linear + U irregular — pure-noise quirk replicated (a2c.py:227-231)
+    "a2c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_irregular_config(n, v, l, noise, seed=42),
+    # B1C poly + U^2 regular (b1c.py:355-390)
+    "b1c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_poly_config(n, v, l, noise, seed=42),
+    # B2C poly + U^2 + mixture irregular (b2c.py:241-280); p1 = mix_ratio
+    "b2c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_poly_mixture_config(n, v, l, p1, seed=42),
+    # C1C trig + trend/season + linear U (c1c.py)
+    "c1c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_trend_season_config(n, v, l, p1, p2, seed=42),
+    # C2C trig irregular + U, linear-U quirk (c2c.py:330-370)
+    "c2c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_trig_irregular_config(n, v, l, noise, seed=42),
+}
+
+_PAIR_KERNELS = {
+    # D1 linear + MCAR, two-pass memo-shadowing bug replicated (d1.py:380-419)
+    "d1": lambda n, v, l, noise, p1, p2, p3: K.generate_mcar_config(n, v, l, noise, p1, seed=42),
+    # D2 poly irregular + Markov burst blocks (d2.py:453-470); p1 = block_prob
+    "d2": lambda n, v, l, noise, p1, p2, p3: K.generate_block_missing_config(n, v, l, noise, p1, seed=42),
+    # D3 trig + mixture + MCAR ∪ block (d3.py:389-436); p1/p2/p3 = ratio/mcar/block
+    "d3": lambda n, v, l, noise, p1, p2, p3: K.generate_mixed_missing_config(n, v, l, p1, p2, p3, seed=42),
+}
+
+_PAIR_CONFOUNDED_KERNELS = {
+    # D1C linear + U + MCAR on X only, U observed (d1c.py:418-460)
+    "d1c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_mcar_config(n, v, l, noise, p1, seed=42),
+    # D2C poly irregular + U^2 + blocks on X only (d2c.py:505-560)
+    "d2c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_block_missing_config(n, v, l, noise, p1, seed=42),
+    # D3C trig + mixture + MCAR ∪ block + U, warmup double-draw (d3c.py:440-500)
+    "d3c": lambda n, v, l, noise, p1, p2, p3: KC.generate_confounded_mixed_missing_config(n, v, l, p1, p2, p3, seed=42),
+}
+
+
+def _melt_wide(fam: str, config_id: str, wide: pd.DataFrame) -> pd.DataFrame:
     long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
     long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    for col in ("n", "n_vars", "max_lag"):
-        long[col] = int(cfg[col])
-    long["noise"] = cfg["noise"]
-    return long[
-        ["config_id", "n", "n_vars", "max_lag", "noise", "t", "var", "value"]
+    long["t"] = long["t"].astype("float64")
+    long["family"] = fam
+    long["config_id"] = config_id
+    return long[["family", "config_id", "t", "var", "value"]]
+
+
+def _melt_pair(
+    fam: str, config_id: str, missing: pd.DataFrame, complete: pd.DataFrame
+) -> pd.DataFrame:
+    value_cols = [c for c in complete.columns if c != "time"]
+    rows = [
+        pd.DataFrame(
+            {
+                "family": fam,
+                "config_id": config_id,
+                "t": complete["time"].astype("float64"),
+                "var": var,
+                "value_complete": complete[var],
+                "value_observed": missing[var],
+            }
+        )
+        for var in value_cols
     ]
+    return pd.concat(rows, ignore_index=True)
+
+
+def _run_kernel(kernels, pdf: pd.DataFrame):
+    cfg = pdf.iloc[0]
+    return cfg, kernels[cfg["family"]](
+        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
+        cfg["noise"], cfg["p1"], cfg["p2"], cfg["p3"],
+    )
+
+
+def _complete_group(kernels):
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        cfg, wide = _run_kernel(kernels, pdf)
+        return _melt_wide(cfg["family"], cfg["config_id"], wide)
+
+    return gen
+
+
+def _pair_group(kernels):
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        cfg, (missing, complete) = _run_kernel(kernels, pdf)
+        return _melt_pair(cfg["family"], cfg["config_id"], missing, complete)
+
+    return gen
+
+
+def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
+    # VALUES literal instead of createDataFrame(local list): avoids pickling
+    # the grid through a Python RDD on every build (~1 s overhead); the grid
+    # is then a JVM-side literal the groupBy shuffles straight to workers.
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS DOUBLE)"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return repr(v)
+
+    values = ", ".join(
+        f"({lit(f)}, {lit(cid)}, {n}, {v}, {lag}, "
+        f"{lit(noise) if noise is not None else 'CAST(NULL AS STRING)'}, "
+        f"{lit(p1)}, {lit(p2)}, {lit(p3)})"
+        for f, cid, n, v, lag, noise, p1, p2, p3 in rows
+    )
+    grid = spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS grid"
+        "(family, config_id, n, n_vars, max_lag, noise, p1, p2, p3)"
+    )
+    return grid.groupBy("config_id").applyInPandas(group_fn, out_schema)
+
+
+def _rows(fam, combos):
+    """combos: iterable of (n, v, lag, noise, p1, p2, p3); builds grid rows
+    with a family-prefixed config id."""
+    out = []
+    for n, v, lag, noise, p1, p2, p3 in combos:
+        bits = [fam, f"n{n}", f"v{v}", f"l{lag}"]
+        if noise is not None:
+            bits.append(noise)
+        for tag, p in (("p1", p1), ("p2", p2), ("p3", p3)):
+            if p is not None:
+                bits.append(f"{tag}{int(round(p * 100))}")
+        out.append(("_".join(bits), fam, n, v, lag, noise, p1, p2, p3))
+    # reorder to match _GRID_SCHEMA (family first)
+    return [(f, cid, n, v, lag, noise, p1, p2, p3)
+            for cid, f, n, v, lag, noise, p1, p2, p3 in out]
+
+
+_NOISES = ("gaussian", "student_t")
+
+
+def _complete_grid():
+    rows = []
+    rows += _rows("a1", [(n, v, lag, noise, None, None, None)
+                         for n in (500, 1000, 3000, 5000) for v in (4, 6, 8)
+                         for lag in (2, 3, 4) for noise in _NOISES])
+    rows += _rows("a2", [(n, v, lag, noise, None, None, None)
+                         for n in (500, 1000) for v in (4, 6, 8)
+                         for lag in (2, 3) for noise in _NOISES])
+    rows += _rows("b2", [(n, v, lag, None, r, None, None)
+                         for n in (500, 1000) for v in (4, 6)
+                         for lag in (2, 3) for r in (0.3, 0.5, 0.7)])
+    rows += _rows("c1", [(n, 4, lag, None, ts, ss, None)
+                         for n in (500, 1000) for lag in (2, 3, 4)
+                         for ts in (0.01, 0.02) for ss in (0.3, 0.5)])
+    rows += _rows("c2", [(n, v, lag, noise, None, None, None)
+                         for n in (500, 1000) for v in (4, 6)
+                         for lag in (2, 3) for noise in _NOISES])
+    return rows
+
+
+def _confounded_grid():
+    rows = []
+    rows += _rows("a1c", [(n, 4, lag, noise, None, None, None)
+                          for n in (500, 1000, 3000) for lag in (2, 3, 4)
+                          for noise in _NOISES])
+    rows += _rows("a2c", [(n, v, lag, noise, None, None, None)
+                          for n in (500, 1000) for v in (4, 6)
+                          for lag in (2, 3) for noise in _NOISES])
+    rows += _rows("b1c", [(n, v, lag, noise, None, None, None)
+                          for n in (500, 1000) for v in (4, 6)
+                          for lag in (2, 3) for noise in _NOISES])
+    rows += _rows("b2c", [(n, 4, lag, None, r, None, None)
+                          for n in (500, 1000) for lag in (2, 3)
+                          for r in (0.3, 0.5, 0.7)])
+    rows += _rows("c1c", [(n, 4, lag, None, ts, ss, None)
+                          for n in (500, 1000) for lag in (2, 3)
+                          for ts in (0.01, 0.02) for ss in (0.3, 0.5)])
+    rows += _rows("c2c", [(n, v, lag, noise, None, None, None)
+                          for n in (500, 1000) for v in (4, 6)
+                          for lag in (2, 3) for noise in _NOISES])
+    return rows
+
+
+def _missing_grid():
+    rows = []
+    rows += _rows("d1", [(n, 4, lag, noise, r, None, None)
+                         for n in (500, 1000) for lag in (2, 3)
+                         for noise in _NOISES for r in (0.1, 0.2, 0.3)])
+    rows += _rows("d2", [(n, 4, lag, noise, p, None, None)
+                         for n in (500, 1000) for lag in (2, 3)
+                         for noise in _NOISES for p in (0.1, 0.2, 0.3)])
+    rows += _rows("d3", [(n, 4, lag, None, r, m, b)
+                         for n in (500, 1000) for lag in (2, 3)
+                         for r in (0.3, 0.5, 0.7) for m in (0.05, 0.1)
+                         for b in (0.05, 0.1)])
+    return rows
+
+
+def _missing_confounded_grid():
+    rows = []
+    rows += _rows("d1c", [(n, 4, lag, noise, r, None, None)
+                          for n in (500, 1000) for lag in (2, 3)
+                          for noise in _NOISES for r in (0.1, 0.2, 0.3)])
+    rows += _rows("d2c", [(n, 4, lag, noise, p, None, None)
+                          for n in (500, 1000) for lag in (2, 3)
+                          for noise in _NOISES for p in (0.1, 0.2, 0.3)])
+    rows += _rows("d3c", [(n, 4, lag, None, r, m, b)
+                          for n in (500, 1000) for lag in (2, 3)
+                          for r in (0.3, 0.5, 0.7) for m in (0.05, 0.1)
+                          for b in (0.05, 0.1)])
+    return rows
 
 
 @register("scm_generate", None)
 def scm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full linear-family factorial sweep (72 configs, seed 42 each —
-    a1.py:326-333) through groupBy(config).applyInPandas. Long-form output
-    (config, t, var, value) keeps the schema fixed across widths; one
-    partition per config, no shuffle after generation."""
-    grid = spark.createDataFrame(
-        [
-            (f"n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n, v, lag, noise in _GRID
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(_generate_group, _OUT_SCHEMA)
-
-
-def _melt(cfg, wide: pd.DataFrame) -> pd.DataFrame:
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    for col in ("n", "n_vars", "max_lag"):
-        long[col] = int(cfg[col])
-    long["noise"] = cfg["noise"]
-    return long[["config_id", "n", "n_vars", "max_lag", "noise", "t", "var", "value"]]
-
-
-_IRR_SCHEMA = (
-    "config_id string, n int, n_vars int, max_lag int, noise string, "
-    "t double, var string, value double"
-)
-
-
-def _generate_irregular_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_irregular_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_irregular_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    return _melt(cfg, wide)
-
-
-@register("scm_generate_irregular", None)
-def scm_generate_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Irregular-sampling sweep (A2 family, a2.py:306-325): adaptive
-    exponential timestamps + nearest-abs lag recurrence per config through
-    applyInPandas. Sub-grid (n ≤ 1000) keeps the O(n²) per-series reference
-    semantics cheap; the config axis is still the scale-out dimension."""
-    grid = spark.createDataFrame(
-        [
-            (f"irr_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n in (500, 1000)
-            for v in (4, 6, 8)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_irregular_group, _IRR_SCHEMA
-    )
-
-
-def _generate_confounded_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_confounded_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    return _melt(cfg, wide)
+    """Complete-data factorial sweep across the five unconfounded families
+    (A1 linear regular, A2 linear irregular, B2 poly+mixture, C1
+    trend+season, C2 trig irregular) — one applyInPandas group per config,
+    long-form (family, config, t, var, value) output keeps the schema fixed
+    across families and widths; no shuffle after generation."""
+    return _sweep(spark, _complete_grid(),
+                  _complete_group(_COMPLETE_KERNELS), _COMPLETE_SCHEMA)
 
 
 @register("scm_generate_confounded", None)
 def scm_generate_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confounded sweep (A1C family, a1c.py:116-277): hidden U column +
-    retry-queue contemporaneous scheduling. U rides along as an ordinary
-    long-form var (quirk Q8); hiding it for discovery benchmarks is an
-    explicit downstream filter."""
-    grid = spark.createDataFrame(
-        [
-            (f"conf_n{n}_v4_l{lag}_{noise}", n, 4, lag, noise)
-            for n in (500, 1000, 3000)
-            for lag in (2, 3, 4)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_confounded_group, _OUT_SCHEMA
-    )
-
-
-def _generate_poly_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_poly_mixture_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_poly_mixture_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["mix_ratio"]), seed=42,
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    long["mix_ratio"] = float(cfg["mix_ratio"])
-    return long[["config_id", "mix_ratio", "t", "var", "value"]]
-
-
-@register("scm_generate_poly", None)
-def scm_generate_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial/mixture-noise sweep (B2 family, b2.py:328-365) over the
-    mix-ratio grid — quadratic-only effective dynamics (quirk Q1), adaptive
-    irregular timestamps, per-config applyInPandas."""
-    grid = spark.createDataFrame(
-        [
-            (f"poly_n{n}_v{v}_l{lag}_r{int(r * 100)}", n, v, lag, r)
-            for n in (500, 1000)
-            for v in (4, 6)
-            for lag in (2, 3)
-            for r in (0.3, 0.5, 0.7)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, mix_ratio double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_poly_group,
-        "config_id string, mix_ratio double, t double, var string, value double",
-    )
-
-
-def _generate_trendseason_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_trend_season_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_trend_season_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["trend_strength"]), float(cfg["seasonal_strength"]), seed=42,
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_trend", None)
-def scm_generate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trend+seasonality sweep (C1 family, c1.py:423-454) over the
-    (trend, seasonal) strength grid."""
-    grid = spark.createDataFrame(
-        [
-            (f"c1_n{n}_v4_l{lag}_t{int(ts * 100)}_s{int(ss * 10)}", n, 4, lag, ts, ss)
-            for n in (500, 1000)
-            for lag in (2, 3, 4)
-            for ts in (0.01, 0.02)
-            for ss in (0.3, 0.5)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, "
-        "trend_strength double, seasonal_strength double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_trendseason_group,
-        "config_id string, t long, var string, value double",
-    )
-
-
-def _generate_mcar_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_mcar_config
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_mcar_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        cfg["noise"], float(cfg["rate"]), seed=42,
-    )
-    value_cols = [c for c in complete.columns if c != "time"]
-    out_rows = []
-    for var in value_cols:
-        out_rows.append(
-            pd.DataFrame(
-                {
-                    "config_id": cfg["config_id"],
-                    "rate": float(cfg["rate"]),
-                    "t": complete["time"],
-                    "var": var,
-                    "value_complete": complete[var],
-                    "value_observed": missing[var],
-                }
-            )
-        )
-    return pd.concat(out_rows, ignore_index=True)
-
-
-@register("scm_generate_mcar", None)
-def scm_generate_mcar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MCAR sweep (D1 family, d1.py:380-419): missing and complete versions
-    of every cell side by side (the reference persists both files). The
-    kernel replicates the reference's two-pass memo-shadowing bug, which the
-    shipped corpus confirms (X1/X3 identically zero in 4-var datasets)."""
-    grid = spark.createDataFrame(
-        [
-            (f"mcar_n{n}_v4_l{lag}_{noise}_r{int(r * 100)}", n, 4, lag, noise, r)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-            for r in (0.1, 0.2, 0.3)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string, rate double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_mcar_group,
-        "config_id string, rate double, t long, var string, "
-        "value_complete double, value_observed double",
-    )
-
-
-_PAIR_SCHEMA = (
-    "config_id string, t double, var string, "
-    "value_complete double, value_observed double"
-)
-
-
-def _pair_long(cfg, missing: pd.DataFrame, complete: pd.DataFrame) -> pd.DataFrame:
-    value_cols = [c for c in complete.columns if c != "time"]
-    rows = []
-    for var in value_cols:
-        rows.append(
-            pd.DataFrame(
-                {
-                    "config_id": cfg["config_id"],
-                    "t": complete["time"],
-                    "var": var,
-                    "value_complete": complete[var],
-                    "value_observed": missing[var],
-                }
-            )
-        )
-    return pd.concat(rows, ignore_index=True)
-
-
-def _generate_block_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_block_missing_config
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_block_missing_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        cfg["noise"], float(cfg["block_prob"]), seed=42,
-    )
-    return _pair_long(cfg, missing, complete)
-
-
-@register("scm_generate_block", None)
-def scm_generate_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-missingness sweep (D2 family, d2.py:453-470): polynomial
-    dynamics over irregular time with the Markov burst mask, both missing
-    and complete outputs."""
-    grid = spark.createDataFrame(
-        [
-            (f"blk_n{n}_v4_l{lag}_{noise}_b{int(p * 100)}", n, 4, lag, noise, p)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-            for p in (0.1, 0.2, 0.3)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string, block_prob double",
-    )
-    return grid.groupBy("config_id").applyInPandas(_generate_block_group, _PAIR_SCHEMA)
-
-
-def _generate_mixed_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_mixed_missing_config
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_mixed_missing_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["mix_ratio"]), float(cfg["mcar_prob"]), float(cfg["block_prob"]),
-        seed=42,
-    )
-    return _pair_long(cfg, missing, complete)
-
-
-@register("scm_generate_mixed", None)
-def scm_generate_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-missingness sweep (D3 family, d3.py:389-436): trig dynamics +
-    mixture noise + MCAR ∪ block masks over the reference's grid corners."""
-    grid = spark.createDataFrame(
-        [
-            (
-                f"mix_n{n}_v4_l{lag}_r{int(r * 100)}_m{int(m * 100)}_b{int(b * 100)}",
-                n, 4, lag, r, m, b,
-            )
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for r in (0.3, 0.5, 0.7)
-            for m in (0.05, 0.1)
-            for b in (0.05, 0.1)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, "
-        "mix_ratio double, mcar_prob double, block_prob double",
-    )
-    return grid.groupBy("config_id").applyInPandas(_generate_mixed_group, _PAIR_SCHEMA)
-
-
-# ---------------------------------------------------------------------------
-# Confounded twins (kernel_confounded.py): every family with hidden U.
-# U rides along as an ordinary long-form var (quirk Q8 — the reference
-# persists it); hiding it for discovery benchmarks is a downstream filter.
-# ---------------------------------------------------------------------------
-
-
-def _generate_conf_poly_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import generate_confounded_poly_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_poly_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    return _melt(cfg, wide)
-
-
-@register("scm_generate_poly_confounded", None)
-def scm_generate_poly_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1C sweep (b1c.py:355-390): polynomial + U^2, regular sampling —
-    quadratic-only effective dynamics (quirk Q1) with the confounder's
-    square honored."""
-    grid = spark.createDataFrame(
-        [
-            (f"b1c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n in (500, 1000)
-            for v in (4, 6)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(_generate_conf_poly_group, _OUT_SCHEMA)
-
-
-_IRR_NOCFG_SCHEMA = "config_id string, t double, var string, value double"
-
-
-def _generate_conf_mixture_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import generate_confounded_poly_mixture_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_poly_mixture_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["mix_ratio"]), seed=42,
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_mixture_confounded", None)
-def scm_generate_mixture_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2C sweep (b2c.py:241-280): polynomial + U^2 over irregular time with
-    Gaussian(+)Laplace mixture noise across the mix-ratio grid."""
-    grid = spark.createDataFrame(
-        [
-            (f"b2c_n{n}_v4_l{lag}_r{int(r * 100)}", n, 4, lag, r)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for r in (0.3, 0.5, 0.7)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, mix_ratio double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_mixture_group, _IRR_NOCFG_SCHEMA
-    )
-
-
-def _generate_conf_irr_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import generate_confounded_irregular_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_irregular_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_irregular_confounded", None)
-def scm_generate_irregular_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2C sweep (a2c.py:330-370): linear + U over irregular time. The
-    reference's link extractor skips every RHS containing the letter 'e'
-    (a2c.py:227-231) — all registry equations carry noise terms, so the
-    shipped A2C corpus is pure noise; replicated for fidelity (kernel
-    docstring)."""
-    grid = spark.createDataFrame(
-        [
-            (f"a2c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n in (500, 1000)
-            for v in (4, 6)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_irr_group, _IRR_NOCFG_SCHEMA
-    )
-
-
-def _generate_conf_trend_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import generate_confounded_trend_season_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_trend_season_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["trend_strength"]), float(cfg["seasonal_strength"]), seed=42,
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_trend_confounded", None)
-def scm_generate_trend_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1C sweep (c1c.py:generate_all_combinations): trig + trend/season +
-    linear U over the (trend, seasonal) strength grid."""
-    grid = spark.createDataFrame(
-        [
-            (f"c1c_n{n}_v4_l{lag}_t{int(ts * 100)}_s{int(ss * 10)}", n, 4, lag, ts, ss)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for ts in (0.01, 0.02)
-            for ss in (0.3, 0.5)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, "
-        "trend_strength double, seasonal_strength double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_trend_group, "config_id string, t long, var string, value double"
-    )
-
-
-def _generate_conf_trig_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import (
-        generate_confounded_trig_irregular_config,
-    )
-
-    cfg = pdf.iloc[0]
-    wide = generate_confounded_trig_irregular_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_trig_confounded", None)
-def scm_generate_trig_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2C sweep (c2c.py:330-370): trig + continuous-time seasonality over
-    irregular time with U — linear-U quirk replicated (kernel docstring)."""
-    grid = spark.createDataFrame(
-        [
-            (f"c2c_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n in (500, 1000)
-            for v in (4, 6)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_trig_group, _IRR_NOCFG_SCHEMA
-    )
-
-
-def _generate_conf_mcar_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import generate_confounded_mcar_config
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_confounded_mcar_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        cfg["noise"], float(cfg["rate"]), seed=42,
-    )
-    out = _pair_long(cfg, missing, complete)
-    out["t"] = out["t"].astype("int64")
-    return out
-
-
-@register("scm_generate_mcar_confounded", None)
-def scm_generate_mcar_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1C sweep (d1c.py:418-460): linear + U + MCAR on X only (U fully
-    observed, d1c.py:246-251); missing and complete versions side by side.
-    Replicates the reference's two-pass memo-shadowing bug (kernel
-    docstring)."""
-    grid = spark.createDataFrame(
-        [
-            (f"d1c_n{n}_v4_l{lag}_{noise}_r{int(r * 100)}", n, 4, lag, noise, r)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-            for r in (0.1, 0.2, 0.3)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string, rate double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_mcar_group,
-        "config_id string, t long, var string, "
-        "value_complete double, value_observed double",
-    )
-
-
-def _generate_conf_block_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import (
-        generate_confounded_block_missing_config,
-    )
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_confounded_block_missing_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        cfg["noise"], float(cfg["block_prob"]), seed=42,
-    )
-    return _pair_long(cfg, missing, complete)
-
-
-@register("scm_generate_block_confounded", None)
-def scm_generate_block_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2C sweep (d2c.py:505-560): polynomial + U^2 irregular dynamics with
-    the Markov burst mask on X only; U always observed (d2c.py:257)."""
-    grid = spark.createDataFrame(
-        [
-            (f"d2c_n{n}_v4_l{lag}_{noise}_b{int(p * 100)}", n, 4, lag, noise, p)
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-            for p in (0.1, 0.2, 0.3)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string, block_prob double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_block_group, _PAIR_SCHEMA
-    )
-
-
-def _generate_conf_mixed_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel_confounded import (
-        generate_confounded_mixed_missing_config,
-    )
-
-    cfg = pdf.iloc[0]
-    missing, complete = generate_confounded_mixed_missing_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]),
-        float(cfg["mix_ratio"]), float(cfg["mcar_prob"]), float(cfg["block_prob"]),
-        seed=42,
-    )
-    return _pair_long(cfg, missing, complete)
-
-
-@register("scm_generate_mixed_confounded", None)
-def scm_generate_mixed_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3C sweep (d3c.py:440-500): trig + mixture noise + MCAR ∪ block
-    masks + U with the warmup double-draw (kernel docstring)."""
-    grid = spark.createDataFrame(
-        [
-            (
-                f"d3c_n{n}_v4_l{lag}_r{int(r * 100)}_m{int(m * 100)}_b{int(b * 100)}",
-                n, 4, lag, r, m, b,
-            )
-            for n in (500, 1000)
-            for lag in (2, 3)
-            for r in (0.3, 0.5, 0.7)
-            for m in (0.05, 0.1)
-            for b in (0.05, 0.1)
-        ],
-        "config_id string, n int, n_vars int, max_lag int, "
-        "mix_ratio double, mcar_prob double, block_prob double",
-    )
-    return grid.groupBy("config_id").applyInPandas(
-        _generate_conf_mixed_group, _PAIR_SCHEMA
-    )
-
-
-def _generate_trig_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from ..generation.kernel import generate_trig_irregular_config
-
-    cfg = pdf.iloc[0]
-    wide = generate_trig_irregular_config(
-        int(cfg["n"]), int(cfg["n_vars"]), int(cfg["max_lag"]), cfg["noise"], seed=42
-    )
-    long = wide.melt(id_vars=["time"], var_name="var", value_name="value")
-    long = long.rename(columns={"time": "t"})
-    long["config_id"] = cfg["config_id"]
-    return long[["config_id", "t", "var", "value"]]
-
-
-@register("scm_generate_trig_irregular", None)
-def scm_generate_trig_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Irregular trig sweep (C2 family, c2.py:354-392): continuous-time
-    seasonality over adaptive timestamps."""
-    grid = spark.createDataFrame(
-        [
-            (f"c2_n{n}_v{v}_l{lag}_{noise}", n, v, lag, noise)
-            for n in (500, 1000)
-            for v in (4, 6)
-            for lag in (2, 3)
-            for noise in ("gaussian", "student_t")
-        ],
-        "config_id string, n int, n_vars int, max_lag int, noise string",
-    )
-    return grid.groupBy("config_id").applyInPandas(_generate_trig_group, _PAIR_SCHEMA.replace(
-        ", value_complete double, value_observed double", ", value double"))
+    """Hidden-confounder sweep across the six confounded complete-data
+    families (A1C/A2C/B1C/B2C/C1C/C2C). U rides along as an ordinary
+    long-form var (quirk Q8 — the reference persists it); hiding it for
+    discovery benchmarks is an explicit downstream filter."""
+    return _sweep(spark, _confounded_grid(),
+                  _complete_group(_CONFOUNDED_KERNELS), _COMPLETE_SCHEMA)
+
+
+@register("scm_generate_missing", None)
+def scm_generate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness sweep across D1 (MCAR), D2 (Markov block), D3 (mixed):
+    missing and complete versions of every cell side by side, as the
+    reference persists both files. Replicates the reference's two-pass
+    memo-shadowing bug (corpus-confirmed: X1/X3 ≡ 0 in 4-var datasets)."""
+    return _sweep(spark, _missing_grid(),
+                  _pair_group(_PAIR_KERNELS), _PAIR_SCHEMA)
+
+
+@register("scm_generate_missing_confounded", None)
+def scm_generate_missing_confounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounded missingness sweep across D1C/D2C/D3C: masks hit X only —
+    U stays fully observed (d1c.py:246-251, d2c.py:257) — with the D3C
+    warmup double-draw quirk preserved."""
+    return _sweep(spark, _missing_confounded_grid(),
+                  _pair_group(_PAIR_CONFOUNDED_KERNELS), _PAIR_SCHEMA)

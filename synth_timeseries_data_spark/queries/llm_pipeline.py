@@ -39,6 +39,8 @@ _SPARK_D = {
     "transform": lambda a, lam: f"transform({a}, {lam})",
     "retokens": lambda s, p: f"size(regexp_extract_all({s}, '{p}', 0))",
     "expand": lambda lo, hi: f"explode(sequence({lo}, {hi}))",
+    "seq": lambda lo, hi: f"sequence({lo}, {hi})",
+    "unnest": lambda a: f"explode({a})",
     "posexplode": "posexplode",  # handled inline
 }
 
@@ -52,6 +54,8 @@ _DUCK_D = {
     "transform": lambda a, lam: f"list_transform({a}, {lam})",
     "retokens": lambda s, p: f"len(regexp_extract_all({s}, '{p}', 0))",
     "expand": lambda lo, hi: f"unnest(generate_series({lo}, {hi}))",
+    "seq": lambda lo, hi: f"generate_series({lo}, {hi})",
+    "unnest": lambda a: f"unnest({a})",
 }
 
 
@@ -240,6 +244,12 @@ _MH_BANDS = 8  # r = 2
 
 
 def _shingles_cte(d) -> str:
+    # explode + DISTINCT (codegen'd generate + hash aggregate) rather than a
+    # per-doc array lambda: higher-order functions (transform/array_distinct)
+    # run interpreted and measured ~10× slower here. Spark inlines CTEs, so
+    # the Spark query builders materialize `shingles` once as a persisted
+    # temp view (_spark_shingled) instead of re-evaluating this subtree per
+    # reference; DuckDB materializes repeated CTEs on its own.
     return f"""
     WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
     pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
@@ -253,11 +263,33 @@ def _shingles_cte(d) -> str:
     """
 
 
-def _minhash_sql(d) -> str:
-    return (
-        _shingles_cte(d)
-        + f"""
-    , hashed AS (
+def _spark_shingled(
+    spark: SparkSession, sf_dir: str, tail_sql: str, where: str = ""
+) -> DataFrame:
+    """Run a query tail over a materialized-once `shingles` relation.
+
+    Spark inlines WITH-clause CTEs, so a tail that references `shingles`
+    N times re-runs the explode+DISTINCT subtree N times. Independent
+    subtrees schedule concurrently, so on an idle cluster the redundancy is
+    partly free — caching only wins when the shared subtree is filtered
+    small first (``where``) so the one materialization is cheap and every
+    reference afterwards is an InMemoryTableScan. Callers whose tails need
+    the FULL shingle set are better served by the inline form
+    (_spark_docs); measured here: inline 2.6 s vs full-cache 3.5-4.3 s for
+    minhash, cache-small 0.9 s vs inline 1.7 s for ngram_jaccard.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sh = spark.sql(
+        _shingles_cte(_SPARK_D) + f"SELECT doc_id, s FROM shingles {where}"
+    )
+    sh.persist()
+    sh.createOrReplaceTempView("shingles_cached")
+    return spark.sql("WITH " + tail_sql.replace("shingles", "shingles_cached"))
+
+
+def _minhash_tail(d) -> str:
+    return f"""
+    hashed AS (
       SELECT doc_id, j, MIN(md5(CONCAT(CAST(j AS STRING), ':', s))) AS minh
       FROM (SELECT doc_id, s, {d['expand']('1', str(_MH_H))} AS j FROM shingles) x
       GROUP BY doc_id, j
@@ -293,17 +325,19 @@ def _minhash_sql(d) -> str:
     JOIN sizes zb ON zb.doc_id = i.doc_b
     WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
     """
-    )
 
 
-def _dk_minhash(d):
-    sql = _minhash_sql(d)
+def _dk(sql: str, d) -> str:
     # DuckDB has no STRING type name; Spark has no VARCHAR-free cast concern.
     return sql if d is _SPARK_D else sql.replace("CAST(j AS STRING)", "CAST(j AS VARCHAR)")
 
 
-_MINHASH_SPARK = _dk_minhash(_SPARK_D)
-_MINHASH_DUCK = _dk_minhash(_DUCK_D)
+_MINHASH_SPARK = _dk(
+    _shingles_cte(_SPARK_D) + "," + _minhash_tail(_SPARK_D), _SPARK_D
+)
+_MINHASH_DUCK = _dk(
+    _shingles_cte(_DUCK_D) + "," + _minhash_tail(_DUCK_D), _DUCK_D
+)
 
 
 @register("minhash_dedup", _MINHASH_DUCK)
@@ -311,15 +345,16 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by banded MinHash LSH (shingle → 16 md5-string
     min-hashes → 8 band signatures → bucket join → exact-Jaccard verify).
     No all-pairs join anywhere: candidate generation is equality joins on
-    band signatures, which at 100 TB shuffles only bucket-collision rows."""
+    band signatures, which at 100 TB shuffles only bucket-collision rows.
+    Inline CTE (not cached): every reference needs the full shingle set and
+    Spark schedules the independent subtrees concurrently — measured faster
+    than materialize-then-reuse on this plan (see _spark_shingled)."""
     return _spark_docs(spark, sf_dir, _MINHASH_SPARK)
 
 
-def _ngram_jaccard_sql(d) -> str:
-    return (
-        _shingles_cte(d)
-        + """
-    , small AS (SELECT * FROM shingles WHERE doc_id < 200),
+def _ngram_jaccard_tail(d) -> str:
+    return """
+    small AS (SELECT * FROM shingles WHERE doc_id < 200),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       FROM small a JOIN small b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -336,18 +371,20 @@ def _ngram_jaccard_sql(d) -> str:
                    / (za.n_sh + zb.n_sh - i.n_inter), 6) DESC, i.doc_a, i.doc_b
     LIMIT 50
     """
-    )
 
 
-_NGRAM_SPARK, _NGRAM_DUCK = _dual(_ngram_jaccard_sql)
+_NGRAM_DUCK = _shingles_cte(_DUCK_D) + "," + _ngram_jaccard_tail(_DUCK_D)
 
 
 @register("ngram_jaccard", _NGRAM_DUCK)
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard top-50 over a bounded doc subset — the
     brute-force baseline the LSH path approximates; the join is on shared
-    shingles (inverted-index shape), not doc×doc."""
-    return _spark_docs(spark, sf_dir, _NGRAM_SPARK)
+    shingles (inverted-index shape), not doc×doc. The doc_id<200 filter is
+    applied in the cached relation so the parquet scan prunes first."""
+    return _spark_shingled(
+        spark, sf_dir, _ngram_jaccard_tail(_SPARK_D), where="WHERE doc_id < 200"
+    )
 
 
 # --------------------------------------------------------------------------
