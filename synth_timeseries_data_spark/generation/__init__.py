@@ -7,6 +7,7 @@ from .kernel import (  # noqa: F401
     generate_linear_config,
     generate_mcar_config,
     generate_mixed_missing_config,
+    generate_poly_config,
     generate_poly_mixture_config,
     generate_trend_season_config,
     generate_trig_irregular_config,

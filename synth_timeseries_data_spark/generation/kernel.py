@@ -476,6 +476,63 @@ def generate_poly_mixture_config(
     return out
 
 
+def generate_poly_config(
+    n_points: int,
+    n_vars: int,
+    max_lag: int,
+    noise_type: str = "gaussian",
+    seed: int = 42,
+    noise_scale: float = 0.1,
+    df: int = 3,
+) -> pd.DataFrame:
+    """B1 family: polynomial dynamics over REGULAR time with plain
+    gaussian/student-t noise. The reference never committed a b1.py script
+    (SURVEY.md §0), so this kernel is reverse-derived from the shipped
+    corpus: the b2 registry equations (identical X-equations to B1C minus
+    the U terms, Datasets/B1 vs b1c.py:19-61), integer timestamps, reverse
+    index-order evaluation with direct lag-row reads. Quirk (corpus-proven):
+    the gaussian variant draws one n_vars noise vector per warmup row and
+    per step, but the student-t variant draws a SINGLE t-vector at t=0 and
+    reuses it for every warmup row and every step — the shipped t-dist
+    series have constant additive noise (rows 0..max_lag-1 are identical,
+    and each step's residual equals that same vector). Verified bit-exact
+    against all 72 Datasets/B1 CSVs (tests/test_generation.py)."""
+    from ..dsl.registry import equations
+
+    eqs = equations("b2", n_vars, max_lag)
+    if not eqs:
+        raise ValueError(f"no b2 registry for ({n_vars}, {max_lag})")
+    links = _parse_poly_links(eqs)
+
+    np.random.seed(seed)
+    X = np.zeros((n_points, n_vars))
+    frozen = None
+    if noise_type == "student_t":
+        frozen = _draw(noise_type, n_vars, noise_scale, df)
+        X[:max_lag] = frozen
+    else:
+        for i in range(max_lag):
+            X[i] = _draw(noise_type, n_vars, noise_scale, df)
+    for t in range(max_lag, n_points):
+        nz = frozen if frozen is not None else _draw(
+            noise_type, n_vars, noise_scale, df
+        )
+        for i in range(n_vars - 1, -1, -1):
+            name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt, power), coef in links.items():
+                if tgt != name:
+                    continue
+                si = int(src[1:]) - 1
+                v = X[t, si] if lag == 0 else X[t - abs(lag), si]
+                value += coef * (v**power)
+            X[t, i] = value + nz[i]
+
+    out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
+    out["time"] = np.arange(n_points)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # C1: trigonometric SCM + deterministic trend + two-harmonic seasonality,
 # regular sampling (Codes/c1.py:111-246).

@@ -46,6 +46,9 @@ _COMPLETE_KERNELS = {
     "a1": lambda n, v, l, noise, p1, p2, p3: K.generate_linear_config(n, v, l, noise, seed=42),
     # A2 linear irregular (a2.py:306-325)
     "a2": lambda n, v, l, noise, p1, p2, p3: K.generate_irregular_config(n, v, l, noise, seed=42),
+    # B1 poly regular — kernel reverse-derived from the corpus (no committed
+    # b1.py; equations shared with b2, Datasets/B1 bit-exact)
+    "b1": lambda n, v, l, noise, p1, p2, p3: K.generate_poly_config(n, v, l, noise, seed=42),
     # B2 poly + mixture noise + irregular (b2.py:328-365); p1 = mix_ratio
     "b2": lambda n, v, l, noise, p1, p2, p3: K.generate_poly_mixture_config(n, v, l, p1, seed=42),
     # C1 trig + trend + season (c1.py:423-454); p1/p2 = trend/seasonal strength
@@ -193,6 +196,9 @@ def _complete_grid():
     rows += _rows("a2", [(n, v, lag, noise, None, None, None)
                          for n in (500, 1000) for v in (4, 6, 8)
                          for lag in (2, 3) for noise in _NOISES])
+    rows += _rows("b1", [(n, v, lag, noise, None, None, None)
+                         for n in (500, 1000) for v in (4, 6, 8)
+                         for lag in (2, 3, 4) for noise in _NOISES])
     rows += _rows("b2", [(n, v, lag, None, r, None, None)
                          for n in (500, 1000) for v in (4, 6)
                          for lag in (2, 3) for r in (0.3, 0.5, 0.7)])
@@ -260,9 +266,10 @@ def _missing_confounded_grid():
 
 @register("scm_generate", None)
 def scm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Complete-data factorial sweep across the five unconfounded families
-    (A1 linear regular, A2 linear irregular, B2 poly+mixture, C1
-    trend+season, C2 trig irregular) — one applyInPandas group per config,
+    """Complete-data factorial sweep across the six unconfounded families
+    (A1 linear regular, A2 linear irregular, B1 poly regular, B2
+    poly+mixture, C1 trend+season, C2 trig irregular) — one applyInPandas
+    group per config,
     long-form (family, config, t, var, value) output keeps the schema fixed
     across families and widths; no shuffle after generation."""
     return _sweep(spark, _complete_grid(),
