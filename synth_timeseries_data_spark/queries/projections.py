@@ -77,11 +77,14 @@ def trend_season(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NONLINEAR_SQL = """
     SELECT event_id, user_id,
            value,
-           ROUND(0.4 * value, 6) AS f_linear,
-           ROUND(0.35 * value * value, 6) AS f_power2,
-           ROUND(0.2 * value * value * value, 6) AS f_power3,
-           ROUND(0.3 * SIN(value * PI() / 2), 6) AS f_sin,
-           ROUND(0.25 * COS(value * PI() / 2), 6) AS f_cos
+           -- + 0.0 normalizes IEEE signed zero (same reasoning as
+           -- trend_season): ROUND of a tiny negative product yields -0.0 in
+           -- one engine and +0.0 in the other, breaking exact value-hash.
+           ROUND(0.4 * value, 6) + 0.0 AS f_linear,
+           ROUND(0.35 * value * value, 6) + 0.0 AS f_power2,
+           ROUND(0.2 * value * value * value, 6) + 0.0 AS f_power3,
+           ROUND(0.3 * SIN(value * PI() / 2), 6) + 0.0 AS f_sin,
+           ROUND(0.25 * COS(value * PI() / 2), 6) + 0.0 AS f_cos
     FROM events
     """
 

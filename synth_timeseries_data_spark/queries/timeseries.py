@@ -130,7 +130,13 @@ def _asof_sql(tus: str) -> str:
                AND p.rn >= c.rn - {_ASOF_WINDOW} AND p.rn <= c.rn - 1
     )
     SELECT user_id, event_id, k, lag_value, lag_event_id,
-           ROUND(delta / 1000000.0, 6) AS delta_sec
+           -- no ROUND: delta is pure IEEE arithmetic on identical inputs, so
+           -- it is bit-identical across engines already; ROUND(x, 6) is the
+           -- only divergence point (Spark rounds the exact binary value via
+           -- BigDecimal HALF_UP, DuckDB rounds the scaled double), and delta
+           -- lands exactly on .5 micro boundaries whenever (max-min) divides
+           -- evenly by 2(n-1).
+           delta / 1000000.0 AS delta_sec
     FROM cand WHERE pick = 1
     """
 
@@ -207,7 +213,7 @@ _ASOF_SPARK = f"""
     SELECT user_id, event_id, k,
            MIN(s).lag_value AS lag_value,
            MIN(s).lag_event_id AS lag_event_id,
-           ROUND(MIN(s).delta / 1000000.0, 6) AS delta_sec
+           MIN(s).delta / 1000000.0 AS delta_sec
     FROM joined
     GROUP BY user_id, event_id, k
     """
