@@ -73,6 +73,7 @@ def main() -> int:
         .appName("driver-gate-sim")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "8g")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 

@@ -165,7 +165,18 @@ def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
         f"SELECT * FROM (VALUES {values}) AS grid"
         "(family, config_id, n, n_vars, max_lag, noise, p1, p2, p3)"
     )
-    return grid.groupBy("config_id").applyInPandas(group_fn, out_schema)
+    # Explicit repartition(N, key) before the groupBy: the grid is a tiny
+    # VALUES relation, so AQE's partition coalescing sees a few-KB shuffle
+    # and collapses it to ONE post-shuffle partition — serializing every
+    # kernel into a single task (measured 6.0 s → 1.7 s at 196 configs on
+    # local[32]). A user-specified partition count is exempt from AQE
+    # coalescing, and one partition per config is the right shape at scale
+    # too: per-config skew isolation, compute (not bytes) is the cost.
+    return (
+        grid.repartition(len(rows), "config_id")
+        .groupBy("config_id")
+        .applyInPandas(group_fn, out_schema)
+    )
 
 
 def _rows(fam, combos):

@@ -1,0 +1,97 @@
+"""Recall property of the banded MinHash LSH candidate generator.
+
+The verify stage keeps precision exact (every candidate pair is re-checked
+with true Jaccard), so the only tunable risk is RECALL: a true near-dup pair
+that never collides in any band is silently lost. With 16 min-hashes in
+8 bands of r=2, the textbook collision probability for a pair at Jaccard J
+is 1 − (1 − J²)⁸ — ≈0.90 at J=0.5, ≈0.996 at J=0.7. This test pins that
+behavior empirically on a constructed corpus of known near-dup pairs, so a
+future re-tuning of (_MH_H, _MH_BANDS) or of the hash family (digest
+rotations) that silently degrades recall fails here.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from synth_timeseries_data_spark.queries.llm_pipeline import (
+    _MH_BANDS,
+    _MH_H,
+    _SPARK_D,
+    _minhash_tail,
+    _shingles_cte,
+)
+
+N_PAIRS = 40
+BASE_WORDS = 60  # → 58 3-shingles per base doc
+
+
+def _make_corpus():
+    """N_PAIRS (base, mutated) doc pairs with true shingle-Jaccard ≥ ~0.5.
+
+    Mutating a suffix of an m-word doc keeps a shared (prefix − 2)-shingle
+    core; replacing ~25% of trailing words yields J ≈ 0.55-0.75 — right at
+    the advertised 0.5 cut where banded recall matters most.
+    """
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(5000)]
+    docs = []
+    for pid in range(N_PAIRS):
+        base = [rng.choice(vocab) for _ in range(BASE_WORDS)]
+        keep = int(BASE_WORDS * 0.78)
+        mutated = base[:keep] + [rng.choice(vocab) for _ in range(BASE_WORDS - keep)]
+        docs.append((2 * pid, " ".join(base)))
+        docs.append((2 * pid + 1, " ".join(mutated)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def neardup_view(spark):
+    docs = _make_corpus()
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS documents(doc_id, text)"
+    ).createOrReplaceTempView("documents")
+    yield
+    spark.catalog.dropTempView("documents")
+
+
+def test_banded_minhash_recall(spark, neardup_view):
+    sql = "WITH " + _shingles_cte(_SPARK_D)[9:].strip() + "," + _minhash_tail(_SPARK_D)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(sql).collect()
+    }
+    # ground truth: the true-Jaccard >= 0.5 subset of the constructed pairs
+    truth_sql = "WITH " + _shingles_cte(_SPARK_D)[9:].strip() + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.s = b.s AND b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b
+    FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+                 JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5
+    """
+    truth = {(r.doc_a, r.doc_b) for r in spark.sql(truth_sql).collect()}
+    assert len(truth) >= 20, f"fixture degenerate: only {len(truth)} true pairs"
+
+    found = truth & got
+    recall = len(found) / len(truth)
+    # expectation at J in [0.5, 0.75] is 0.90-0.999; allow sampling slack
+    assert recall >= 0.8, (
+        f"banded LSH recall {recall:.2f} ({len(found)}/{len(truth)}) below 0.8 "
+        f"with H={_MH_H} bands={_MH_BANDS} — re-tune bands or hash family"
+    )
+
+    # precision is exact by construction: every emitted pair really has J >= 0.5
+    emitted_truth_sql = truth_sql.replace(
+        "b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0", "b.doc_id > a.doc_id"
+    )
+    all_true = {(r.doc_a, r.doc_b) for r in spark.sql(emitted_truth_sql).collect()}
+    assert got <= all_true, f"emitted non-near-dup pairs: {sorted(got - all_true)[:5]}"
