@@ -20,7 +20,7 @@ from . import register
 
 _CSV_ORACLE = """
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
            MIN(event_id) AS min_event_id,
            MAX(event_id) AS max_event_id,
            COUNT(DISTINCT event_type) AS n_types
@@ -49,7 +49,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(26,6)")).cast("double").alias("sum_value"),
+        (F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).cast("double") / 1000000.0).alias("sum_value"),
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
         F.countDistinct("event_type").alias("n_types"),

@@ -130,8 +130,10 @@ _MIX_SQL = f"""
     SELECT ratio,
            COUNT(*) AS n,
            CAST(SUM(CAST(is_gauss AS BIGINT)) AS BIGINT) AS n_gaussian,
-           ROUND(CAST(SUM(CAST(x AS DECIMAL(26, 6))) AS DOUBLE) / COUNT(*), 6) AS mean_x,
-           ROUND(CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(26, 6))) AS DOUBLE) / COUNT(*), 6) AS mean_x2,
+           ROUND(CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS mean_x,
+           ROUND(CAST(SUM(CAST(FLOOR(ROUND(x * x, 6) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS mean_x2,
            ROUND(MIN(x), 6) AS min_x,
            ROUND(MAX(x), 6) AS max_x
     FROM draws

@@ -31,7 +31,7 @@ def _tumbling_sql(tus: str) -> str:
     SELECT CAST(FLOOR(tus / {_HOUR_US}.0) AS BIGINT) AS hour_bucket,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
     FROM e
     GROUP BY CAST(FLOOR(tus / {_HOUR_US}.0) AS BIGINT), event_type
     """
@@ -61,7 +61,7 @@ def _sliding_sql(tus: str) -> str:
     SELECT win_start / {_QTR_US} AS win_start_qtr,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(26, 6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
     FROM assigned
     WHERE tus >= win_start AND tus < win_start + {_HOUR_US}
     GROUP BY win_start / {_QTR_US}, event_type
