@@ -47,9 +47,12 @@ def tumbling_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFra
         .groupBy(F.window("ts_event", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(26,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("sum_value"),
         )
         .select(
             (F.unix_micros("window.start") / 3_600_000_000)
