@@ -47,10 +47,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Oracle-checkable queries whose operator coverage is fully duplicated by an
 # earlier query (ts_diff ~ sampling_hist for V4; docs_by_lang ~ text_stats;
-# topk_value ~ vec_topk). Demoted to the end of the oracle block so that a
-# driver which checks only the first N registry entries spends its window on
-# queries that uniquely cover an operator.
-_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value")
+# topk_value ~ vec_topk; tumbling_agg is the 1-window special case of
+# sliding_agg and its true streaming twin has behavior tests). Demoted to the
+# end of the oracle block so that a driver which checks only the first N
+# registry entries spends its window on queries that uniquely cover an
+# operator.
+_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value", "tumbling_agg")
 
 
 def all_queries() -> dict[str, Query]:
