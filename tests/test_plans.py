@@ -93,3 +93,30 @@ def test_vec_topk_no_cartesian(spark, oracle_sf_dir):
     plan = _plan(spark, "vec_topk", oracle_sf_dir)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embed_neardup_no_allpairs(spark, oracle_sf_dir):
+    """Candidate generation must be an equality join on (band, sig) — never a
+    vec×vec product. The only nested-loop joins permitted are tiny literal
+    broadcasts (none expected here)."""
+    plan = _plan(spark, "embed_neardup", oracle_sf_dir)
+    assert "CartesianProduct" not in plan
+    # the single permitted nested-loop join is the 32×64 literal plane grid
+    # (explode(p) × explode(dim)) — broadcast of a constant-sized relation
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # plane-dot accumulation stays integer (codegen) — a decimal accumulator
+    # would show up as a sum(cast(... as decimal
+    assert "as decimal(26,6)" not in plan.lower()
+
+
+def test_generation_sweep_partitioning_survives_aqe(spark, smoke_sf_dir):
+    """The kernel sweep must run one partition per config: AQE's coalescer
+    once collapsed the tiny grid shuffle to a single partition, serializing
+    every kernel into one task (6.0 s -> 1.7 s fix). The executed plan must
+    carry the user-pinned hash partitioning, and the RDD must have as many
+    partitions as configs."""
+    from synth_timeseries_data_spark.queries import generation as G
+
+    df = all_queries()["scm_generate"].build(spark, smoke_sf_dir)
+    n_configs = len(G._complete_grid())
+    assert df.rdd.getNumPartitions() == n_configs
