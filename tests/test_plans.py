@@ -101,9 +101,15 @@ def test_embed_neardup_no_allpairs(spark, oracle_sf_dir):
     broadcasts (none expected here)."""
     plan = _plan(spark, "embed_neardup", oracle_sf_dir)
     assert "CartesianProduct" not in plan
-    # the single permitted nested-loop join is the 32×64 literal plane grid
-    # (explode(p) × explode(dim)) — broadcast of a constant-sized relation
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # permitted nested-loop joins are the literal plane-grid cross joins
+    # (explode(p) × explode(dim), constant 32×64) — never a data×data side
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # candidate generation and verify are equi joins
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    ) >= 3
     # plane-dot accumulation stays integer (codegen) — a decimal accumulator
     # would show up as a sum(cast(... as decimal
     assert "as decimal(26,6)" not in plan.lower()
