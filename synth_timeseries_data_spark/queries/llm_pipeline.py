@@ -420,24 +420,33 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(d) -> str:
+    # One codegen'd explode of words, md5 as a plain column (the previous
+    # transform(ws, x -> md5(x)) array lambda ran interpreted), and all 16
+    # nibble votes as conditional sums in a single aggregation pass —
+    # replaces a 16-way position explode through a 16×-wider aggregate
+    # (measured 1.15 s → ~0.4 s at sf0.1).
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN SUBSTR(h, {p}, 1) IN ('8','9','a','b','c','d','e','f')"
+        f" THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(1, 17)
+    )
+    bits = " + ".join(f"(CASE WHEN v{p} >= 0 THEN {2 ** (p - 1)} ELSE 0 END)" for p in range(1, 17))
+    words_from = (
+        "SELECT doc_id, md5(w) AS h FROM w LATERAL VIEW explode(ws) ex AS w"
+        if d is _SPARK_D
+        else "SELECT doc_id, md5(u.w) AS h FROM w, unnest(ws) AS u(w)"
+    )
     return f"""
     WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
-    words AS (SELECT doc_id, h
-              FROM (SELECT doc_id, {d['transform']('ws', 'x -> md5(x)')} AS hs
-                    FROM w) t {'LATERAL VIEW explode(hs) ex AS h' if d is _SPARK_D else ', unnest(hs) AS u(h)'}),
+    words AS ({words_from}),
     votes AS (
-      SELECT doc_id, p,
-             SUM(CASE WHEN SUBSTR(h, p, 1) IN ('8','9','a','b','c','d','e','f')
-                      THEN 1 ELSE -1 END) AS vote
-      FROM (SELECT doc_id, h, {d['expand']('1', '16')} AS p FROM words) x
-      GROUP BY doc_id, p
+      SELECT doc_id,
+             {vote_cols}
+      FROM words
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN vote >= 0
-                         THEN CAST(ROUND(POWER(2, p - 1)) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS simhash16
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16
     FROM votes
-    GROUP BY doc_id
     """
 
 

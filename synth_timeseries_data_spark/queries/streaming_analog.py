@@ -92,8 +92,12 @@ def _session_sql(tus: str) -> str:
     ),
     sessions AS (
       SELECT user_id, event_id, tus,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+             -- explicit BIGINT: DuckDB's windowed SUM(int) yields HUGEINT,
+             -- which arrow/pandas conversion coerces to float64 and breaks
+             -- the schema contract vs Spark's bigint
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_no
       FROM marked
     )
     SELECT user_id, session_no,
