@@ -47,12 +47,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Oracle-checkable queries whose operator coverage is fully duplicated by an
 # earlier query (ts_diff ~ sampling_hist for V4; docs_by_lang ~ text_stats;
-# topk_value ~ vec_topk; tumbling_agg is the 1-window special case of
-# sliding_agg and its true streaming twin has behavior tests). Demoted to the
-# end of the oracle block so that a driver which checks only the first N
-# registry entries spends its window on queries that uniquely cover an
-# operator.
-_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value", "tumbling_agg")
+# topk_value ~ vec_topk_ivf's TakeOrdered; tumbling_agg is the 1-window
+# special case of sliding_agg and its true streaming twin has behavior tests;
+# vec_topk's brute-force cosine + TakeOrdered surface is fully exercised by
+# vec_topk_lsh / vec_topk_ivf / embed_neardup, which all run the same exact
+# cosine as their verify stage). Demoted to the end of the oracle block so
+# that a driver which checks only the first N registry entries spends its
+# window on queries that uniquely cover an operator.
+_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value", "tumbling_agg", "vec_topk")
 
 
 def all_queries() -> dict[str, Query]:

@@ -534,7 +534,11 @@ def _ann_sql(d, posexp: str) -> str:
     ),
     comps AS ({posexp}),
     dots AS (
-      SELECT c.vec_id, pl.p, ROUND(SUM(c.x * pl.w), 6) AS dot_p
+      -- bigint micro-sum: order-independent and bit-identical across
+      -- engines (a raw double SUM depends on partition merge order, and a
+      -- sum within an ulp of zero could flip the sign bit between engines)
+      SELECT c.vec_id, pl.p,
+             SUM(CAST(FLOOR(c.x * pl.w * 1000000.0) AS BIGINT)) AS dot_p
       FROM comps c JOIN planes pl ON pl.dim = c.dim
       GROUP BY c.vec_id, pl.p
     ),
@@ -587,6 +591,87 @@ def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — the signature pass is one narrow shuffle and the verify set is
     tiny, vs the brute-force full-corpus scan."""
     return _spark_vecs(spark, sf_dir, _ANN_SPARK)
+
+
+# --------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer cluster assignment + probe-2 search.
+#
+# The inverted-file counterpart of vec_topk_lsh: every vector is assigned to
+# its nearest of K coarse centroids (LCG-derived, identical in both engines —
+# a trained k-means would slot in the same place; random centroids still
+# partition the space into Voronoi cells); the query probes its 2 nearest
+# cells and exact cosine runs only inside the probed cells (~2/K of the
+# corpus). At 100 TB the assignment is one narrow aggregate and the probe is
+# a semi-join on cluster id — the classic IVF shape. Distances accumulate as
+# FLOOR-micro bigints so assignments can never diverge from summation order.
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_PROBES = 2
+_IVF_CENTROID_W = f"(2.0 * {lcg_uniform_sql('(c * 64 + dim)', salt=79)} - 1.0)"
+
+
+def _ivf_sql(d, posexp: str) -> str:
+    return f"""
+    WITH centroids AS (
+      SELECT c, dim, {_IVF_CENTROID_W} AS w
+      FROM (SELECT {d['expand']('0', str(_IVF_K - 1))} AS c) cc,
+           (SELECT {d['expand']('1', str(_ANN_DIMS))} AS dim) dd
+    ),
+    comps AS ({posexp}),
+    dists AS (
+      SELECT p.vec_id, ct.c,
+             SUM(CAST(FLOOR((p.x - ct.w) * (p.x - ct.w) * 1000000.0) AS BIGINT)) AS d2
+      FROM comps p JOIN centroids ct ON ct.dim = p.dim
+      GROUP BY p.vec_id, ct.c
+    ),
+    ranked AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM dists
+    ),
+    assign AS (SELECT vec_id, c FROM ranked WHERE rn = 1),
+    qprobe AS (SELECT c FROM ranked WHERE vec_id = 0 AND rn <= {_IVF_PROBES}),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN qprobe qp ON qp.c = a.c
+      WHERE a.vec_id != 0
+    ),
+    v AS (SELECT vec_id, label, {'transform(embedding, x -> CAST(x AS DOUBLE))' if d is _SPARK_D else 'CAST(embedding AS DOUBLE[])'} AS e
+          FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT v.vec_id, v.label,
+             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
+              if d is _SPARK_D else
+              'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
+      FROM v JOIN cand ON cand.vec_id = v.vec_id CROSS JOIN q
+    )
+    SELECT vec_id, label, ROUND(cos_sim, 6) + 0.0 AS cos_sim
+    FROM sims
+    ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+    LIMIT 10
+    """
+
+
+_IVF_SPARK = _ivf_sql(
+    _SPARK_D,
+    "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+)
+_IVF_DUCK = _ivf_sql(
+    _DUCK_D,
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings",
+)
+
+
+@register("vec_topk_ivf", _IVF_DUCK)
+def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: nearest-centroid assignment (8 LCG coarse centroids,
+    exact bigint-micro L2), query probes its 2 nearest cells, exact cosine
+    only inside probed cells — the inverted-file counterpart of the LSH
+    bucket path; assignment is one aggregate, probing is a semi-join."""
+    return _spark_vecs(spark, sf_dir, _IVF_SPARK)
 
 
 # --------------------------------------------------------------------------
