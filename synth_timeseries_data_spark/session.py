@@ -21,11 +21,22 @@ def get_session(app_name: str = "synth_timeseries_data_spark") -> SparkSession:
     # real cluster SPARK_GRAFT_SHUFFLE would be sized to the data (~128 MB
     # per partition), not to the core count.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)
+    # AQE is a scale-dependent trade: its per-exchange stage materialization
+    # costs ~100-300 ms of sequential job latency per shuffle boundary, which
+    # dominates sub-second queries at local fixture scale (asof_lag measured
+    # 1.48 s with AQE vs 0.93 s without), while its benefits — skew-join
+    # splitting, runtime partition coalescing, dynamic broadcast — only pay
+    # off when shuffle sizes are large or unpredictable. Default off for the
+    # local bench posture; a cluster deployment sets SPARK_GRAFT_AQE=true.
+    # Correctness is AQE-independent (the one AQE hazard — coalescing the
+    # kernel-sweep grid to one partition — is pinned by an explicit
+    # repartition; see queries/generation.py).
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
