@@ -154,7 +154,33 @@ def encode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literals (the link pipeline never produces 4, but Tetrad-style inputs do).
 # --------------------------------------------------------------------------
 
-_DECODE_BODY = """
+def _decode_body(spark_dialect: bool) -> str:
+    # Single pass over dedup: a UNION ALL of two SELECTs from the same CTE
+    # would make Spark (which inlines CTEs) evaluate the groupBy twice; the
+    # explode form emits the code-4 mirror row in the same scan.
+    if spark_dialect:
+        decoded = """
+      SELECT st.source AS source, st.target AS target, k
+      FROM dedup
+      LATERAL VIEW explode(
+        CASE WHEN code = 4
+             THEN array(named_struct('source', source, 'target', target),
+                        named_struct('source', target, 'target', source))
+             ELSE array(named_struct('source', source, 'target', target))
+        END) ex AS st
+      WHERE code > 0
+    """
+    else:
+        decoded = """
+      SELECT u.source AS source, u.target AS target, k
+      FROM dedup,
+      unnest(CASE WHEN code = 4
+                  THEN [{'source': source, 'target': target},
+                        {'source': target, 'target': source}]
+                  ELSE [{'source': source, 'target': target}] END) AS t(u)
+      WHERE code > 0
+    """
+    return f"""
     , coded AS (
       SELECT CASE WHEN s LIKE '%<%' THEN j ELSE i END AS source,
              CASE WHEN s LIKE '%<%' THEN i ELSE j END AS target,
@@ -171,17 +197,15 @@ _DECODE_BODY = """
       SELECT source, target, k, MAX(code) AS code
       FROM coded GROUP BY source, target, k
     ),
-    decoded AS (
-      SELECT source, target, k FROM dedup WHERE code > 0
-      UNION ALL
-      SELECT target AS source, source AS target, k FROM dedup WHERE code = 4
-    )
+    decoded AS ({decoded})
     SELECT source, target, k, CAST(1 AS INT) AS edge
     FROM decoded
     GROUP BY source, target, k
     """
 
-_DECODE_SPARK, _DECODE_DUCK = _dual_links(_DECODE_BODY)
+
+_DECODE_SPARK = _links_cte(_spark_expand) + _decode_body(True)
+_DECODE_DUCK = _links_cte(_duck_expand) + _decode_body(False)
 
 
 @register("decode_edges", _DECODE_DUCK)

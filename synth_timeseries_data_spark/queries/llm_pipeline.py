@@ -334,7 +334,11 @@ def _minhash_tail(d) -> str:
                              AND a.doc_id < b.doc_id
     ),
     inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      -- BROADCAST(c): the candidate-pair set is tiny (bucket collisions
+      -- only) but derived, so the static planner can't see its size and
+      -- would sort-merge the 1M-row shingle side twice; the hint is a
+      -- comment to DuckDB.
+      SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM cand c
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
@@ -558,7 +562,7 @@ def _ann_sql(d, posexp: str) -> str:
           FROM embeddings),
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     sims AS (
-      SELECT v.vec_id, v.label,
+      SELECT /*+ BROADCAST(cand) */ v.vec_id, v.label,
              {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
               if d is _SPARK_D else
               'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
@@ -640,7 +644,7 @@ def _ivf_sql(d, posexp: str) -> str:
           FROM embeddings),
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     sims AS (
-      SELECT v.vec_id, v.label,
+      SELECT /*+ BROADCAST(cand) */ v.vec_id, v.label,
              {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
               if d is _SPARK_D else
               'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
@@ -734,7 +738,7 @@ def _neardup_sql(d, posexp: str) -> str:
           FROM (SELECT vec_id, label, {'transform(embedding, x -> CAST(x AS DOUBLE))' if d is _SPARK_D else 'CAST(embedding AS DOUBLE[])'} AS e
                 FROM embeddings) ve),
     sims AS (
-      SELECT c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
+      SELECT /*+ BROADCAST(c) */ c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
              {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)'
               if d is _SPARK_D else
               'list_dot_product(va.e, vb.e)'} / (va.nrm * vb.nrm) AS cos_sim
