@@ -21,17 +21,19 @@ def get_session(app_name: str = "synth_timeseries_data_spark") -> SparkSession:
     # real cluster SPARK_GRAFT_SHUFFLE would be sized to the data (~128 MB
     # per partition), not to the core count.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)
-    # AQE is a scale-dependent trade: its per-exchange stage materialization
-    # costs ~100-300 ms of sequential job latency per shuffle boundary, which
-    # dominates sub-second queries at local fixture scale (asof_lag measured
-    # 1.48 s with AQE vs 0.93 s without), while its benefits — skew-join
-    # splitting, runtime partition coalescing, dynamic broadcast — only pay
-    # off when shuffle sizes are large or unpredictable. Default off for the
-    # local bench posture; a cluster deployment sets SPARK_GRAFT_AQE=true.
-    # Correctness is AQE-independent (the one AQE hazard — coalescing the
-    # kernel-sweep grid to one partition — is pinned by an explicit
-    # repartition; see queries/generation.py).
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    # AQE on is the cluster posture (skew-join splitting, runtime partition
+    # coalescing, dynamic broadcast) and measured best in aggregate locally
+    # too: its per-exchange stage materialization costs ~100 ms per shuffle
+    # boundary on sub-second queries (asof_lag 1.5 s vs 0.9 s without), but
+    # turning it off regresses every query that leans on shuffle coalescing
+    # (edge_tensor 0.9 s → 1.1 s, ngram_jaccard 0.6 s → 1.2 s) and the
+    # derived-candidate joins now carry explicit BROADCAST hints so neither
+    # mode mis-plans them. SPARK_GRAFT_AQE=false flips the trade for
+    # latency-critical small-query workloads. Correctness is AQE-independent
+    # (the one AQE hazard — coalescing the kernel-sweep grid to one
+    # partition — is pinned by an explicit repartition; see
+    # queries/generation.py).
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
