@@ -68,10 +68,14 @@ def main() -> int:
     only = set(sys.argv[1:])
 
     # Vanilla session on purpose: the driver does NOT call our get_session.
+    # GATE_CPUS varies parallelism — results must be identical at any core
+    # count (partition-order independence is part of the determinism
+    # contract).
+    cpus = os.environ.get("GATE_CPUS", "32")
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver-gate-sim")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "8g")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
