@@ -54,7 +54,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # cosine as their verify stage). Demoted to the end of the oracle block so
 # that a driver which checks only the first N registry entries spends its
 # window on queries that uniquely cover an operator.
-_DEMOTED = ("ts_diff", "docs_by_lang", "topk_value", "tumbling_agg", "vec_topk")
+# ngram_jaccard is the bounded brute-force baseline whose inverted-index
+# join + exact-Jaccard surface is minhash_dedup's verify stage.
+_DEMOTED = (
+    "ts_diff",
+    "docs_by_lang",
+    "topk_value",
+    "tumbling_agg",
+    "vec_topk",
+    "ngram_jaccard",
+)
 
 
 def all_queries() -> dict[str, Query]:

@@ -53,18 +53,28 @@ def decode_image(payload: bytes):
 
 _FEATURES_SCHEMA = (
     "doc_id long, n_bytes int, payload_md5 string, fake_width int, "
-    "fake_height int, n_frames int, n_sampled int"
+    "fake_height int, n_frames int, n_sampled int, resize_w int, resize_h int"
 )
+
+_RESIZE_TARGET = 224
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched 'decode': deterministic pseudo-metadata per payload.
     Every output column is a pure function of the bytes, so DuckDB can
     recompute it and the driver's value-hash check applies to a Python
-    stage."""
+    stage. resize_w/h is the aspect-preserving fit into 224×224 computed in
+    pure integer arithmetic (engine-exact, no float rounding)."""
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.map(len)
+        w = 320 + n_bytes % 320
+        h = 240 + (n_bytes * 7) % 240
+        landscape = w >= h
+        resize_w = landscape * _RESIZE_TARGET + (~landscape) * (
+            w * _RESIZE_TARGET // h
+        )
+        resize_h = landscape * (h * _RESIZE_TARGET // w) + (~landscape) * _RESIZE_TARGET
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -72,23 +82,36 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "payload_md5": payloads.map(
                     lambda b: hashlib.md5(bytes(b)).hexdigest()
                 ),
-                "fake_width": (320 + n_bytes % 320).astype("int32"),
-                "fake_height": (240 + (n_bytes * 7) % 240).astype("int32"),
+                "fake_width": w.astype("int32"),
+                "fake_height": h.astype("int32"),
                 "n_frames": (1 + n_bytes % 48).astype("int32"),
                 "n_sampled": (1 + (1 + n_bytes % 48 - 1) // 8).astype("int32"),
+                "resize_w": resize_w.astype("int32"),
+                "resize_h": resize_h.astype("int32"),
             }
         )
 
 
-_MM_ORACLE = """
+_MM_ORACLE = f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             CAST(LENGTH(text) AS INT) AS n_bytes,
+             320 + LENGTH(text) % 320 AS w,
+             240 + (LENGTH(text) * 7) % 240 AS h
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(LENGTH(text) AS INT) AS n_bytes,
+           n_bytes,
            md5(text) AS payload_md5,
-           CAST(320 + LENGTH(text) % 320 AS INT) AS fake_width,
-           CAST(240 + (LENGTH(text) * 7) % 240 AS INT) AS fake_height,
-           CAST(1 + LENGTH(text) % 48 AS INT) AS n_frames,
-           CAST(1 + FLOOR((LENGTH(text) % 48) / 8.0) AS INT) AS n_sampled
-    FROM documents
+           CAST(w AS INT) AS fake_width,
+           CAST(h AS INT) AS fake_height,
+           CAST(1 + n_bytes % 48 AS INT) AS n_frames,
+           CAST(1 + FLOOR((n_bytes % 48) / 8.0) AS INT) AS n_sampled,
+           CAST(CASE WHEN w >= h THEN {_RESIZE_TARGET}
+                     ELSE FLOOR(w * {_RESIZE_TARGET} / h) END AS INT) AS resize_w,
+           CAST(CASE WHEN w >= h THEN FLOOR(h * {_RESIZE_TARGET} / w)
+                     ELSE {_RESIZE_TARGET} END AS INT) AS resize_h
+    FROM dims
     """
 
 
@@ -103,3 +126,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.mapInPandas(_extract_features, _FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: one output row per SAMPLED frame (stride 8) — the
+# video-pipeline batch shape where the Python stage fans each input out to
+# multiple rows. Frames are fixed-length byte slices of the payload
+# (deterministic stand-in for real frame extraction); each sampled frame is
+# content-hashed, so DuckDB re-derives the identical rows from substr+md5
+# and the fan-out Python stage is value-verified end to end.
+# --------------------------------------------------------------------------
+
+_FRAME_STRIDE = 8
+
+_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset int, frame_len int, "
+    "frame_md5 string"
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "frame_offset": [],
+            "frame_len": [], "frame_md5": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            n_frames = 1 + n % 48
+            flen = max(1, n // n_frames)
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                off = idx * flen
+                sl = b[off : off + flen]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_offset"].append(off)
+                out["frame_len"].append(len(sl))
+                out["frame_md5"].append(hashlib.md5(sl).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_offset": pd.Series(out["frame_offset"], dtype="int32"),
+                "frame_len": pd.Series(out["frame_len"], dtype="int32"),
+                "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+            }
+        )
+
+
+_FRAMES_ORACLE = f"""
+    WITH meta AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n,
+             1 + LENGTH(text) % 48 AS n_frames,
+             GREATEST(1, CAST(FLOOR(LENGTH(text) / (1 + LENGTH(text) % 48)) AS INT)) AS flen
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text, n, flen,
+             unnest(generate_series(0, n_frames - 1, {_FRAME_STRIDE})) AS frame_idx
+      FROM meta
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * flen AS INT) AS frame_offset,
+           CAST(LENGTH(substr(text, frame_idx * flen + 1, flen)) AS INT) AS frame_len,
+           md5(substr(text, frame_idx * flen + 1, flen)) AS frame_md5
+    FROM frames
+    """
+
+
+@register("multimodal_framesample", _FRAMES_ORACLE)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads via mapInPandas — the
+    one-to-many Python batch shape (each payload fans out to its sampled
+    frames, content-hashed per frame). ASCII payloads make byte slices equal
+    char slices, so the oracle re-derives every row with substr+md5."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(_sample_frames, _FRAMES_SCHEMA)
