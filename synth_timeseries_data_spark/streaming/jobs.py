@@ -87,3 +87,61 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts_event", watermark).dropDuplicates(
         ["event_id", "ts_event"]
     )
+
+
+def lagged_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: the streaming
+    twin of the flagship lag_features query. Per user, the last two observed
+    values persist in state across micro-batches; each arriving event emits
+    its (value_lag1, value_lag2, value_diff1) exactly as the batch window
+    form computes them. State is two doubles per key — bounded, no timeline
+    kept — which is the shape that scales to millions of keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts_us bigint, value double, "
+        "value_lag1 double, value_lag2 double, value_diff1 double"
+    )
+    state_schema = "lag1 double, lag2 double"
+
+    def step(key, pdfs, state: GroupState):
+        (user_id,) = key
+        lag1, lag2 = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_event", "event_id"])
+            for r in pdf.itertuples(index=False):
+                v = float(r.value) if r.value == r.value else None
+                rows.append(
+                    (
+                        int(user_id),
+                        int(r.event_id),
+                        int(r.ts) // 1000,
+                        v,
+                        lag1,
+                        lag2,
+                        None if (v is None or lag1 is None) else v - lag1,
+                    )
+                )
+                lag1, lag2 = v, lag1
+        state.update((lag1, lag2))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts_us", "value",
+                "value_lag1", "value_lag2", "value_diff1",
+            ],
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            step,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -89,3 +89,49 @@ def test_streaming_dedup_keeps_all_unique(spark, events_dir):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_lagged_stream_matches_batch_flagship(spark, events_dir, smoke_sf_dir):
+    """The custom stateful operator (applyInPandasWithState) must reproduce
+    the batch flagship lag_features exactly: per-user last-two-values state,
+    LAG-with-NULLs semantics, (ts, event_id) ordering."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import lagged_stream, stream_events
+
+    q = _run_to_memory_append(
+        lagged_stream(stream_events(spark, events_dir)), "lagged_t"
+    )
+    try:
+        cols = ["user_id", "event_id", "ts_us", "value",
+                "value_lag1", "value_lag2", "value_diff1"]
+        got = (
+            spark.sql("SELECT * FROM lagged_t")
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)[cols]
+        )
+        batch = (
+            all_queries()["lag_features"]
+            .build(spark, smoke_sf_dir)
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)[cols]
+        )
+        assert len(got) == len(batch) > 0
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got, batch, check_dtype=False)
+    finally:
+        q.stop()
+
+
+def _run_to_memory_append(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
