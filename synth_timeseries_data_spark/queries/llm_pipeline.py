@@ -153,7 +153,10 @@ def _lang_id_sql(d) -> str:
     SELECT lang,
            CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted,
            COUNT(*) AS n_docs,
-           ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
+           -- micro-floored mean: AVG(double) depends on partition merge
+           -- order; the bigint sum is exact and order-independent
+           ROUND(CAST(SUM(CAST(FLOOR(stop_ratio * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) + 0.0 AS avg_stop_ratio
     FROM scored
     GROUP BY lang, CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END
     """

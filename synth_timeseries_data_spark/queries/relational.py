@@ -138,36 +138,48 @@ def sampling_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "summary_stats",
-    f"""
+# std_qty from exact micro-floored sums rather than STDDEV_SAMP: the two
+# engines' variance aggregates are different streaming algorithms (Welford
+# vs co-moment merging) whose round-6 agreement is data luck, and Spark's is
+# an interpreted ImperativeAggregate; identical bigint sums + an identical
+# IEEE formula are bit-deterministic with no rounding (same strategy as
+# corr_matrix / trend_fit).
+_SUMMARY_SQL = f"""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(l_quantity * 1000000.0) AS BIGINT)) AS s_q,
+             SUM(CAST(FLOOR(l_quantity * l_quantity * 1000000.0) AS BIGINT)) AS s_qq,
+             SUM(CAST(FLOOR(l_extendedprice * 1000000.0) AS BIGINT)) AS s_p,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS s_dp,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n_rows,
-           {sql_dsum("l_quantity")} AS sum_qty,
-           {sql_dsum("l_extendedprice")} AS sum_price,
-           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-           {sql_davg("l_quantity")} AS avg_qty,
-           MIN(l_quantity) AS min_qty,
-           MAX(l_quantity) AS max_qty,
-           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
+           n AS n_rows,
+           CAST(s_q AS DOUBLE) / 1000000.0 AS sum_qty,
+           CAST(s_p AS DOUBLE) / 1000000.0 AS sum_price,
+           CAST(s_dp AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(s_q AS DOUBLE) / 1000000.0 / n AS avg_qty,
+           min_qty,
+           max_qty,
+           SQRT((CAST(n AS DOUBLE) * (CAST(s_qq AS DOUBLE) / 1000000.0)
+                 - (CAST(s_q AS DOUBLE) / 1000000.0) * (CAST(s_q AS DOUBLE) / 1000000.0))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty
+    FROM s
+    """
+
+
+@register("summary_stats", _SUMMARY_SQL)
 def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.describe() analog (Codes/a1.py:374, b2.py:317-320) as a grouped
-    aggregate — partial+final hash agg, map-side combine for free."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"),
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_price"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
-        davg("l_quantity", "avg_qty"),
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-    )
+    aggregate — partial+final hash agg, map-side combine for free; sums and
+    the sample stddev come from exact scaled-bigint accumulation (see
+    _SUMMARY_SQL notes)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUMMARY_SQL)
 
 
 # Pearson correlation from raw scaled-bigint sums rather than the engines'
@@ -241,31 +253,51 @@ _T0_US = 1704067200000000  # 2024-01-01 UTC — fixed origin for trend regressio
 _TDAYS = f"((epoch_us(ts) - {_T0_US}) / 86400000000.0)"
 
 
-@register(
-    "trend_fit",
-    f"""
-    SELECT user_id,
-           ROUND(REGR_SLOPE(value, {_TDAYS}), 6) AS slope,
-           ROUND(REGR_INTERCEPT(value, {_TDAYS}), 6) AS intercept,
-           COUNT(*) AS n_points
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """np.polyfit(time, y, 1) per series (Codes/c1.py:400-403) as
-    regr_slope/regr_intercept aggregates."""
-    ev = load(spark, sf_dir, "events")
-    t_days = (F.expr(_TS_US) - F.lit(_T0_US)) / 86400000000.0
-    return (
-        ev.withColumn("t_days", t_days)
-        .groupBy("user_id")
-        .agg(
-            F.round(F.expr("regr_slope(value, t_days)"), 6).alias("slope"),
-            F.round(F.expr("regr_intercept(value, t_days)"), 6).alias("intercept"),
-            F.count("*").alias("n_points"),
-        )
+def _trend_fit_sql(tus: str) -> str:
+    # degree-1 least squares from exact micro-floored sums: REGR_SLOPE /
+    # REGR_INTERCEPT are differently-implemented streaming aggregates per
+    # engine (agreement at round-6 was data luck), while identical bigint
+    # sums + an identical IEEE double formula are bit-deterministic with no
+    # rounding at all. Same strategy as corr_matrix.
+    def m(expr: str, alias: str) -> str:
+        return f"SUM(CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT)) AS {alias}"
+
+    # CAST the numerator: DuckDB parses 86400000000.0 as a DECIMAL literal,
+    # and BIGINT / DECIMAL runs exact decimal division — higher precision
+    # than Spark's double division, which then diverges inside
+    # FLOOR(x·x·1e6). DOUBLE / DECIMAL promotes to double in both engines.
+    td = f"(CAST({tus} - {_T0_US} AS DOUBLE) / 86400000000.0)"
+    return f"""
+    WITH pts AS (SELECT user_id, value, {td} AS x FROM events),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             {m('x', 's_x')}, {m('value', 's_y')},
+             {m('x * value', 's_xy')}, {m('x * x', 's_xx')}
+      FROM pts GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, CAST(n AS DOUBLE) AS n,
+             CAST(s_x AS DOUBLE) / 1000000.0 AS sx,
+             CAST(s_y AS DOUBLE) / 1000000.0 AS sy,
+             CAST(s_xy AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(s_xx AS DOUBLE) / 1000000.0 AS sxx
+      FROM s
     )
+    SELECT user_id,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           CAST(n AS BIGINT) AS n_points
+    FROM d
+    """
+
+
+@register("trend_fit", _trend_fit_sql("epoch_us(ts)"))
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.polyfit(time, y, 1) per series (Codes/c1.py:400-403) — ordinary
+    least squares from exact scaled-bigint raw sums in one codegen'd
+    aggregation pass (see _trend_fit_sql notes)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_trend_fit_sql(_TS_US))
 
 
 @register(

@@ -238,7 +238,12 @@ def asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLL_ORACLE = """
     SELECT user_id, event_id,
-           ROUND(AVG(value) OVER w, 6) AS roll_mean,
+           -- micro-floored rolling mean: Spark evaluates sliding frames
+           -- incrementally (add/retract) while DuckDB recomputes them, so a
+           -- double AVG can differ in the last ulp; the bigint frame sum is
+           -- exact under both strategies
+           ROUND(CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER w AS DOUBLE)
+                 / 1000000.0 / (COUNT(*) OVER w), 6) + 0.0 AS roll_mean,
            MIN(value) OVER w AS roll_min,
            MAX(value) OVER w AS roll_max,
            COUNT(*) OVER w AS roll_n
@@ -258,10 +263,16 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-9, Window.currentRow)
     )
     ev = load(spark, sf_dir, "events")
+    micro_sum = F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).over(w)
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 6).alias("roll_mean"),
+        (
+            F.round(
+                micro_sum.cast("double") / 1000000.0 / F.count("*").over(w), 6
+            )
+            + 0.0
+        ).alias("roll_mean"),
         F.min("value").over(w).alias("roll_min"),
         F.max("value").over(w).alias("roll_max"),
         F.count("*").over(w).alias("roll_n"),
