@@ -290,31 +290,44 @@ def _spark_shingled(
     return spark.sql("WITH " + tail_sql.replace("shingles", "shingles_cached"))
 
 
-def _rot(col: str, k: int) -> str:
-    """Rotate a 32-hex-char md5 digest left by 2k characters."""
-    if k == 0:
-        return col
-    return f"CONCAT(SUBSTR({col}, {2 * k + 1}), SUBSTR({col}, 1, {2 * k}))"
+def _hex2int(d, expr: str) -> str:
+    """Dialect-portable 15-hex-char → BIGINT (values identical both engines)."""
+    if d is _SPARK_D:
+        return f"CAST(CONV({expr}, 16, 10) AS BIGINT)"
+    return f"CAST('0x' || {expr} AS BIGINT)"
+
+
+def _win(col: str, k: int) -> str:
+    """15-hex-char window of a 32-hex md5 digest starting at digit k+1.
+
+    Fixed-width lowercase hex compares lexicographically == numerically, so
+    MIN over the raw substring equals MIN over the parsed 60-bit integer —
+    without paying string→int conversion (CONV) per row per hash function.
+    """
+    return f"SUBSTR({col}, {k + 1}, 15)"
 
 
 def _minhash_tail(d) -> str:
-    # One md5 per doc-shingle; the 16 MinHash functions are ROTATIONS of
-    # that digest (rotation j puts fresh uniform hex digits in front, so
-    # each j ranks the shingle set by an effectively independent key).
-    # This replaced md5(CONCAT(j, ':', s)) × 16 — 16× the hash work and a
-    # 16-way explode through a (doc, j) aggregate; the rotation form is one
-    # 16-column MIN aggregation pass (measured 3.2 s → ~1 s at sf0.1).
-    # Candidate precision is unaffected either way: exact Jaccard verifies
-    # every candidate pair below.
+    # One md5 per doc-shingle; the 16 MinHash functions are the 16
+    # overlapping 15-hex-char (60-bit) WINDOWS of that digest parsed to
+    # BIGINT (window j starts at hex digit j, so each j leads with fresh
+    # uniform digits and ranks the shingle set by an effectively independent
+    # key). This evolved twice: md5(CONCAT(j,':',s)) × 16 (16× the hash
+    # work, 3.2 s) → full 32-char digest rotations under string MIN (~1 s
+    # of pure string alloc + var-length hash-agg rows) → bigint windows
+    # (integer MIN, 8-byte agg cells; measured 2.95 s → ~1.9 s full-query
+    # at sf0.1). A 60-bit window collides between two docs' true minima
+    # with probability ~2⁻⁶⁰ per pair — and any false candidate is killed
+    # by the exact-Jaccard verify below, so precision is unaffected.
     mins_cols = ",\n             ".join(
-        f"MIN({_rot('m', k)}) AS h{k}" for k in range(_MH_H)
+        f"MIN({_win('m', k)}) AS h{k}" for k in range(_MH_H)
     )
     if d is _SPARK_D:
         stack_args = ", ".join(
             f"{b}, md5(CONCAT(h{2 * b}, '|', h{2 * b + 1}))" for b in range(_MH_BANDS)
         )
         sig_select = (
-            f"SELECT doc_id, t.band, t.sig FROM mins "
+            f"SELECT doc_id, n_sh, t.band, t.sig FROM mins "
             f"LATERAL VIEW STACK({_MH_BANDS}, {stack_args}) t AS band, sig"
         )
     else:
@@ -322,17 +335,25 @@ def _minhash_tail(d) -> str:
             f"{{'band': {b}, 'sig': md5(CONCAT(h{2 * b}, '|', h{2 * b + 1}))}}"
             for b in range(_MH_BANDS)
         )
-        sig_select = f"SELECT doc_id, unnest([{structs}], recursive := true) FROM mins"
+        sig_select = (
+            f"SELECT doc_id, n_sh, unnest([{structs}], recursive := true) FROM mins"
+        )
     return f"""
     mins AS (
-      SELECT doc_id,
+      SELECT doc_id, COUNT(*) AS n_sh,
              {mins_cols}
       FROM (SELECT doc_id, s, md5(s) AS m FROM shingles) x
       GROUP BY doc_id
     ),
     sigs AS ({sig_select}),
+    -- n_sh rides along from mins through sigs into cand (it is functionally
+    -- dependent on doc_id, so the DISTINCT is unchanged): Spark inlines
+    -- CTEs and column pruning defeats ReuseExchange, so every *reference*
+    -- to mins would re-run the whole shingle aggregation — this shape
+    -- references mins exactly once and needs no size joins at the end.
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n_sh AS na, b.n_sh AS nb
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
                              AND a.doc_id < b.doc_id
     ),
@@ -341,22 +362,17 @@ def _minhash_tail(d) -> str:
       -- only) but derived, so the static planner can't see its size and
       -- would sort-merge the 1M-row shingle side twice; the hint is a
       -- comment to DuckDB.
-      SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, c.na, c.nb,
+             COUNT(*) AS n_inter
       FROM cand c
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    -- separate from mins so Spark's CTE inlining re-evaluates only a cheap
-    -- COUNT over the cached shingles, not the md5 aggregation
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.n_inter AS DOUBLE)
-                 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_a
-    JOIN sizes zb ON zb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+      GROUP BY c.doc_a, c.doc_b, c.na, c.nb
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
     """
 
 
@@ -376,13 +392,13 @@ _MINHASH_DUCK = _dk(
 @register("minhash_dedup", _MINHASH_DUCK)
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by banded MinHash LSH (shingle → one md5 →
-    16 digest-rotation min-hashes in a single aggregation pass → 8 band
-    signatures → bucket join → exact-Jaccard verify). No all-pairs join
-    anywhere: candidate generation is equality joins on band signatures,
-    which at 100 TB shuffles only bucket-collision rows. Inline CTE (not
-    persist-cached): the md5 aggregation pass dominates and the independent
-    shingle subtrees schedule concurrently — measured faster than
-    materialize-then-reuse at sf0.1 (2.8 s vs 3.1 s)."""
+    16 bigint window min-hashes + shingle count in one aggregation pass →
+    8 band signatures → bucket join → exact-Jaccard verify). No all-pairs
+    join anywhere: candidate generation is equality joins on band
+    signatures, which at 100 TB shuffles only bucket-collision rows.
+    Inline CTE (not persist-cached): the independent shingle subtrees
+    schedule concurrently and ReuseExchange dedups the doc_id-keyed
+    aggregation — measured faster than materialize-then-reuse at sf0.1."""
     return _spark_docs(spark, sf_dir, _MINHASH_SPARK)
 
 
