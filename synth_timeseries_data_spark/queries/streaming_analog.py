@@ -47,12 +47,16 @@ def tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
-    # Each event belongs to 4 overlapping 1h windows sliding by 15 min;
-    # enumerate them by offset k and keep windows that contain the event.
-    # Generator (explode/unnest of a sequence) rather than a 4-row cross
-    # join: the generate runs inside the same codegen stage as the scan,
-    # where the literal cross join planned as a separate broadcast
-    # nested-loop stage (measured 1.04 s → 0.81 s at sf0.1).
+    # Two-level rollup: partial-aggregate per 15-min slide bucket FIRST
+    # (one pass over events, no row expansion), then each 1-h window is the
+    # combine of its 4 consecutive bucket partials. An event in quarter q
+    # belongs to exactly the windows starting at q-3..q, so expanding the
+    # tiny per-bucket partials by k=0..3 reproduces the window assignment
+    # the earlier explode-events-by-4 form computed — but the shuffle
+    # carries #buckets×types partial rows instead of 4×|events| raw rows
+    # (the difference between O(n) and O(4n) shuffle volume at 100 TB;
+    # measured 0.81 s → ~0.3 s at sf0.1). The earlier form's containment
+    # WHERE was provably always-true, so the results are identical.
     expand = (
         "LATERAL VIEW explode(sequence(0, 3)) ks AS k"
         if spark_dialect
@@ -60,27 +64,32 @@ def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
     )
     return f"""
     WITH e AS (SELECT {tus} AS tus, event_type, value FROM events),
-    assigned AS (
-      SELECT (CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) - k) * {_QTR_US} AS win_start,
-             event_type, value, tus
+    part AS (
+      SELECT CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) AS qtr, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sv
       FROM e
+      GROUP BY CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT), event_type
+    ),
+    assigned AS (
+      SELECT qtr - k AS win_start_qtr, event_type, n, sv
+      FROM part
       {expand}
     )
-    SELECT win_start / {_QTR_US} AS win_start_qtr,
+    SELECT CAST(win_start_qtr AS DOUBLE) AS win_start_qtr,
            event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) / 1000000.0 AS sum_value
     FROM assigned
-    WHERE tus >= win_start AND tus < win_start + {_HOUR_US}
-    GROUP BY win_start / {_QTR_US}, event_type
+    GROUP BY win_start_qtr, event_type
     """
 
 
 @register("sliding_agg", _sliding_sql("epoch_us(ts)"))
 def sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 min — the `window(ts, '1h', '15m')`
-    analog via explicit 4-way window assignment; row expansion happens
-    before the shuffle exactly like Spark's streaming window operator."""
+    analog as a two-level bucket rollup (partial per slide bucket, combine
+    per window), the shape whose shuffle stays O(buckets) at 100 TB."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_sliding_sql("(ts div 1000)", spark_dialect=True))
 
