@@ -135,3 +135,119 @@ def _run_to_memory_append(df, name: str):
     )
     q.awaitTermination(120)
     return q
+
+
+_GAP_US = 1_800_000_000  # 30 min, same gap as the session_agg analog
+
+
+def test_sessionized_stream_matches_batch(spark, events_dir, smoke_sf_dir):
+    """session_window sessions must be the same (user, start, last-event,
+    count) tuples as the batch gaps-and-islands analog. Spark's
+    session_window end is last-event-time + gap, the batch analog's
+    session_end_us is the last event itself — subtract the gap to compare."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import sessionized_stream
+
+    q = _run_to_memory(
+        sessionized_stream(stream_events(spark, events_dir)), "session_t"
+    )
+    try:
+        got = (
+            spark.sql(
+                "SELECT user_id, session_start_us, "
+                f"session_end_us - {_GAP_US} AS last_event_us, n_events "
+                "FROM session_t"
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        batch = (
+            all_queries()["session_agg"]
+            .build(spark, smoke_sf_dir)
+            .selectExpr(
+                "user_id",
+                "session_start_us",
+                "session_end_us AS last_event_us",
+                "n_events",
+            )
+            .toPandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(batch) > 0
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got, batch, check_dtype=False)
+    finally:
+        q.stop()
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the checkpointed watermark must be excluded from its
+    (already finalized) window. Run 1 processes on-time data and checkpoints
+    a watermark near hour 10; run 2 resumes the checkpoint and feeds one
+    very-late hour-1 row — the emitted hour-1 window must count only the
+    on-time event."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    hour_ns = 3_600_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        # file source wants files appearing inside src
+        import glob
+        import shutil as sh
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_once(tag):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        from synth_timeseries_data_spark.streaming import tumbling_stream
+
+        q = (
+            tumbling_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # Run 1: one event in each of hours 1..10 — watermark lands at ~10h-10min.
+    write_file(
+        [(i, i * hour_ns + hour_ns // 2, 1, "a", 1.0, None) for i in range(1, 11)],
+        "batch1",
+    )
+    run_once("r1")
+
+    # Run 2: a single very-late hour-1 row, far behind the watermark.
+    write_file([(99, hour_ns + hour_ns // 4, 1, "a", 1.0, None)], "batch2")
+    run_once("r2")
+
+    emitted = {
+        int(r["hour_bucket"]): int(r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # The hour-1 window must have been finalized and emitted with ONLY the
+    # on-time event; the late row was dropped by the watermark.
+    assert emitted.get(1) == 1
