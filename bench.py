@@ -66,9 +66,37 @@ def _duckdb_times(queries, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _wait_for_quiet_cpu(max_wait_s: float = 60.0, busy_frac: float = 0.25) -> None:
+    """Block until system CPU is mostly idle (or max_wait_s elapses).
+
+    A bench launched seconds after another Spark JVM exits (test suite, gate
+    simulator) measures that JVM's shutdown, not the queries: observed 48.7 s
+    for a 2 s query under such contention. Sampling /proc/stat over 0.5 s
+    windows is instantaneous and exact, unlike load average which decays over
+    a minute. No-ops on non-Linux or any read error.
+    """
+
+    def cpu_counters():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    try:
+        deadline = time.time() + max_wait_s
+        while time.time() < deadline:
+            t0, i0 = cpu_counters()
+            time.sleep(0.5)
+            t1, i1 = cpu_counters()
+            if t1 == t0 or 1.0 - (i1 - i0) / (t1 - t0) < busy_frac:
+                return
+    except OSError:
+        return
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _wait_for_quiet_cpu()
     spark = get_session("synth_timeseries_data_spark-bench")
 
     queries = all_queries()
