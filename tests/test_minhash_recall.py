@@ -20,8 +20,11 @@ from synth_timeseries_data_spark.queries.llm_pipeline import (
     _MH_BANDS,
     _MH_H,
     _SPARK_D,
+    _mh_docagg_sql,
+    _mh_sigs_sql,
     _minhash_tail,
     _shingles_cte,
+    _shingles_raw_cte,
 )
 
 N_PAIRS = 40
@@ -59,7 +62,12 @@ def neardup_view(spark):
 
 
 def test_banded_minhash_recall(spark, neardup_view):
-    sql = "WITH " + _shingles_cte(_SPARK_D)[9:].strip() + "," + _minhash_tail(_SPARK_D)
+    sql = (
+        _shingles_raw_cte(_SPARK_D)
+        + f", docagg AS ({_mh_docagg_sql(_SPARK_D)}),"
+        + f" sigs AS ({_mh_sigs_sql(_SPARK_D, 'docagg')}),"
+        + _minhash_tail(_SPARK_D, "docagg", "sigs")
+    )
     got = {
         (r.doc_a, r.doc_b)
         for r in spark.sql(sql).collect()
