@@ -234,6 +234,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dataset assembly: deterministic train/valid/test split and per-stratum
+# downsampling. Both are pure hash projections — no shuffle beyond the final
+# rollup — so assignment is reproducible on any engine, at any partition
+# count, and stable under re-runs/backfills (the property random() splits
+# lack). The md5-hex → bigint uniform is the same device the detrand layer
+# uses: identical text in, identical digits out, in Spark and DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _hex2int(d, expr: str) -> str:
+    """Dialect-portable 15-hex-char → BIGINT (values identical both engines)."""
+    if d is _SPARK_D:
+        return f"CAST(CONV({expr}, 16, 10) AS BIGINT)"
+    return f"CAST('0x' || {expr} AS BIGINT)"
+
+
+def _hash_split_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars, CAST({bucket} % 100 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM b
+    GROUP BY CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END, lang
+    """
+
+
+_HASH_SPLIT_SPARK, _HASH_SPLIT_DUCK = _dual(_hash_split_sql)
+
+
+@register("hash_split", _HASH_SPLIT_DUCK)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashing the
+    document key (never a random() — the split must survive re-runs,
+    backfills, and engine changes), rolled up per split × lang. The
+    assignment is a stateless projection: at 100 TB it is partition-local
+    work with one small final aggregation."""
+    return _spark_docs(spark, sf_dir, _HASH_SPLIT_SPARK)
+
+
+# Per-language keep-rates: downsample the over-represented languages,
+# keep the tail whole — the standard corpus-rebalancing move.
+_STRAT_RATES = "(VALUES ('en', 40), ('zh', 80), ('es', 80), ('de', 100), ('fr', 100))"
+
+
+def _stratified_sample_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    u100 = _hex2int(d, f"SUBSTR(md5(CONCAT('strat|', CAST(doc_id AS {strcast}))), 1, 15)")
+    return f"""
+    WITH rates AS (SELECT * FROM {_STRAT_RATES} AS r(lang, keep_pct)),
+    u AS (
+      SELECT doc_id, lang, n_chars, CAST({u100} % 100 AS INT) AS u
+      FROM documents
+    )
+    SELECT u.doc_id, u.lang, u.n_chars
+    FROM u JOIN rates r ON r.lang = u.lang
+    WHERE u.u < r.keep_pct
+    """
+
+
+_STRAT_SPARK, _STRAT_DUCK = _dual(_stratified_sample_sql)
+
+
+@register("stratified_sample", _STRAT_DUCK)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (hash-uniform < per-stratum
+    keep rate): rebalances an over-represented language without losing the
+    tail. The rate table is a literal dim (broadcast); the filter is
+    partition-local, so the operator is shuffle-free at any scale."""
+    return _spark_docs(spark, sf_dir, _STRAT_SPARK)
+
+
+# --------------------------------------------------------------------------
 # Near-dup: banded MinHash LSH. H=16 string-min hashes over 3-word shingles,
 # 8 bands × r=2; candidates from bucket equality joins; exact Jaccard
 # verification ≥ 0.5 on candidates only.
@@ -288,13 +373,6 @@ def _spark_shingled(
     sh.persist()
     sh.createOrReplaceTempView("shingles_cached")
     return spark.sql("WITH " + tail_sql.replace("shingles", "shingles_cached"))
-
-
-def _hex2int(d, expr: str) -> str:
-    """Dialect-portable 15-hex-char → BIGINT (values identical both engines)."""
-    if d is _SPARK_D:
-        return f"CAST(CONV({expr}, 16, 10) AS BIGINT)"
-    return f"CAST('0x' || {expr} AS BIGINT)"
 
 
 def _win(col: str, k: int) -> str:

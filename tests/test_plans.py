@@ -126,3 +126,21 @@ def test_generation_sweep_partitioning_survives_aqe(spark, smoke_sf_dir):
     df = all_queries()["scm_generate"].build(spark, smoke_sf_dir)
     n_configs = len(G._complete_grid())
     assert df.rdd.getNumPartitions() == n_configs
+
+
+def test_stratified_sample_broadcasts_rates_no_extra_shuffle(spark, oracle_sf_dir):
+    """The rate dim is a literal — it must broadcast, and the sampled
+    projection must not shuffle document rows at all."""
+    plan = _plan(spark, "stratified_sample", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    # the only exchange allowed is the broadcast of the literal rate table
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+
+
+def test_hash_split_is_projection_plus_one_agg(spark, oracle_sf_dir):
+    """Split assignment is stateless projection; one partial+final agg."""
+    plan = _plan(spark, "hash_split", oracle_sf_dir)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_" in plan
