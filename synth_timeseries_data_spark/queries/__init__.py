@@ -56,6 +56,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # window on queries that uniquely cover an operator.
 # ngram_jaccard is the bounded brute-force baseline whose inverted-index
 # join + exact-Jaccard surface is minhash_dedup's verify stage.
+# text_stats' word/uniqueness projections are covered by token_count +
+# quality_score; doc_fingerprint's md5 projections by dedup_firstseen +
+# hash_split. Demoting both keeps the unique-coverage ANN/near-dup flagships
+# (vec_topk_ivf, embed_neardup) inside a 50-entry check window.
 _DEMOTED = (
     "ts_diff",
     "docs_by_lang",
@@ -63,6 +67,8 @@ _DEMOTED = (
     "tumbling_agg",
     "vec_topk",
     "ngram_jaccard",
+    "text_stats",
+    "doc_fingerprint",
 )
 
 
