@@ -1,0 +1,68 @@
+"""Cluster-scale join/write techniques: bucketed co-location and skew salting.
+
+These are the two levers the 100 TB posture notes reference that need real
+code, not just configuration:
+
+- **Bucketed co-located joins.** A fact table re-joined on the same key
+  across many queries should be written ``bucketBy(key)`` once; every later
+  equi-join or aggregation on that key then runs WITHOUT an exchange (the
+  scan itself satisfies the required hash distribution). At 100 TB that
+  converts the dominant shuffle of every downstream job into a one-time
+  write cost. Verified by ``tests/test_scale_techniques.py``: the executed
+  join plan of two bucketed tables carries zero ``Exchange``.
+
+- **Skew salting.** AQE's skew-join splitting handles most skew at runtime,
+  but it cannot split a single hot KEY GROUP of a shuffled aggregation or a
+  broadcast-ineligible join. ``salted_join`` spreads each hot key over
+  ``n_salts`` sub-keys (fact side salted uniformly, dim side replicated), so
+  no single task owns a whole hot key. Result-identical to the plain join —
+  asserted by test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-file sorted) by ``key``.
+
+    ``bucketBy`` requires a managed table (``saveAsTable``); pick the
+    database/location with a qualified ``table`` name. ``sortBy`` additionally
+    pre-sorts within buckets so sort-merge joins skip their sort too.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the (possibly hot-keyed) ``fact`` side,
+    replicate ``dim`` across all salts, join on ``(on, salt)``.
+
+    The salt must differ among rows sharing a join key, but its value is
+    otherwise irrelevant — derived from ``monotonically_increasing_id`` so it
+    needs no data column and adds no shuffle of its own. Replication
+    multiplies only the DIM side by ``n_salts``; dims are the small side by
+    definition, and stay broadcast-eligible.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [on, "__salt"], how).drop("__salt")
