@@ -3,6 +3,7 @@
 from .jobs import (  # noqa: F401
     lagged_stream,
     sessionized_stream,
+    sliding_stream,
     stream_events,
     streaming_dedup,
     tumbling_stream,

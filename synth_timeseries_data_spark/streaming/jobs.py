@@ -74,6 +74,35 @@ def tumbling_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def sliding_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked 1-hour windows sliding every 15 min — the streaming twin
+    of the sliding_agg batch analog. The engine's window operator maintains
+    4 overlapping window states per key; its partial aggregation is exactly
+    the two-level bucket rollup the batch form spells out. Sums mirror the
+    batch FLOOR-micro bigint accumulation so results compare bit-exactly."""
+    return (
+        events.withWatermark("ts_event", watermark)
+        .groupBy(F.window("ts_event", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.floor(F.unix_micros("window.start") / 900_000_000)
+            .cast("double")
+            .alias("win_start_qtr"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows with an inactivity gap — the streaming form of the
     reference's burst semantics (G14) and of the session_agg analog."""

@@ -251,3 +251,31 @@ def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
     # The hour-1 window must have been finalized and emitted with ONLY the
     # on-time event; the late row was dropped by the watermark.
     assert emitted.get(1) == 1
+
+
+def test_sliding_stream_matches_batch(spark, events_dir, smoke_sf_dir):
+    """The 4-overlapping-windows streaming operator must equal the batch
+    two-level bucket rollup (same FLOOR-micro sums, same window set)."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import sliding_stream, stream_events
+
+    stream = sliding_stream(stream_events(spark, events_dir))
+    q = _run_to_memory(stream, "sliding_t")
+    try:
+        cols = ["win_start_qtr", "event_type", "n_events", "sum_value"]
+        got = (
+            spark.sql("SELECT * FROM sliding_t")
+            .toPandas()
+            .sort_values(["win_start_qtr", "event_type"])
+            .reset_index(drop=True)
+        )
+        batch = (
+            all_queries()["sliding_agg"]
+            .build(spark, smoke_sf_dir)
+            .toPandas()
+            .sort_values(["win_start_qtr", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert got[cols].equals(batch[cols])
+    finally:
+        q.stop()
