@@ -58,8 +58,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # join + exact-Jaccard surface is minhash_dedup's verify stage.
 # text_stats' word/uniqueness projections are covered by token_count +
 # quality_score; doc_fingerprint's md5 projections by dedup_firstseen +
-# hash_split. Demoting both keeps the unique-coverage ANN/near-dup flagships
-# (vec_topk_ivf, embed_neardup) inside a 50-entry check window.
+# hash_split; lang_id's stopword lambda + classification rollup by
+# quality_score (same filter lambda, richer aggregate). Demoting these
+# keeps the unique-coverage ANN/near-dup/dataset-assembly flagships
+# (vec_topk_ivf, embed_neardup, contamination_check) inside a 50-entry
+# check window.
 _DEMOTED = (
     "ts_diff",
     "docs_by_lang",
@@ -69,6 +72,7 @@ _DEMOTED = (
     "ngram_jaccard",
     "text_stats",
     "doc_fingerprint",
+    "lang_id",
 )
 
 

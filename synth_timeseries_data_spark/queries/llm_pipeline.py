@@ -318,6 +318,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_docs(spark, sf_dir, _STRAT_SPARK)
 
 
+def _contamination_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)")
+    ws = d["split"]("text")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, split,
+             md5(CONCAT({d['el'](ws, '1')}, ' ', {d['el'](ws, '2')}, ' ',
+                        {d['el'](ws, '3')})) AS fpp
+      FROM s WHERE {d['len'](ws)} >= 3
+    )
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, te.fpp AS fingerprint
+    FROM fp te JOIN fp tr ON te.fpp = tr.fpp
+    WHERE te.split = 'test' AND tr.split = 'train'
+    """
+
+
+_CONTAM_SPARK, _CONTAM_DUCK = _dual(_contamination_sql)
+
+
+@register("contamination_check", _CONTAM_DUCK)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detection: fingerprint every document (leading
+    3-shingle hash — the near-dup-tolerant choice; swap md5(text) for exact
+    only), then equality-join test-split fingerprints against train-split
+    fingerprints. The join is an inverted-index equality on the fingerprint
+    — never doc×doc — so at 100 TB it shuffles only fingerprint-collision
+    rows, the same candidate-generation shape as the dedup family."""
+    return _spark_docs(spark, sf_dir, _CONTAM_SPARK)
+
+
 # --------------------------------------------------------------------------
 # Near-dup: banded MinHash LSH. H=16 string-min hashes over 3-word shingles,
 # 8 bands × r=2; candidates from bucket equality joins; exact Jaccard
