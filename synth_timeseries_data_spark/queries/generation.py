@@ -314,3 +314,18 @@ def scm_generate_missing_confounded(spark: SparkSession, sf_dir: str) -> DataFra
     warmup double-draw quirk preserved."""
     return _sweep(spark, _missing_confounded_grid(),
                   _pair_group(_PAIR_CONFOUNDED_KERNELS), _PAIR_SCHEMA)
+
+
+@register("scm_generate_long", None)
+def scm_generate_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-stitched generation of ONE 100k-point series across 32
+    parallel tasks (generation/longseries.py): the time-axis scale-out path
+    for series too long for a single sequential kernel — burn-in prefixed
+    per segment, discarded, segment 0 bit-exact to the single-shot prefix
+    (tests/test_long_series.py). Rows-only: the stitching is a documented
+    approximation with no SQL oracle."""
+    from ..generation.longseries import generate_long_linear_series
+
+    return generate_long_linear_series(
+        spark, n_points=100_000, n_vars=4, max_lag=2, n_segments=32
+    )
