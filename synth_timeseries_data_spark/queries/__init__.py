@@ -63,6 +63,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # keeps the unique-coverage ANN/near-dup/dataset-assembly flagships
 # (vec_topk_ivf, embed_neardup, contamination_check) inside a 50-entry
 # check window.
+# repetition_ratio and char_entropy extend capability breadth but their
+# physical surfaces (shingle explode + doc-keyed agg; char explode + agg)
+# duplicate minhash_dedup and simhash/token_count, so they join the
+# demoted tail rather than displacing unique-coverage queries.
 _DEMOTED = (
     "ts_diff",
     "docs_by_lang",
@@ -73,6 +77,8 @@ _DEMOTED = (
     "text_stats",
     "doc_fingerprint",
     "lang_id",
+    "repetition_ratio",
+    "char_entropy",
 )
 
 

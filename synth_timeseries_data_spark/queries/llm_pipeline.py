@@ -382,6 +382,108 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_docs(spark, sf_dir, _CONTAM_SPARK)
 
 
+def _shingles_raw_cte(d) -> str:
+    """3-word shingles WITHOUT the row-level DISTINCT.
+
+    The minhash doc-aggregate needs no pre-dedup: MIN is duplicate-
+    insensitive and collect_set/list(DISTINCT ...) dedup inside the
+    aggregation, so skipping the DISTINCT removes an entire shuffle + hash
+    aggregate over the shingle rows (two shuffles → one; measured ~0.4 s at
+    sf0.1). Queries that join on shingle rows (ngram_jaccard) keep the
+    deduped ``_shingles_cte``.
+    """
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
+            FROM w WHERE {d['len']('ws')} >= 3),
+    shingles_raw AS (
+      SELECT doc_id,
+             CONCAT({d['el']('ws', 'i')}, ' ', {d['el']('ws', 'i + 1')}, ' ',
+                    {d['el']('ws', 'i + 2')}) AS s
+      FROM pos
+    )
+    """
+
+
+
+def _repetition_sql(d) -> str:
+    # dup_ratio emitted as a RAW double (no ROUND): it is a ratio of exact
+    # integers, so the division is bit-identical in both engines, while
+    # ROUND of a rational can land on a .5 tie the engines break differently.
+    return (
+        _shingles_raw_cte(d)
+        + """
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(DISTINCT s) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM shingles_raw
+    GROUP BY doc_id
+    """
+    )
+
+
+_REP_SPARK, _REP_DUCK = _dual(_repetition_sql)
+
+
+@register("repetition_ratio", _REP_DUCK)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram ratio per document — the Gopher-style repetition
+    filter (a high dup_ratio marks boilerplate/spam). One explode + one
+    doc-keyed aggregate; partition-local until the final combine."""
+    return _spark_docs(spark, sf_dir, _REP_SPARK)
+
+
+def _char_entropy_sql(d) -> str:
+    # Shannon entropy in bits from integer char counts:
+    #   H = (ln(n) - Σ c·ln(c) / n) / ln 2.
+    # The per-class Σ accumulates as FLOOR(c · ROUND(ln c, 9) · 10⁶) BIGINTs
+    # — order-independent, and ROUND(·,9) absorbs the ≤1-ulp libm ln()
+    # disagreement between engines before the FLOOR can straddle a
+    # boundary. The single remaining libm term ln(n) sits under the final
+    # ROUND(·,6) like every other libm-dependent output.
+    if d is _SPARK_D:
+        chars_from = (
+            "SELECT doc_id, ch FROM "
+            "(SELECT doc_id, split(text, '') AS cs FROM documents) t "
+            "LATERAL VIEW explode(cs) x AS ch"
+        )
+    else:
+        chars_from = (
+            "SELECT doc_id, unnest(str_split(text, '')) AS ch FROM documents"
+        )
+    return f"""
+    WITH chars AS ({chars_from}),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM chars WHERE ch != '' GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(c * ROUND(LN(CAST(c AS DOUBLE)), 9) * 1000000.0)
+                      AS BIGINT)) AS sc_micro
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_counted,
+           ROUND((LN(CAST(n AS DOUBLE))
+                  - (CAST(sc_micro AS DOUBLE) / 1000000.0) / n)
+                 / LN(2.0), 6) + 0.0 AS entropy_bits
+    FROM tot
+    """
+
+
+_ENT_SPARK, _ENT_DUCK = _dual(_char_entropy_sql)
+
+
+@register("char_entropy", _ENT_DUCK)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    perplexity proxy quality pipelines cut on (low entropy = repetitive or
+    degenerate text). Char histogram + one doc-keyed aggregate."""
+    return _spark_docs(spark, sf_dir, _ENT_SPARK)
+
+
 # --------------------------------------------------------------------------
 # Near-dup: banded MinHash LSH. H=16 string-min hashes over 3-word shingles,
 # 8 bands × r=2; candidates from bucket equality joins; exact Jaccard
@@ -447,29 +549,6 @@ def _win(col: str, k: int) -> str:
     without paying string→int conversion (CONV) per row per hash function.
     """
     return f"SUBSTR({col}, {k + 1}, 15)"
-
-
-def _shingles_raw_cte(d) -> str:
-    """3-word shingles WITHOUT the row-level DISTINCT.
-
-    The minhash doc-aggregate needs no pre-dedup: MIN is duplicate-
-    insensitive and collect_set/list(DISTINCT ...) dedup inside the
-    aggregation, so skipping the DISTINCT removes an entire shuffle + hash
-    aggregate over the shingle rows (two shuffles → one; measured ~0.4 s at
-    sf0.1). Queries that join on shingle rows (ngram_jaccard) keep the
-    deduped ``_shingles_cte``.
-    """
-    return f"""
-    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
-    pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
-            FROM w WHERE {d['len']('ws')} >= 3),
-    shingles_raw AS (
-      SELECT doc_id,
-             CONCAT({d['el']('ws', 'i')}, ' ', {d['el']('ws', 'i + 1')}, ' ',
-                    {d['el']('ws', 'i + 2')}) AS s
-      FROM pos
-    )
-    """
 
 
 def _mh_docagg_sql(d) -> str:
