@@ -44,6 +44,10 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                    "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -59,7 +63,17 @@ def salted_join(
     needs no data column and adds no shuffle of its own. Replication
     multiplies only the DIM side by ``n_salts``; dims are the small side by
     definition, and stay broadcast-eligible.
+
+    Only fact-preserving join types are accepted: under right/full outer
+    joins the replicated dim side would emit one null-extended row per
+    unmatched (key, salt) pair — n_salts copies of what the plain join
+    returns once — so those types are rejected rather than silently wrong.
     """
+    if how.lower() not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)} only, not {how!r}: "
+            "dim-side replication breaks right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn(

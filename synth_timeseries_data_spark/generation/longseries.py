@@ -84,11 +84,14 @@ def generate_long_linear_series(
     n_segments: int = 32,
     burn_in: int = 200,
 ) -> DataFrame:
-    """Distributed long-series generation: one applyInPandas task per
-    segment (explicit repartition pins one partition per segment — AQE
-    would coalesce the tiny span grid into a single task otherwise), wide
-    output ``(time, X1..Xn)``. Scale-out axis is the TIME dimension: a
-    10⁹-point series on 1000 executors is 1000 spans of 10⁶ + burn-in."""
+    """Distributed long-series generation: exactly one task per segment,
+    wide output ``(time, X1..Xn)``. The grid has one row per segment, so
+    round-robin ``repartition(N)`` + ``mapInPandas`` places each segment in
+    its own partition — a hash ``groupBy`` would re-shuffle and collide
+    ~1/e of the segments into shared tasks (measured: 18/32 partitions
+    occupied, up to 3 segments serialized per task). Scale-out axis is the
+    TIME dimension: a 10⁹-point series on 1000 executors is 1000 spans of
+    10⁶ + burn-in."""
     spans = segment_spans(n_points, n_segments)
     values = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(spans))
     grid = spark.sql(
@@ -98,15 +101,12 @@ def generate_long_linear_series(
         ", ".join(f"X{i + 1} double" for i in range(n_vars)) + ", time bigint"
     )
 
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        cfg = pdf.iloc[0]
-        return generate_segment(
-            int(cfg["seg_id"]), int(cfg["start"]), int(cfg["stop"]),
-            n_vars, max_lag, noise_type, seed, burn_in,
-        )
+    def gen(batches):
+        for pdf in batches:
+            for _, cfg in pdf.iterrows():
+                yield generate_segment(
+                    int(cfg["seg_id"]), int(cfg["start"]), int(cfg["stop"]),
+                    n_vars, max_lag, noise_type, seed, burn_in,
+                )
 
-    return (
-        grid.repartition(len(spans), "seg_id")
-        .groupBy("seg_id")
-        .applyInPandas(gen, schema)
-    )
+    return grid.repartition(len(spans)).mapInPandas(gen, schema)

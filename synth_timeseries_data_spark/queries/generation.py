@@ -129,17 +129,23 @@ def _run_kernel(kernels, pdf: pd.DataFrame):
 
 
 def _complete_group(kernels):
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        cfg, wide = _run_kernel(kernels, pdf)
-        return _melt_wide(cfg["family"], cfg["config_id"], wide)
+    def gen(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                cfg, wide = _run_kernel(kernels, pdf.iloc[[i]])
+                yield _melt_wide(cfg["family"], cfg["config_id"], wide)
 
     return gen
 
 
 def _pair_group(kernels):
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        cfg, (missing, complete) = _run_kernel(kernels, pdf)
-        return _melt_pair(cfg["family"], cfg["config_id"], missing, complete)
+    def gen(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                cfg, (missing, complete) = _run_kernel(kernels, pdf.iloc[[i]])
+                yield _melt_pair(
+                    cfg["family"], cfg["config_id"], missing, complete
+                )
 
     return gen
 
@@ -165,18 +171,17 @@ def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
         f"SELECT * FROM (VALUES {values}) AS grid"
         "(family, config_id, n, n_vars, max_lag, noise, p1, p2, p3)"
     )
-    # Explicit repartition(N, key) before the groupBy: the grid is a tiny
-    # VALUES relation, so AQE's partition coalescing sees a few-KB shuffle
-    # and collapses it to ONE post-shuffle partition — serializing every
-    # kernel into a single task (measured 6.0 s → 1.7 s at 196 configs on
-    # local[32]). A user-specified partition count is exempt from AQE
-    # coalescing, and one partition per config is the right shape at scale
-    # too: per-config skew isolation, compute (not bytes) is the cost.
-    return (
-        grid.repartition(len(rows), "config_id")
-        .groupBy("config_id")
-        .applyInPandas(group_fn, out_schema)
-    )
+    # One row per config → round-robin repartition(N) + mapInPandas pins
+    # EXACTLY one config per task. The earlier repartition(N, key) +
+    # groupBy shape had two flaws: AQE would coalesce the tiny grid
+    # shuffle to one partition without the explicit count (measured
+    # 6.0 s → 1.7 s at 196 configs), and the groupBy's own hash exchange
+    # re-collides ~1/e of the configs into shared tasks (hash of N keys
+    # into N partitions leaves ~37% empty). A user-specified repartition
+    # count is AQE-exempt, and round-robin placement is exactly even; one
+    # task per config is the right shape at scale too — per-config skew
+    # isolation, compute (not bytes) is the cost.
+    return grid.repartition(len(rows)).mapInPandas(group_fn, out_schema)
 
 
 def _rows(fam, combos):

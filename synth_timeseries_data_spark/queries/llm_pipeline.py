@@ -82,7 +82,12 @@ _IDX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _indexed(spark: SparkSession, key: str, sql: str) -> DataFrame:
     """Build-once-per-session materialized relation for ``sql``."""
-    k = (spark.sparkContext.applicationId, key)
+    app = spark.sparkContext.applicationId
+    # entries from dead applications can never be used again — evict them
+    # so a long-lived process recreating sessions doesn't pin old plans
+    for stale in [k for k in _IDX_CACHE if k[0] != app]:
+        del _IDX_CACHE[stale]
+    k = (app, key)
     df = _IDX_CACHE.get(k)
     if df is None:
         df = spark.sql(sql).localCheckpoint()
@@ -538,7 +543,12 @@ def _spark_shingled(
     )
     sh.persist()
     sh.createOrReplaceTempView("shingles_cached")
-    return spark.sql("WITH " + tail_sql.replace("shingles", "shingles_cached"))
+    # word-boundary substitution: a blind str.replace would also corrupt
+    # identifiers that merely contain "shingles" (shingles_raw, n_shingles)
+    import re
+
+    rewritten = re.sub(r"\bshingles\b", "shingles_cached", tail_sql)
+    return spark.sql("WITH " + rewritten)
 
 
 def _win(col: str, k: int) -> str:
@@ -1144,7 +1154,7 @@ _ND_DUCK = (
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     (32 LCG planes → 4 bands × 8 sign bits → bucket-equality candidate
-    pairs → exact-cosine verify ≥ {threshold}). The embedding-space member
+    pairs → exact-cosine verify ≥ _ND_THRESHOLD = 0.3). The embedding-space member
     of the dedup family (exact / MinHash / SimHash / n-gram / cosine); the
     candidate join is on (band, signature) equality — the only shape that
     survives 100 TB.
@@ -1153,7 +1163,7 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the ANN-index pair (see _indexed; Spark CTE inlining +
     Generate-under-self-join otherwise recompute the plane-dot aggregation
     for each reference); at scale these are exactly the two relations an
-    ANN index writes to storage.""".replace("{threshold}", str(_ND_THRESHOLD))
+    ANN index writes to storage."""
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     _indexed(
         spark, f"nd_sigs|{sf_dir}", _nd_sigs_sql(_SPARK_D, _ND_POSEXP_SPARK)
