@@ -79,6 +79,7 @@ _DEMOTED = (
     "lang_id",
     "repetition_ratio",
     "char_entropy",
+    "rolling_median",
 )
 
 

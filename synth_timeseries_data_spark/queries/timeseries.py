@@ -277,3 +277,33 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("roll_max"),
         F.count("*").over(w).alias("roll_n"),
     )
+
+
+_ROLL_MEDIAN_ORACLE = """
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER w AS roll_median,
+           quantile_cont(value, 0.9) OVER w AS roll_p90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """
+
+_ROLL_MEDIAN_SPARK = """
+    SELECT user_id, event_id,
+           percentile(value, 0.5) OVER w AS roll_median,
+           percentile(value, 0.9) OVER w AS roll_p90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """
+
+
+@register("rolling_median", _ROLL_MEDIAN_ORACLE)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median and p90 over the last-10 frame per series — the
+    order-statistics window op (Spark `percentile` ≡ DuckDB `quantile_cont`:
+    both linearly interpolate on the sorted frame, so the doubles are
+    bit-identical with no ROUND needed). One window shuffle on the series
+    key, like every W4 frame op."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ROLL_MEDIAN_SPARK)
