@@ -80,6 +80,7 @@ _DEMOTED = (
     "repetition_ratio",
     "char_entropy",
     "rolling_median",
+    "funnel",
 )
 
 

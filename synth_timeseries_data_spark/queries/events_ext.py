@@ -80,3 +80,54 @@ def missing_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's missing-pattern plot."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_pattern_sql("(ts div 1000)"))
+
+
+def _funnel_sql(tus: str) -> str:
+    # Ordered view → click → purchase funnel per user: each stage's entry
+    # time is the MIN event time strictly after the previous stage's entry.
+    # Three chained per-user aggregates (t1 feeds t2 feeds t3) — every join
+    # is user-keyed and the whole pipeline clusters on one key, so at scale
+    # it is one partitioning reused across stages, never an event×event
+    # join. Times are integer microseconds; counts are exact.
+    return f"""
+    WITH e AS (SELECT user_id, event_type, {tus} AS tus FROM events),
+    s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tus END) AS t1
+      FROM e GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click'
+                                  AND e.tus > s1.t1 THEN e.tus END) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id AND s1.t1 IS NOT NULL
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase'
+                                  AND e.tus > s2.t2 THEN e.tus END) AS t3
+      FROM e JOIN s2 ON s2.user_id = e.user_id AND s2.t2 IS NOT NULL
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+              LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT
+      COUNT(*) AS n_users_seen,
+      COUNT(t1) AS n_viewed,
+      COUNT(t2) AS n_clicked_after_view,
+      COUNT(t3) AS n_purchased_after_click,
+      -- raw rational double: exact-int division is bit-identical in both
+      -- engines, while ROUND could land on a .5 tie they break differently
+      CAST(COUNT(t3) AS DOUBLE) / COUNT(t1) AS view_to_purchase_rate
+    FROM stages
+    """
+
+
+@register("funnel", _funnel_sql("epoch_us(ts)"))
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event times) with per-stage user counts — the classic event
+    analytics rollup, composed of user-keyed aggregates only."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_funnel_sql("(ts div 1000)"))
