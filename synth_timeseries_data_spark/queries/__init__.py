@@ -81,6 +81,7 @@ _DEMOTED = (
     "char_entropy",
     "rolling_median",
     "funnel",
+    "retention_cohorts",
 )
 
 

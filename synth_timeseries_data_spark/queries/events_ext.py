@@ -131,3 +131,40 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics rollup, composed of user-keyed aggregates only."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_funnel_sql("(ts div 1000)"))
+
+
+_WEEK_US = 7 * 24 * 3600 * 1000000
+
+
+def _retention_sql(tus: str) -> str:
+    # Weekly cohort retention: users cohorted by their first-signup week,
+    # counted distinct in each later activity week. Integer week indices
+    # and exact distinct counts — nothing float anywhere. Two user-keyed
+    # aggregates + one (cohort, offset) rollup; the user->cohort dim join
+    # broadcasts at any corpus size where users << events.
+    return f"""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(FLOOR({tus} / {_WEEK_US}.0) AS BIGINT) AS week
+               FROM events),
+    cohort AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN week END) AS w0
+      FROM e GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT c.w0 AS cohort_week,
+           a.week - c.w0 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a
+    JOIN cohort c ON c.user_id = a.user_id AND c.w0 IS NOT NULL
+    WHERE a.week >= c.w0
+    GROUP BY c.w0, a.week - c.w0
+    """
+
+
+@register("retention_cohorts", _retention_sql("epoch_us(ts)"))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (first-signup week × weeks-since,
+    distinct active users) — the standard product-analytics rollup; exact
+    integer weeks and distinct counts, user-keyed aggregates only."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_retention_sql("(ts div 1000)"))
