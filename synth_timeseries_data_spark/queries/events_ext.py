@@ -118,8 +118,10 @@ def _funnel_sql(tus: str) -> str:
       COUNT(t2) AS n_clicked_after_view,
       COUNT(t3) AS n_purchased_after_click,
       -- raw rational double: exact-int division is bit-identical in both
-      -- engines, while ROUND could land on a .5 tie they break differently
-      CAST(COUNT(t3) AS DOUBLE) / COUNT(t1) AS view_to_purchase_rate
+      -- engines, while ROUND could land on a .5 tie they break differently.
+      -- NULLIF guards the zero-'view' fixture: Spark (non-ANSI) yields NULL
+      -- on x/0 while DuckDB errors/infs — NULL/NULL keeps them bit-equal.
+      CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t1), 0) AS view_to_purchase_rate
     FROM stages
     """
 

@@ -18,6 +18,8 @@ Design rules for scale:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
@@ -77,21 +79,42 @@ def _dual(build):
 # (write_bucketed on the bucket key) once and scanning it thereafter.
 # --------------------------------------------------------------------------
 
-_IDX_CACHE: dict[tuple[str, str], DataFrame] = {}
+# value is (session, df): the strong session ref pins the id() key so CPython
+# cannot recycle it for a new session while the entry is alive
+_IDX_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_IDX_LOCK = threading.Lock()
 
 
 def _indexed(spark: SparkSession, key: str, sql: str) -> DataFrame:
-    """Build-once-per-session materialized relation for ``sql``."""
-    app = spark.sparkContext.applicationId
-    # entries from dead applications can never be used again — evict them
-    # so a long-lived process recreating sessions doesn't pin old plans
-    for stale in [k for k in _IDX_CACHE if k[0] != app]:
-        del _IDX_CACHE[stale]
-    k = (app, key)
-    df = _IDX_CACHE.get(k)
-    if df is None:
-        df = spark.sql(sql).localCheckpoint()
-        _IDX_CACHE[k] = df
+    """Build-once-per-session materialized relation for ``sql``.
+
+    Keyed on the SparkSession identity (not applicationId): a cached
+    DataFrame is bound to the session that built it — ``newSession()`` in
+    the same application has its own catalog, and handing it a foreign
+    DataFrame would register temp views in the wrong catalog. Assumes the
+    files under the session's registered views are immutable for the
+    session's lifetime (true for the driver's read-only fixtures); callers
+    that rewrite inputs mid-session must not reuse the session.
+
+    The lock serializes concurrent gate workers (the driver runs queries at
+    5-/32-way parallelism): without it, eviction iterates the dict while
+    another thread inserts (RuntimeError) and racing threads rebuild the
+    same index redundantly. The checkpoint build runs under the lock on
+    purpose — one thread materializes, the rest reuse.
+    """
+    sid = id(spark)
+    k = (sid, key)
+    with _IDX_LOCK:
+        # entries from dead sessions can never be used again — evict them
+        # so a long-lived process recreating sessions doesn't pin old plans
+        for stale in [s for s in _IDX_CACHE if s[0] != sid]:
+            del _IDX_CACHE[stale]
+        hit = _IDX_CACHE.get(k)
+        if hit is None:
+            df = spark.sql(sql).localCheckpoint()
+            _IDX_CACHE[k] = (spark, df)
+        else:
+            df = hit[1]
     return df
 
 
@@ -447,6 +470,12 @@ def _char_entropy_sql(d) -> str:
     # disagreement between engines before the FLOOR can straddle a
     # boundary. The single remaining libm term ln(n) sits under the final
     # ROUND(·,6) like every other libm-dependent output.
+    #
+    # Char-split caveat: Spark's split(text, '') splits on Java code points
+    # while DuckDB's str_split(text, '') is grapheme-aware — identical only
+    # for text without combining marks or astral-plane characters. The
+    # fixture corpus is ASCII; if it ever gains such text, normalize both
+    # sides to explicit code points before comparing.
     if d is _SPARK_D:
         chars_from = (
             "SELECT doc_id, ch FROM "
