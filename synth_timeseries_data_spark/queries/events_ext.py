@@ -126,13 +126,53 @@ def _funnel_sql(tus: str) -> str:
     """
 
 
+# Spark-side funnel: the oracle's chained-aggregate form re-shuffles the
+# events table once per stage (s2 and s3 each join `e` again). Spark instead
+# does ONE shuffle: group events by user, aggregating t1 = first 'view' time
+# plus the sorted per-user click/purchase time arrays, then walks the stages
+# with codegen'd array lambdas — t2 is the first click strictly after t1, t3
+# the first purchase strictly after t2 (a NULL prior stage nulls the lambda
+# comparison, so the filter yields empty → try_element_at NULL, exactly the
+# oracle's left-join semantics). Per-user arrays are bounded by that user's
+# click/purchase counts — at 100 TB a single hot user would need the
+# s1/s2/s3 form back, but the one-shuffle walk is the right plan for any
+# human-scale user cardinality. collect_list skips the CASE's NULLs, so the
+# arrays hold only the matching event type.
+_FUNNEL_SPARK = """
+    WITH peru AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts div 1000 END) AS t1,
+        array_sort(collect_list(
+          CASE WHEN event_type = 'click' THEN ts div 1000 END)) AS clicks,
+        array_sort(collect_list(
+          CASE WHEN event_type = 'purchase' THEN ts div 1000 END)) AS purch
+      FROM events GROUP BY user_id
+    ),
+    stages AS (
+      SELECT user_id, t1,
+        try_element_at(filter(clicks, x -> x > t1), 1) AS t2,
+        try_element_at(filter(purch, x -> x > t2), 1) AS t3
+      FROM peru
+    )
+    SELECT
+      COUNT(*) AS n_users_seen,
+      COUNT(t1) AS n_viewed,
+      COUNT(t2) AS n_clicked_after_view,
+      COUNT(t3) AS n_purchased_after_click,
+      CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t1), 0) AS view_to_purchase_rate
+    FROM stages
+    """
+
+
 @register("funnel", _funnel_sql("epoch_us(ts)"))
 def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase, strictly
     increasing event times) with per-stage user counts — the classic event
-    analytics rollup, composed of user-keyed aggregates only."""
+    analytics rollup. One user-keyed shuffle + array-lambda stage walk (see
+    _FUNNEL_SPARK); the oracle keeps the equivalent chained-aggregate
+    relational form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_funnel_sql("(ts div 1000)"))
+    return spark.sql(_FUNNEL_SPARK)
 
 
 _WEEK_US = 7 * 24 * 3600 * 1000000

@@ -315,23 +315,39 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join + aggregate (TPC-H Q5 flavor). Fact-fact join
-    (lineitem⋈orders) shuffles on the order key; every dim join is explicitly
-    broadcast so no shuffle grows with the dims at 100 TB."""
+    """Multi-way star join + aggregate (TPC-H Q5 flavor), early-aggregated.
+
+    The fact side reduces FIRST: lineitem⋈orders⋈customer → groupBy the
+    int c_nationkey (25 groups), and only the 25-row aggregate joins the
+    nation/region name dims. At 100 TB this is the textbook plan — the
+    expensive agg runs on an integer key before any string column exists,
+    and the name joins touch 25 rows instead of every fact row. The
+    lineitem⋈orders join is hint-free on purpose: here the planner
+    broadcasts orders from parquet stats (verified BHJ, zero fact-side
+    exchanges); past autoBroadcastJoinThreshold it becomes a shuffle join
+    on the order key — the right plan at each scale, chosen by stats."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    agg = (
         li.select("l_orderkey", rev.alias("rev"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_items"), dsum("rev", "revenue"))
+    )
+    return (
+        agg.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "n_items",
+            "revenue",
+        )
     )
 
 
