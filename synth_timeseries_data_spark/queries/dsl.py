@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dsl.registry import EQUATION_ROWS
+from ..functions.materialize import materialized
 from . import register
 
 # First-match extraction patterns (shared by Spark and DuckDB; both engines'
@@ -68,6 +69,19 @@ _PARSE_ORACLE = f"""
 
 
 def _parsed_edges(spark: SparkSession) -> DataFrame:
+    """Parsed edge list, materialized once per session.
+
+    The parse pipeline is pure driver-side literals (the DSL registry), so
+    the relation is immutable by construction; edge_tensor references it
+    from four plan branches (edges/cfg/direct/sym) and every downstream
+    graph metric re-reads it — without materialization each reference
+    re-runs the explode+regex pipeline as its own job. At 100 TB this is
+    the broadcast dim table you'd build once per session anyway.
+    """
+    return materialized(spark, "parsed_edges", lambda: _parse_pipeline(spark))
+
+
+def _parse_pipeline(spark: SparkSession) -> DataFrame:
     # VALUES literal instead of createDataFrame(local list): the latter
     # pickles rows through a Python RDD on every call (~1.5 s of pure
     # serialization overhead per build); a SQL literal stays JVM-side and

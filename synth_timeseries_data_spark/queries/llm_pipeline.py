@@ -18,11 +18,10 @@ Design rules for scale:
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
+from ..functions.materialize import materialized
 from ..sources import load
 from . import register
 
@@ -44,6 +43,15 @@ _SPARK_D = {
     "seq": lambda lo, hi: f"sequence({lo}, {hi})",
     "unnest": lambda a: f"explode({a})",
     "posexplode": "posexplode",  # handled inline
+    # Compute-heavy templates (explode/md5 per word or char) read this
+    # instead of `documents`: a view pre-repartitioned to the session's
+    # parallelism. The fixture is one parquet row group → one task; without
+    # the spread, the whole explode+hash pipeline runs single-threaded no
+    # matter how many cores exist. The tiny doc-id shuffle (~KBs) buys
+    # full-width execution of the expensive stage — same reasoning at 100 TB
+    # when an upstream stage emits few large partitions. DuckDB reads the
+    # plain table (it parallelizes within a row group natively).
+    "pdocs": "documents_par",
 }
 
 _DUCK_D = {
@@ -58,6 +66,7 @@ _DUCK_D = {
     "expand": lambda lo, hi: f"unnest(generate_series({lo}, {hi}))",
     "seq": lambda lo, hi: f"generate_series({lo}, {hi})",
     "unnest": lambda a: f"unnest({a})",
+    "pdocs": "documents",
 }
 
 
@@ -79,47 +88,25 @@ def _dual(build):
 # (write_bucketed on the bucket key) once and scanning it thereafter.
 # --------------------------------------------------------------------------
 
-# value is (session, df): the strong session ref pins the id() key so CPython
-# cannot recycle it for a new session while the entry is alive
-_IDX_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
-_IDX_LOCK = threading.Lock()
-
-
 def _indexed(spark: SparkSession, key: str, sql: str) -> DataFrame:
-    """Build-once-per-session materialized relation for ``sql``.
+    """Build-once-per-session materialized index relation for ``sql`` —
+    session-keyed, thread-safe; see functions/materialize.py for the
+    staleness/catalog assumptions."""
+    return materialized(spark, key, lambda: spark.sql(sql))
 
-    Keyed on the SparkSession identity (not applicationId): a cached
-    DataFrame is bound to the session that built it — ``newSession()`` in
-    the same application has its own catalog, and handing it a foreign
-    DataFrame would register temp views in the wrong catalog. Assumes the
-    files under the session's registered views are immutable for the
-    session's lifetime (true for the driver's read-only fixtures); callers
-    that rewrite inputs mid-session must not reuse the session.
 
-    The lock serializes concurrent gate workers (the driver runs queries at
-    5-/32-way parallelism): without it, eviction iterates the dict while
-    another thread inserts (RuntimeError) and racing threads rebuild the
-    same index redundantly. The checkpoint build runs under the lock on
-    purpose — one thread materializes, the rest reuse.
-    """
-    sid = id(spark)
-    k = (sid, key)
-    with _IDX_LOCK:
-        # entries from dead sessions can never be used again — evict them
-        # so a long-lived process recreating sessions doesn't pin old plans
-        for stale in [s for s in _IDX_CACHE if s[0] != sid]:
-            del _IDX_CACHE[stale]
-        hit = _IDX_CACHE.get(k)
-        if hit is None:
-            df = spark.sql(sql).localCheckpoint()
-            _IDX_CACHE[k] = (spark, df)
-        else:
-            df = hit[1]
-    return df
+def _register_docs(spark: SparkSession, sf_dir: str) -> None:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    # registered lazily; only plans that reference documents_par pay the
+    # repartition shuffle (see _SPARK_D["pdocs"])
+    docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).createOrReplaceTempView("documents_par")
 
 
 def _spark_docs(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _register_docs(spark, sf_dir)
     return spark.sql(sql)
 
 
@@ -421,7 +408,7 @@ def _shingles_raw_cte(d) -> str:
     deduped ``_shingles_cte``.
     """
     return f"""
-    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
     pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
             FROM w WHERE {d['len']('ws')} >= 3),
     shingles_raw AS (
@@ -479,7 +466,7 @@ def _char_entropy_sql(d) -> str:
     if d is _SPARK_D:
         chars_from = (
             "SELECT doc_id, ch FROM "
-            "(SELECT doc_id, split(text, '') AS cs FROM documents) t "
+            "(SELECT doc_id, split(text, '') AS cs FROM documents_par) t "
             "LATERAL VIEW explode(cs) x AS ch"
         )
     else:
@@ -539,7 +526,7 @@ def _shingles_cte(d) -> str:
     # temp view (_spark_shingled) instead of re-evaluating this subtree per
     # reference; DuckDB materializes repeated CTEs on its own.
     return f"""
-    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
     pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 2')} AS i
             FROM w WHERE {d['len']('ws')} >= 3),
     shingles AS (
@@ -566,7 +553,7 @@ def _spark_shingled(
     (_spark_docs); measured here: inline 2.6 s vs full-cache 3.5-4.3 s for
     minhash, cache-small 0.9 s vs inline 1.7 s for ngram_jaccard.
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _register_docs(spark, sf_dir)
     sh = spark.sql(
         _shingles_cte(_SPARK_D) + f"SELECT doc_id, s FROM shingles {where}"
     )
@@ -701,7 +688,7 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle array) and 8 rows per doc — exactly the LSH-index relations
     you'd write to storage at 100 TB; the bench's cold number carries the
     index build, the steady number the index-reuse cost."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _register_docs(spark, sf_dir)
     _indexed(
         spark,
         f"mh_docagg|{sf_dir}",
@@ -777,7 +764,7 @@ def _simhash_sql(d) -> str:
         else "SELECT doc_id, md5(u.w) AS h FROM w, unnest(ws) AS u(w)"
     )
     return f"""
-    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM documents),
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
     words AS ({words_from}),
     votes AS (
       SELECT doc_id,

@@ -54,11 +54,15 @@ def _make_corpus():
 def neardup_view(spark):
     docs = _make_corpus()
     values = ", ".join(f"({i}, '{t}')" for i, t in docs)
-    spark.sql(
+    docs = spark.sql(
         f"SELECT * FROM (VALUES {values}) AS documents(doc_id, text)"
-    ).createOrReplaceTempView("documents")
+    )
+    docs.createOrReplaceTempView("documents")
+    # the shingle templates read the repartitioned view (_SPARK_D["pdocs"])
+    docs.repartition(8, "doc_id").createOrReplaceTempView("documents_par")
     yield
     spark.catalog.dropTempView("documents")
+    spark.catalog.dropTempView("documents_par")
 
 
 def test_banded_minhash_recall(spark, neardup_view):
