@@ -146,6 +146,15 @@ def noise_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-noise profile per mix ratio: deterministic LCG Bernoulli
     selector over Box-Muller Gaussian vs inverse-CDF Laplace draws
     (generate_noise, b2.py:75-85), moments via exact decimal accumulation of
-    pre-rounded draws — bit-stable across engines and partition orders."""
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_MIX_SQL)
+    pre-rounded draws — bit-stable across engines and partition orders.
+
+    Spark reads a pre-repartitioned view: the per-row math (LCG + ln/cos
+    Box-Muller × 3 ratios) is compute-bound and the fixture is one parquet
+    row group → one task; the tiny event-id shuffle buys full-width
+    execution of the expensive projection (result is order-independent by
+    construction)."""
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    ).createOrReplaceTempView("events_par")
+    return spark.sql(_MIX_SQL.replace("FROM events e", "FROM events_par e"))
