@@ -95,10 +95,21 @@ def irregular_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # G8 / Q5 — nearest-abs as-of lag over the events fixture.
 # ---------------------------------------------------------------------------
 
-_ASOF_WINDOW = 100  # past-row candidate band; exactness asserted in tests
-
-
 def _asof_sql(tus: str) -> str:
+    """Banded nearest-abs as-of oracle with a DATA-DERIVED band.
+
+    The candidate band is not a fixture-calibrated constant: ``band``
+    computes B = max over rows i of (rn_i − #{rows with tus < tus_i −
+    2·mean_gap}) + max same-(user, tus) group size + 1. Every probe's
+    target sits at tus_i − k·mean_gap with k ≤ 2, and rn order equals tus
+    order, so the bracket rows (last at-or-below target, first above) and
+    the full tie-run at the winning tus all have rn > rn_i − B by
+    construction — the band is provably sufficient for ANY gap
+    distribution, including bursts of arbitrarily many rows inside one
+    mean gap (asserted on an adversarial fixture in tests/test_asof.py).
+    On near-regular series B evaluates to single digits, so the oracle
+    join also touches fewer candidates than the old fixed 100-row band.
+    """
     return f"""
     WITH ev AS (
       SELECT user_id, event_id, value, {tus} AS tus,
@@ -109,6 +120,37 @@ def _asof_sql(tus: str) -> str:
       SELECT user_id,
              (MAX(tus) - MIN(tus)) / CAST(COUNT(*) - 1 AS DOUBLE) AS mean_gap
       FROM ev GROUP BY user_id HAVING COUNT(*) > 1
+    ),
+    cuts AS (
+      SELECT e.user_id, e.rn, e.tus - 2 * s.mean_gap AS cut
+      FROM ev e JOIN stats s ON s.user_id = e.user_id
+    ),
+    bmerged AS (
+      SELECT user_id, CAST(tus AS DOUBLE) AS key, 1 AS is_ev,
+             CAST(NULL AS BIGINT) AS cut_rn
+      FROM ev
+      UNION ALL
+      SELECT user_id, cut AS key, 0, rn FROM cuts
+    ),
+    bcount AS (
+      -- cut rows sort before event rows at an equal key (is_ev 0 < 1), so
+      -- n_below counts events with tus STRICTLY below the cut
+      SELECT user_id, cut_rn, is_ev,
+             SUM(is_ev) OVER (PARTITION BY user_id ORDER BY key, is_ev
+                              ROWS UNBOUNDED PRECEDING) AS n_below
+      FROM bmerged
+    ),
+    maxgrp AS (
+      -- equal-delta ties resolve to the FIRST row of the winning tus value
+      -- (np.argmin rule); that tie-run can start up to (group size − 1)
+      -- rows before the counted boundary, so the largest same-(user, tus)
+      -- group widens the band
+      SELECT MAX(cnt) AS g
+      FROM (SELECT COUNT(*) AS cnt FROM ev GROUP BY user_id, tus) t
+    ),
+    band AS (
+      SELECT COALESCE(MAX(cut_rn - n_below), 1) + (SELECT g FROM maxgrp) + 1 AS b
+      FROM bcount WHERE is_ev = 0
     ),
     lags AS (SELECT 1 AS k UNION ALL SELECT 2),
     cur AS (
@@ -127,7 +169,7 @@ def _asof_sql(tus: str) -> str:
                                 ORDER BY ABS(p.tus - c.target_t), p.rn) AS pick
       FROM cur c
       JOIN ev p ON p.user_id = c.user_id
-               AND p.rn >= c.rn - {_ASOF_WINDOW} AND p.rn <= c.rn - 1
+               AND p.rn >= c.rn - (SELECT b FROM band) AND p.rn <= c.rn - 1
     )
     SELECT user_id, event_id, k, lag_value, lag_event_id,
            -- no ROUND: delta is pure IEEE arithmetic on identical inputs, so
