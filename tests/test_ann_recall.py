@@ -1,0 +1,98 @@
+"""ANN recall@10 pinned against the brute-force baseline.
+
+Counterpart of tests/test_minhash_recall.py for the vector path: a
+constructed corpus (12 tight neighbors of the query at ~1° angular
+distance + 200 random background vectors) where the true top-10 is
+computed independently in numpy, then the LSH-bucketed and IVF probe-2
+queries must recover ≥ 0.8 of it.
+
+Both index paths are deterministic (LCG planes / centroids), so the
+assertion cannot flake — the floor guards future re-tunes of the knobs:
+more hyperplanes sharpen buckets but cut per-neighbor collision odds
+(P = (1 − θ/π)^planes); IVF recall rises with _IVF_PROBES (probe-2 covers
+a near-tie of coarse cells, probe-1 would halve the safety margin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from synth_timeseries_data_spark.queries.llm_pipeline import (
+    _ANN_SIGS_SPARK,
+    _IVF_RANKED_SPARK,
+    _SPARK_D,
+    _ann_tail,
+    _ivf_tail,
+)
+
+N_NEIGHBORS = 12
+N_BACKGROUND = 200
+DIMS = 64
+RECALL_FLOOR = 0.8
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(spark):
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=DIMS)
+    q /= np.linalg.norm(q)
+    vecs = {0: q}
+    for i in range(1, N_NEIGHBORS + 1):
+        v = q + 0.018 * rng.normal(size=DIMS)  # ~1 degree off the query
+        vecs[i] = v / np.linalg.norm(v)
+    for i in range(N_NEIGHBORS + 1, N_NEIGHBORS + 1 + N_BACKGROUND):
+        v = rng.normal(size=DIMS)
+        vecs[i] = v / np.linalg.norm(v)
+
+    rows = [
+        (int(vid), f"v{vid}", [float(x) for x in np.asarray(v, dtype=np.float32)])
+        for vid, v in vecs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, label string, embedding array<float>"
+    )
+    df.createOrReplaceTempView("embeddings")
+
+    # independent ground truth: exact cosine in numpy over the float32
+    # values the engines actually see
+    f32 = {vid: np.asarray(v, dtype=np.float32).astype(np.float64) for vid, v in vecs.items()}
+    qv = f32[0]
+    sims = {
+        vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for vid, v in f32.items()
+        if vid != 0
+    }
+    truth = {vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    yield truth
+    spark.catalog.dropTempView("embeddings")
+
+
+def _recall(spark, index_sql: str, index_view: str, tail: str, truth: set) -> float:
+    spark.sql(index_sql).createOrReplaceTempView(index_view)
+    got = {r.vec_id for r in spark.sql("WITH " + tail).collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_lsh_recall_at_10(spark, ann_corpus):
+    recall = _recall(
+        spark, _ANN_SIGS_SPARK, "t_sigs", _ann_tail(_SPARK_D, "t_sigs"), ann_corpus
+    )
+    assert recall >= RECALL_FLOOR, (
+        f"LSH recall@10 {recall:.2f} below {RECALL_FLOOR} — "
+        "re-tune _ANN_PLANES (more planes = finer buckets, lower collision odds)"
+    )
+
+
+def test_ivf_recall_at_10(spark, ann_corpus):
+    recall = _recall(
+        spark,
+        _IVF_RANKED_SPARK,
+        "t_ranked",
+        _ivf_tail(_SPARK_D, "t_ranked"),
+        ann_corpus,
+    )
+    assert recall >= RECALL_FLOOR, (
+        f"IVF recall@10 {recall:.2f} below {RECALL_FLOOR} — "
+        "raise _IVF_PROBES (probed cells are the recall/cost knob)"
+    )
