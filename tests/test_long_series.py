@@ -50,6 +50,33 @@ def test_first_segment_bitexact_vs_single_shot(stitched):
     assert np.array_equal(got, want)
 
 
+def _acf(x: np.ndarray, max_lag: int) -> np.ndarray:
+    x = x - x.mean()
+    denom = float(x @ x)
+    return np.array(
+        [float(x[lag:] @ x[:-lag]) / denom for lag in range(1, max_lag + 1)]
+    )
+
+
+def test_stitched_acf_matches_single_shot(stitched):
+    """Second-order structure, not just marginals: the stitch must preserve
+    the VAR's autocorrelation function. Lags 1..2·max_lag cover every direct
+    recurrence coefficient plus their first-order interactions. Tolerance:
+    ACF sampling error at N=8000 is ~1/√N ≈ 0.011 per series; segment
+    boundaries contribute SEGS·max_lag/N ≈ 0.2 % of adjacent products, so
+    |Δacf| < 0.05 is ~4σ — loose enough never to flake, tight enough that a
+    burn-in regression (e.g. segments restarting cold) trips it immediately
+    (a cold restart decorrelates ~an entire segment prefix, shifting lag-1
+    ACF by >0.1)."""
+    single = generate_linear_config(n_points=N, n_vars=VARS, max_lag=LAG)
+    for i in range(VARS):
+        c = f"X{i + 1}"
+        a_single = _acf(single[c].to_numpy(), 2 * LAG)
+        a_stitch = _acf(stitched[c].to_numpy(), 2 * LAG)
+        worst = float(np.max(np.abs(a_single - a_stitch)))
+        assert worst < 0.05, f"{c}: max |Δacf| over lags 1..{2 * LAG} = {worst:.4f}"
+
+
 def test_stitched_moments_match_single_shot(stitched):
     """The SCM is a stable VAR: after burn-in every segment samples the same
     stationary law, so stitched mean/std must match a single-shot run of the

@@ -279,3 +279,59 @@ def test_sliding_stream_matches_batch(spark, events_dir, smoke_sf_dir):
         assert got[cols].equals(batch[cols])
     finally:
         q.stop()
+
+
+def test_watermark_evicts_state_under_processing_time_trigger(spark):
+    """100 TB posture: windowed-agg state must be SIZE-BOUNDED, which is the
+    watermark's job. The availableNow replays above can't show eviction (one
+    final watermark), so this runs a REAL processing-time trigger on a rate
+    source whose synthetic event time advances ~100 event-seconds per wall
+    second: 10s windows + 5s watermark means every micro-batch closes ~10
+    windows and must REMOVE their state rows. Asserts via stateOperators
+    metrics that (a) rows are removed, and (b) live state stays bounded far
+    below the total number of windows ever created."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    windowed = (
+        rate.select(F.timestamp_seconds(F.col("value")).alias("etime"), "value")
+        .withWatermark("etime", "5 seconds")
+        .groupBy(F.window("etime", "10 seconds"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("wm_evict_t")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        removed, max_live = 0, 0
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            time.sleep(1.0)
+            for p in q.recentProgress:
+                for op in p.get("stateOperators", []):
+                    removed = max(removed, op.get("numRowsRemoved") or 0)
+                    max_live = max(max_live, op.get("numRowsTotal") or 0)
+            if removed > 0:
+                break
+        assert removed > 0, "watermark never evicted any state rows"
+        # ~10 windows/s of event time are created; live state must stay in
+        # the same ballpark as (watermark lag + trigger latency) windows,
+        # not accumulate every window ever opened
+        n_closed = spark.sql("SELECT COUNT(*) FROM wm_evict_t").collect()[0][0]
+        assert max_live < max(50, 5 * max(n_closed, 1)), (
+            f"state grew to {max_live} rows while only {n_closed} windows "
+            "closed — watermark is not bounding state"
+        )
+    finally:
+        q.stop()
