@@ -25,6 +25,8 @@ TABLES = (
 
 def main() -> None:
     args = sys.argv[1:]
+    no_duck = "--no-duck" in args
+    args = [a for a in args if a != "--no-duck"]
     sf_dir = "/root/testdata/sf0.1"
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
@@ -37,8 +39,11 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written dataset directory
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries["lag_features"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -55,7 +60,7 @@ def main() -> None:
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             steady = min(steady, time.perf_counter() - t0)
         duck = float("nan")
-        if q.oracle is not None:
+        if q.oracle is not None and not no_duck:
             con.execute(q.oracle).arrow()
             duck = float("inf")
             for _ in range(3):

@@ -18,6 +18,8 @@ Design rules for scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
@@ -93,6 +95,20 @@ def _indexed(spark: SparkSession, key: str, sql: str) -> DataFrame:
     session-keyed, thread-safe; see functions/materialize.py for the
     staleness/catalog assumptions."""
     return materialized(spark, key, lambda: spark.sql(sql))
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata — driver-side, no Spark job.
+    Handles both a single file and a Spark-written dataset directory."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def _register_docs(spark: SparkSession, sf_dir: str) -> None:
@@ -1067,29 +1083,49 @@ def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ND_PLANES = 32
-_ND_BANDS = 4  # 8 sign bits per band
+_ND_BANDS = 4  # 8 sign bits per band at gate scales; widens with corpus size
 _ND_THRESHOLD = 0.3  # fixture max pairwise cosine is ~0.51 (synthetic, no true dups)
 _ND_PLANE_W = f"(2.0 * {lcg_uniform_sql('(p * 64 + dim)', salt=73)} - 1.0)"
 
 
-def _nd_sigs_sql(d, posexp: str) -> str:
+def _nd_bits(n_vectors: int) -> int:
+    """Sign bits per band, scaled to corpus size.
+
+    A b-bit band has 2^b buckets, so candidate pairs grow ~n²/2^b: FIXED
+    band width saturates and the verify stage goes quadratic (measured:
+    10× the vectors → 44× the runtime at b=8). Holding expected bucket
+    occupancy n/2^b roughly constant keeps candidates ~linear — the
+    standard LSH sizing rule b ≈ log2(n) − const. Gate scales (sf0.01 =
+    200 vectors, sf0.1 = 2k) stay at b=8, bit-identical to the static
+    DuckDB oracle; larger corpora widen bands where no oracle runs (the
+    weak-scaling table in COVERAGE.md is the check at those sizes).
+    """
+    if n_vectors < 5_000:
+        return 8
+    if n_vectors < 80_000:
+        return 12
+    return 16
+
+
+def _nd_sigs_sql(d, posexp: str, bits: int = 8) -> str:
     """Band signatures (vec_id, band, sig) from hyperplane sign bits."""
+    n_planes = _ND_BANDS * bits
     return f"""
     WITH planes AS (
       SELECT p, dim, {_ND_PLANE_W} AS w
-      FROM (SELECT {d['expand']('0', str(_ND_PLANES - 1))} AS p) pp,
+      FROM (SELECT {d['expand']('0', str(n_planes - 1))} AS p) pp,
            (SELECT {d['expand']('1', str(_ANN_DIMS))} AS dim) dd
     ),
     comps AS ({posexp}),
     dots AS (
-      SELECT c.vec_id, CAST(FLOOR(pl.p / 8) AS INT) AS band, pl.p,
+      SELECT c.vec_id, CAST(FLOOR(pl.p / {bits}) AS INT) AS band, pl.p,
              SUM(CAST(FLOOR(c.x * pl.w * 1000000.0) AS BIGINT)) AS dot_p
       FROM comps c JOIN planes pl ON pl.dim = c.dim
-      GROUP BY c.vec_id, CAST(FLOOR(pl.p / 8) AS INT), pl.p
+      GROUP BY c.vec_id, CAST(FLOOR(pl.p / {bits}) AS INT), pl.p
     )
     SELECT vec_id, band,
            CAST(SUM(CASE WHEN dot_p >= 0
-                         THEN CAST(ROUND(POWER(2, p % 8)) AS BIGINT)
+                         THEN CAST(ROUND(POWER(2, p % {bits})) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS sig
     FROM dots GROUP BY vec_id, band
     """
@@ -1179,10 +1215,14 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the ANN-index pair (see _indexed; Spark CTE inlining +
     Generate-under-self-join otherwise recompute the plane-dot aggregation
     for each reference); at scale these are exactly the two relations an
-    ANN index writes to storage."""
+    ANN index writes to storage. Band width adapts to corpus size (see
+    _nd_bits) — the parquet footer row count is read driver-side, no job."""
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    bits = _nd_bits(_parquet_rows(os.path.join(sf_dir, "embeddings.parquet")))
     _indexed(
-        spark, f"nd_sigs|{sf_dir}", _nd_sigs_sql(_SPARK_D, _ND_POSEXP_SPARK)
+        spark,
+        f"nd_sigs|{bits}|{sf_dir}",
+        _nd_sigs_sql(_SPARK_D, _ND_POSEXP_SPARK, bits),
     ).createOrReplaceTempView("nd_sigs")
     _indexed(spark, f"nd_v|{sf_dir}", _nd_v_sql(_SPARK_D)).createOrReplaceTempView(
         "nd_v"
