@@ -76,6 +76,26 @@ def _links_cte(expand) -> str:
     """
 
 
+def _cells_view(spark: SparkSession) -> str:
+    """Materialize the literal link-string matrix once per session.
+
+    Four queries (validate/encode/decode/pretty) share the `cells` CTE —
+    pure driver-side literals (120 cells), but Spark inlines CTEs, so each
+    build re-runs the explode/union pipeline as several scheduled stages.
+    The LogicalRDD leaf removes those stages; the DuckDB oracles keep the
+    inline CTE (it materializes repeated CTEs itself)."""
+    from ..functions.materialize import materialized
+
+    materialized(
+        spark,
+        "links_cells",
+        lambda: spark.sql(
+            _links_cte(_spark_expand) + "SELECT i, j, k, s FROM cells"
+        ),
+    ).createOrReplaceTempView("links_cells")
+    return "WITH cells AS (SELECT i, j, k, s FROM links_cells)"
+
+
 def _dual_links(body: str):
     return _links_cte(_spark_expand) + body, _links_cte(_duck_expand) + body
 
@@ -100,7 +120,11 @@ _VALIDATE_BODY = """
     )
     SELECT s AS invalid_string, COUNT(*) AS n
     FROM with_bad
-    WHERE s NOT IN (SELECT a FROM allowed)
+    -- NOT EXISTS, not NOT IN: NOT IN's null-aware semantics force Spark
+    -- onto a BroadcastNestedLoopJoin; the values are provably non-null
+    -- literals, and NOT EXISTS plans as a plain broadcast anti join in
+    -- both engines with identical results
+    WHERE NOT EXISTS (SELECT 1 FROM allowed WHERE allowed.a = with_bad.s)
     GROUP BY s
     """
 
@@ -112,7 +136,7 @@ def validate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invalid link strings with occurrence counts — string_checker
     (tigramite_helper.py:17-29; its inverted ndarray guard Q7 is a bug we do
     not port) as an anti-membership aggregate."""
-    return spark.sql(_VALIDATE_SPARK)
+    return spark.sql(_cells_view(spark) + _VALIDATE_BODY)
 
 
 # --------------------------------------------------------------------------
@@ -144,7 +168,7 @@ _ENCODE_SPARK, _ENCODE_DUCK = _dual_links(_ENCODE_BODY)
 def encode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-string tensor → integer-coded edges with arrow-direction swap
     (make_categorical_causal_graph, tigramite_helper.py:38-90)."""
-    return spark.sql(_ENCODE_SPARK)
+    return spark.sql(_cells_view(spark) + _ENCODE_BODY)
 
 
 # --------------------------------------------------------------------------
@@ -213,7 +237,7 @@ def decode_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer edge codes → boolean directed edges (to_bool_edges,
     metrics_helper.py:45-78): codes 1/2/3/other mark the stored cell, code 4
     marks both directions (the union branch)."""
-    return spark.sql(_DECODE_SPARK)
+    return spark.sql(_cells_view(spark) + _decode_body(True))
 
 
 # --------------------------------------------------------------------------
@@ -367,4 +391,4 @@ def pretty_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge rows → display strings with the reference's two formats
     (pretty_print_tensor, py_tetrad_helper.py:185-203) via || concatenation
     — a pure projection, no shuffle."""
-    return spark.sql(_PRETTY_SPARK)
+    return spark.sql(_cells_view(spark) + _PRETTY_BODY)
