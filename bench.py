@@ -59,7 +59,7 @@ def _duckdb_times(queries, sf_dir: str) -> dict[str, float]:
         try:
             con.execute(q.oracle).arrow()  # warm (IO cache, plan)
             best = float("inf")
-            for _ in range(2):  # min of 2: DuckDB times swing ~5× run-to-run
+            for _ in range(3):  # min of 3: DuckDB times swing ~5× run-to-run
                 t0 = time.perf_counter()
                 con.execute(q.oracle).arrow()
                 best = min(best, time.perf_counter() - t0)
@@ -116,13 +116,18 @@ def main() -> None:
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 4)
-        t1 = time.perf_counter()
-        df2 = queries[name].build(spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        steady = time.perf_counter() - t1
-        # A steady run slower than its own cold run (which paid codegen) is
-        # transient interference (GC pause, neighbor CPU), not the query —
-        # observed 35 s for a 1 s query once; retry and keep the faster.
+        # min of 2 steady runs: single-run steady numbers swing 2-3× on a
+        # contended box (GC pause, neighbor CPU); the min is the honest
+        # steady-state estimate and stabilizes round-over-round comparisons
+        steady = float("inf")
+        for _ in range(2):
+            t1 = time.perf_counter()
+            queries[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            steady = min(steady, time.perf_counter() - t1)
+        # still slower than the cold run (which paid codegen)? transient
+        # interference — observed 35 s for a 1 s query once; one more try.
         if steady > max(1.0, 1.5 * cold[name]):
             t2 = time.perf_counter()
             queries[name].build(spark, sf_dir).write.format("noop").mode(
