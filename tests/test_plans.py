@@ -144,3 +144,33 @@ def test_hash_split_is_projection_plus_one_agg(spark, oracle_sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "partial_" in plan
+
+
+def test_rolling_median_stays_codegen(spark, oracle_sf_dir):
+    """Round-4 rewrite contract: the frame quantile is collect_list +
+    codegen'd array interpolation, NOT the interpreted `percentile`
+    ImperativeAggregate (which costs a per-row hashmap rebuild)."""
+    plan = _plan(spark, "rolling_median", oracle_sf_dir)
+    assert "percentile" not in plan.lower()
+    assert "collect_list" in plan
+    assert plan.count("Exchange") == 1  # one window shuffle on the series key
+
+
+def test_funnel_single_fact_shuffle(spark, oracle_sf_dir):
+    """Round-4 rewrite contract: ONE user-keyed shuffle of events (the
+    per-user stage-array agg) + the tiny global-agg exchange — never the
+    oracle's per-stage re-shuffles of the fact table."""
+    plan = _plan(spark, "funnel", oracle_sf_dir)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_revenue_aggregates_before_dim_joins(spark, oracle_sf_dir):
+    """Round-4 rewrite contract: the fact-side aggregate groups on the int
+    c_nationkey BEFORE nation/region join (early aggregation); the only
+    exchange in the plan is the 25-group agg exchange — the fact scan
+    itself is never shuffled."""
+    plan = _plan(spark, "revenue_by_nation", oracle_sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the aggregate keys on c_nationkey, not on the dim name columns
+    assert "keys=[c_nationkey" in plan
