@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
 from ..functions.materialize import materialized
+from ..functions.spread import spread
 from ..sources import load
 from . import register
 
@@ -115,10 +116,9 @@ def _register_docs(spark: SparkSession, sf_dir: str) -> None:
     docs = load(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     # registered lazily; only plans that reference documents_par pay the
-    # repartition shuffle (see _SPARK_D["pdocs"])
-    docs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).createOrReplaceTempView("documents_par")
+    # repartition shuffle (see _SPARK_D["pdocs"]); no-op when the scan is
+    # already full-width (cluster scale)
+    spread(docs, "doc_id").createOrReplaceTempView("documents_par")
 
 
 def _spark_docs(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

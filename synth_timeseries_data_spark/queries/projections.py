@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detrand import gaussian_sql, laplace_sql, lcg_uniform_sql
+from ..functions.spread import spread
 from ..sources import load
 from . import register
 
@@ -154,7 +155,5 @@ def noise_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution of the expensive projection (result is order-independent by
     construction)."""
     ev = load(spark, sf_dir, "events")
-    ev.repartition(
-        spark.sparkContext.defaultParallelism, "event_id"
-    ).createOrReplaceTempView("events_par")
+    spread(ev, "event_id").createOrReplaceTempView("events_par")
     return spark.sql(_MIX_SQL.replace("FROM events e", "FROM events_par e"))
