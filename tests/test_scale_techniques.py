@@ -81,3 +81,58 @@ def test_salted_join_matches_plain_join_under_skew(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # the join really keys on (k, __salt)
+
+
+def test_funnel_over_bucketed_events_zero_exchange(spark, smoke_sf_dir, bucket_db):
+    """The flagship funnel shape on bucketed storage: events written
+    bucketBy(user_id) once, then the per-user stage aggregation runs with
+    ZERO exchange before the final tiny rollup — the storage form that
+    turns funnel's one fact shuffle into a one-time write cost at 100 TB.
+    Result must equal the plain-table funnel bit-for-bit."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    ev = load(spark, smoke_sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    write_bucketed(ev, f"{bucket_db}.ev_bucketed", "user_id", n_buckets=8)
+
+    peru_sql = """
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts div 1000 END) AS t1,
+          array_sort(collect_list(
+            CASE WHEN event_type = 'click' THEN ts div 1000 END)) AS clicks,
+          array_sort(collect_list(
+            CASE WHEN event_type = 'purchase' THEN ts div 1000 END)) AS purch
+        FROM {src} GROUP BY user_id
+    """
+    plan = (
+        spark.sql(peru_sql.format(src=f"{bucket_db}.ev_bucketed"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+
+    # end-to-end equality vs the registered funnel on the plain table
+    tail = """
+        , stages AS (
+          SELECT user_id, t1,
+            try_element_at(filter(clicks, x -> x > t1), 1) AS t2,
+            try_element_at(filter(purch, x -> x > t2), 1) AS t3
+          FROM peru
+        )
+        SELECT COUNT(*) AS n_users_seen, COUNT(t1) AS n_viewed,
+               COUNT(t2) AS n_clicked_after_view,
+               COUNT(t3) AS n_purchased_after_click,
+               CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t1), 0)
+                 AS view_to_purchase_rate
+        FROM stages
+    """
+    bucketed = spark.sql(
+        "WITH peru AS ("
+        + peru_sql.format(src=f"{bucket_db}.ev_bucketed")
+        + ")"
+        + tail
+    ).collect()
+    plain = all_queries()["funnel"].build(spark, smoke_sf_dir).collect()
+    assert bucketed == plain
