@@ -70,3 +70,35 @@ def test_encodings_agree_with_duckdb_epoch_us(spark, tmpdir, duck):
         ).fetchall()
     ]
     assert [v // 1000 for v in _ts_values(spark, d)] == duck_us
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_stream_events_handles_both_encodings(spark, tmpdir, unit):
+    """The STREAMING reader sniffs the parquet footer and must normalize
+    both physical encodings to the same epoch-ns bigint + ts_event
+    timestamp as the batch loader (a hardcoded schema broke when the
+    driver's fixture flipped encodings between rounds)."""
+    from synth_timeseries_data_spark.streaming import stream_events
+
+    vals = (
+        pa.array(_US, pa.timestamp("us"))
+        if unit == "us"
+        else pa.array([u * 1000 for u in _US], pa.timestamp("ns"))
+    )
+    d = _write_events(os.path.join(tmpdir, f"stream_{unit}"), vals)
+    q = (
+        stream_events(spark, d)
+        .writeStream.format("memory")
+        .queryName(f"enc_{unit}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        rows = spark.sql(
+            f"SELECT ts FROM enc_{unit} ORDER BY event_id"
+        ).collect()
+        assert [r.ts for r in rows] == [u * 1000 for u in _US]
+    finally:
+        q.stop()
