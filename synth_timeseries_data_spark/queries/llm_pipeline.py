@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
 from ..functions.materialize import materialized
-from ..functions.spread import spread
+from ..functions.spread import register_spread_view
 from ..sources import load
 from . import register
 
@@ -113,12 +113,17 @@ def _parquet_rows(path: str) -> int:
 
 
 def _register_docs(spark: SparkSession, sf_dir: str) -> None:
-    docs = load(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     # registered lazily; only plans that reference documents_par pay the
     # repartition shuffle (see _SPARK_D["pdocs"]); no-op when the scan is
-    # already full-width (cluster scale)
-    spread(docs, "doc_id").createOrReplaceTempView("documents_par")
+    # already full-width (cluster scale); probe memoized per session
+    register_spread_view(
+        spark,
+        "documents_par",
+        lambda: load(spark, sf_dir, "documents"),
+        sf_dir,
+        "doc_id",
+    )
 
 
 def _spark_docs(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

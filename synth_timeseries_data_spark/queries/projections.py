@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detrand import gaussian_sql, laplace_sql, lcg_uniform_sql
-from ..functions.spread import spread
+from ..functions.spread import register_spread_view
 from ..sources import load
 from . import register
 
@@ -154,6 +154,11 @@ def noise_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     row group → one task; the tiny event-id shuffle buys full-width
     execution of the expensive projection (result is order-independent by
     construction)."""
-    ev = load(spark, sf_dir, "events")
-    spread(ev, "event_id").createOrReplaceTempView("events_par")
+    register_spread_view(
+        spark,
+        "events_par",
+        lambda: load(spark, sf_dir, "events"),
+        sf_dir,
+        "event_id",
+    )
     return spark.sql(_MIX_SQL.replace("FROM events e", "FROM events_par e"))
