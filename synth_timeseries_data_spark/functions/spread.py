@@ -51,7 +51,10 @@ def register_spread_view(
         for stale in [s for s in _REGISTERED if s != sid]:
             del _REGISTERED[stale]
         sess = _REGISTERED.setdefault(sid, (spark, {}))
-        if sess[1].get(view) == key:
+        # the existence check (cheap catalog lookup, ~ms) guards against a
+        # caller having dropped the temp view since we registered it — the
+        # memo alone would then skip and leave the query unresolvable
+        if sess[1].get(view) == key and spark.catalog.tableExists(view):
             return
         spread(build(), *cols).createOrReplaceTempView(view)
         sess[1][view] = key
