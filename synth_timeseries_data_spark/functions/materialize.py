@@ -35,7 +35,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
-_LOCK = threading.Lock()
+# RLock, not Lock: a build function may itself call materialized() for its
+# inputs (dedup_clusters materializes the minhash pair relation, whose
+# build materializes the LSH index relations) — a plain Lock deadlocks on
+# that same-thread reentry
+_LOCK = threading.RLock()
 
 
 def materialized(

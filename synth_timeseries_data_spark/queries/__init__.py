@@ -58,8 +58,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tests/test_graph_semantics.py + the full-registry gate in tests/ and
 # scripts/driver_gate.py): the edge-codec septet, the four graph metrics,
 # the two mask streams, and the sink roundtrip (also golden-tested in
-# tests/test_sinks.py).
+# tests/test_sinks.py). trend_season joins them when round 4 adds the new
+# dedup_clusters query (65 oracle entries): it is round-3-green and its
+# G9/G10 semantics are bit-exactly pinned by the C1-family generation
+# goldens.
 _DEMOTED = (
+    "trend_season",
     "validate_links",
     "encode_links",
     "decode_edges",

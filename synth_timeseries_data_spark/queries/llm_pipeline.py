@@ -723,6 +723,114 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING: MinHash pairs → connected components → canonical
+# representative per cluster. The step an actual dedup pipeline needs after
+# pair generation — you keep one doc per component, not one per pair.
+#
+# Spark: iterative min-label propagation (label(v) ← min(label(v), min
+# label over neighbors) to fixpoint) — the idiomatic Spark shape for
+# iterative graph algorithms (GraphX/GraphFrames connected components is
+# the same loop); every iteration is one join + one aggregate, labels are
+# localCheckpoint'ed so lineage stays flat, and the driver only ever reads
+# a CONVERGENCE COUNT (never data). Iterations = component diameter —
+# near-dup clusters are shallow (pairs share content), so 2-4 in practice.
+#
+# DuckDB oracle: WITH RECURSIVE transitive min-label closure — an
+# independent algorithm arriving at the same fixpoint (component min).
+# Spark's recursive CTE only allows UNION ALL recursion (no dedup), which
+# cannot terminate on cyclic graphs — hence the loop on the Spark side.
+# Results are all-integers, so cross-engine bit-exactness is structural.
+# --------------------------------------------------------------------------
+
+def _clusters_duck_sql() -> str:
+    # wrap _MINHASH_DUCK's final pair-SELECT as a `pairs` CTE, then append
+    # the recursive min-label closure (RECURSIVE prefixes the whole WITH
+    # list; DuckDB is fine with non-recursive CTEs under it)
+    mh = _MINHASH_DUCK.replace("WITH ", "WITH RECURSIVE ", 1)
+    cut = mh.rindex("SELECT doc_a, doc_b,")
+    return (
+        mh[:cut]
+        + ", pairs AS ("
+        + mh[cut:].rstrip()
+        + "\n    ),"
+        + """
+    nodes AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v)
+    SELECT doc_id, cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """
+    )
+
+
+@register("dedup_clusters", _clusters_duck_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph —
+    (doc_id, cluster_rep, cluster_size) with cluster_rep = the component's
+    min doc_id. Dedup pipelines keep ONE doc per component, so clustering
+    the pairs is the step that makes pair generation actionable.
+
+    Iterative min-label propagation: each round is one shuffle join of the
+    (tiny) edge relation against labels + a min-aggregate; the driver reads
+    only a scalar convergence count per round, never data. Labels are
+    localCheckpoint'ed per round (flat lineage). Rounds = component
+    diameter (near-dup clusters are shallow). At 100 TB this is exactly
+    GraphFrames/GraphX connected components, expressed over the same
+    bucket-join candidate graph the LSH index yields."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pairs = materialized(
+        spark,
+        f"mh_pairs|{sf_dir}",
+        lambda: minhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("a", "b")
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-4
+        neigh = (
+            edges.join(labels, edges.a == labels.v)
+            .groupBy(F.col("b").alias("v2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w_size = F.count("*").over(Window.partitionBy("cluster_rep"))
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).withColumn("cluster_size", w_size.cast("bigint"))
+
+
 def _ngram_jaccard_tail(d) -> str:
     return """
     small AS (SELECT * FROM shingles WHERE doc_id < 200),
