@@ -203,10 +203,39 @@ def _retention_sql(tus: str) -> str:
     """
 
 
+# Spark-side retention: the oracle's relational form costs four exchanges
+# (cohort agg, DISTINCT, join, COUNT(DISTINCT) rollup). Spark collapses it
+# to TWO: one user-keyed aggregate computes the signup week AND the user's
+# distinct active-week set together (collect_set dedups inside the agg, so
+# the separate DISTINCT shuffle disappears and the user→cohort join becomes
+# a same-row lookup), then exploding (user, week) rows — unique by
+# construction — lets the final (cohort, offset) rollup use plain COUNT(*)
+# instead of a two-phase COUNT(DISTINCT) expand. Per-user state is the
+# distinct-week set (bounded by corpus weeks, not events), so the agg
+# map-side-combines at 100 TB.
+_RETENTION_SPARK = f"""
+    WITH peru AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN
+                   CAST(FLOOR((ts div 1000) / {_WEEK_US}.0) AS BIGINT) END) AS w0,
+             collect_set(CAST(FLOOR((ts div 1000) / {_WEEK_US}.0) AS BIGINT)) AS weeks
+      FROM events GROUP BY user_id
+    )
+    SELECT w0 AS cohort_week,
+           wk - w0 AS week_offset,
+           COUNT(*) AS n_active
+    FROM peru LATERAL VIEW explode(weeks) AS wk
+    WHERE w0 IS NOT NULL AND wk >= w0
+    GROUP BY w0, wk - w0
+    """
+
+
 @register("retention_cohorts", _retention_sql("epoch_us(ts)"))
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (first-signup week × weeks-since,
     distinct active users) — the standard product-analytics rollup; exact
-    integer weeks and distinct counts, user-keyed aggregates only."""
+    integer weeks and distinct counts. Spark runs the two-exchange
+    collect_set form (_RETENTION_SPARK); the oracle keeps the equivalent
+    relational join/COUNT-DISTINCT form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_retention_sql("(ts div 1000)"))
+    return spark.sql(_RETENTION_SPARK)

@@ -404,18 +404,64 @@ def _contamination_sql(d) -> str:
     """
 
 
-_CONTAM_SPARK, _CONTAM_DUCK = _dual(_contamination_sql)
+_CONTAM_DUCK = _contamination_sql(_DUCK_D)
+
+# Spark side: the oracle's fp-self-join re-executes the fingerprint CTE for
+# both join inputs (Catalyst does not dedup a self-joined CTE containing
+# per-row split/md5 work), i.e. two full document scans plus a join
+# shuffle. Spark instead fingerprints ONCE, then groups by fingerprint
+# collecting the test-side and train-side doc lists (collect_list skips
+# the CASE NULLs) and explodes their product — non-colliding fingerprints
+# yield an empty array and vanish before the explode. One scan, one
+# shuffle; pair expansion touches only colliding fingerprints, so at
+# 100 TB the post-shuffle work is proportional to the leak set, not the
+# corpus. Reads the plain table, not the spread view: the per-doc work is
+# three element_at + one md5 (not explode-per-word), so the extra
+# repartition exchange costs more than it buys (measured 0.55 s vs 0.3 s
+# at sf0.1; at cluster scale the scan is already wide).
+def _contam_spark_sql(table: str = "documents") -> str:
+    d = _SPARK_D
+    strcast = "STRING"
+    bucket = _hex2int(d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)")
+    ws = d["split"]("text")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM {table}
+    ),
+    fp AS (
+      SELECT doc_id, split,
+             md5(CONCAT({d['el'](ws, '1')}, ' ', {d['el'](ws, '2')}, ' ',
+                        {d['el'](ws, '3')})) AS fpp
+      FROM s WHERE {d['len'](ws)} >= 3 AND split <> 'valid'
+    ),
+    buckets AS (
+      SELECT fpp,
+             collect_list(CASE WHEN split = 'test' THEN doc_id END) AS test_docs,
+             collect_list(CASE WHEN split = 'train' THEN doc_id END) AS train_docs
+      FROM fp GROUP BY fpp
+    )
+    SELECT te AS test_doc, tr AS train_doc, fpp AS fingerprint
+    FROM buckets
+    LATERAL VIEW explode(test_docs) AS te
+    LATERAL VIEW explode(train_docs) AS tr
+    """
 
 
 @register("contamination_check", _CONTAM_DUCK)
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage detection: fingerprint every document (leading
     3-shingle hash — the near-dup-tolerant choice; swap md5(text) for exact
-    only), then equality-join test-split fingerprints against train-split
-    fingerprints. The join is an inverted-index equality on the fingerprint
-    — never doc×doc — so at 100 TB it shuffles only fingerprint-collision
-    rows, the same candidate-generation shape as the dedup family."""
-    return _spark_docs(spark, sf_dir, _CONTAM_SPARK)
+    only), then match test-split fingerprints against train-split
+    fingerprints. Candidates come from fingerprint equality — never doc×doc
+    — so at 100 TB it shuffles only fingerprint-collision rows, the same
+    candidate-generation shape as the dedup family. Spark runs the
+    one-scan group-by-fingerprint form (see _contam_spark_sql); the oracle
+    keeps the equivalent inverted-index self-join."""
+    return _spark_docs(spark, sf_dir, _contam_spark_sql())
 
 
 def _shingles_raw_cte(d) -> str:

@@ -52,8 +52,8 @@ def test_contamination_detects_planted_leak(spark):
     """A doc duplicated into ids that hash to train and test splits MUST be
     reported; distinct-prefix docs must not be."""
     from synth_timeseries_data_spark.queries.llm_pipeline import (
-        _CONTAM_SPARK,
         _SPARK_D,
+        _contam_spark_sql,
         _hex2int,
     )
 
@@ -84,7 +84,10 @@ def test_contamination_detects_planted_leak(spark):
         f"SELECT * FROM (VALUES {values}) AS documents(doc_id, text)"
     ).createOrReplaceTempView("documents")
     try:
-        got = {(r.test_doc, r.train_doc) for r in spark.sql(_CONTAM_SPARK).collect()}
+        got = {
+            (r.test_doc, r.train_doc)
+            for r in spark.sql(_contam_spark_sql("documents")).collect()
+        }
         assert (test_id, train_id) in got
         assert all(tr != clean_id for _, tr in got)
     finally:
