@@ -136,6 +136,19 @@ def main() -> None:
             steady = min(steady, time.perf_counter() - t2)
         timings[name] = round(steady, 4)
 
+    # Second-chance pass: host-level interference arrives in multi-second
+    # bursts (observed: a 0.4 s query measuring 9.8 s mid-session), and a
+    # query whose 2-3 in-place runs all landed inside a burst keeps the
+    # inflated number. Re-time every query slower than 0.6 s once more at
+    # the end of the run — cheap (only the slow tail re-executes) and the
+    # min can only sharpen the estimate, never pad it.
+    for name in [n for n, v in timings.items() if v > 0.6]:
+        t3 = time.perf_counter()
+        queries[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(min(timings[name], time.perf_counter() - t3), 4)
+
     duck = _duckdb_times(queries, sf_dir)
     ratio = {
         name: round(timings[name] / duck[name], 2)
