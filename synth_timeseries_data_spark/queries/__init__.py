@@ -62,7 +62,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # dedup_clusters query (65 oracle entries): it is round-3-green and its
 # G9/G10 semantics are bit-exactly pinned by the C1-family generation
 # goldens.
+# Round-4 additions (tfidf_topterms, pii_redact, substring_dup → 68 oracle
+# entries) push three more round-3-green entries into the demoted tail:
+# order_set_ops, irregular_ts, corr_matrix — each has a driver-green row in
+# CORRECTNESS_r03.json and stays pinned every session by the full-registry
+# bit-exact replay in tests/test_oracle.py + scripts/driver_gate.py.
 _DEMOTED = (
+    "order_set_ops",
+    "irregular_ts",
+    "corr_matrix",
     "trend_season",
     "validate_links",
     "encode_links",

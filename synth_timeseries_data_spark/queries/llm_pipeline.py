@@ -1387,3 +1387,199 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nd_v"
     )
     return spark.sql("WITH " + _nd_tail(_SPARK_D, "nd_sigs", "nd_v"))
+
+
+# --------------------------------------------------------------------------
+# Corpus keyword extraction: per-document top-k TF-IDF terms.
+# --------------------------------------------------------------------------
+
+
+def _tfidf_sql(d) -> str:
+    # TF shuffle keys on (doc_id, term) — the corpus-proportional stage;
+    # DF is vocabulary-sized (derived from the TF relation, no second
+    # corpus pass) and joins back per-term — broadcast at any corpus size
+    # where vocab << corpus. N is a scalar subquery. Scores ROUND(.,6)+0.0
+    # per the libm discipline (ln), and the top-k window orders by the
+    # ROUNDED score with the term string as tiebreak, so ranking is
+    # engine-independent. Window partitions by doc_id — the same key the
+    # TF aggregate already clustered on.
+    unnest_toks = (
+        "SELECT doc_id, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if d is _SPARK_D
+        else "SELECT doc_id, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    toks AS ({unnest_toks}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) + 0.0 AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+    """
+
+
+_TFIDF_DUCK = _tfidf_sql(_DUCK_D)
+
+# Spark side: Catalyst inlines the `tf` CTE into BOTH its references (the
+# df aggregate and the score join), re-running the scan→explode→aggregate
+# pipeline twice. Computing df as COUNT(*) OVER (PARTITION BY term) on the
+# tf relation keeps ONE corpus pass: exchange(doc) → explode → tf agg
+# (exchange-free — hash(doc_id) already satisfies the (doc_id, term)
+# clustering) → term-window for df → doc-window for the top-k rank
+# (WindowGroupLimit prunes below rank 3 before the final sort). The tf
+# relation rows are unique per (doc, term), so the term-window COUNT(*)
+# IS the distinct-doc count, no expand. Measured ~0.75 s vs ~1.9 s for the
+# double-pipeline form at sf0.1.
+_TFIDF_SPARK = """
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents_par),
+    toks AS (SELECT doc_id, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM tf
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(tf * ln((SELECT CAST(n AS DOUBLE) FROM n) / df), 6) + 0.0 AS score
+      FROM scored
+    ),
+    topk AS (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM ranked
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM topk WHERE rk <= 3
+    """
+
+
+@register("tfidf_topterms", _TFIDF_DUCK)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the standard corpus keyword /
+    feature-selection op. One corpus-proportional pass (see _TFIDF_SPARK);
+    the oracle keeps the equivalent relational tf⋈df form. Scores are
+    ROUND(.,6)+0.0 per the libm (ln) discipline and ranked on the ROUNDED
+    value with the term string as tiebreak, so ordering is
+    engine-independent."""
+    return _spark_docs(spark, sf_dir, _TFIDF_SPARK)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: count + redact emails/phone numbers per document.
+# --------------------------------------------------------------------------
+
+# Engine-portable regexes: character classes only — no backslash escapes
+# (Spark SQL string literals eat backslashes, DuckDB keeps them) and no
+# constructs where Java regex and RE2 disagree. Hyphen last in class.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[+]?[0-9][0-9 -]{6,}[0-9]"
+
+
+def _pii_sql(d) -> str:
+    g = ", 'g'" if d is not _SPARK_D else ""  # DuckDB needs the global flag
+    red = (
+        f"regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>'{g}), "
+        f"'{_PII_PHONE}', '<PHONE>'{g})"
+    )
+    # Spark reads the spread view: four regex passes per doc are the
+    # compute-heavy profile the spread exists for (single-row-group fixture
+    # → single-task scan otherwise). The nested-subquery shape keeps the
+    # double-replace expression shared via subexpression elimination.
+    return f"""
+    SELECT doc_id, n_emails, n_phones, LENGTH(red) AS clean_len,
+           md5(red) AS clean_fp
+    FROM (
+      SELECT doc_id,
+             {d['retokens']('text', _PII_EMAIL)} AS n_emails,
+             {d['retokens']('text', _PII_PHONE)} AS n_phones,
+             {red} AS red
+      FROM {d['pdocs']}
+    ) t
+    """
+
+
+_PII_SPARK, _PII_DUCK = _dual(_pii_sql)
+
+
+@register("pii_redact", _PII_DUCK)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email/phone matches per document,
+    fingerprinting the redacted text (md5 agrees across engines, so the
+    scrubbed corpus is verifiable without shipping it). Pure row-local
+    projection — zero shuffles at any scale. The fixture corpus contains no
+    PII (counts 0, clean_fp = md5(text), still a per-doc content check);
+    planted-PII semantics are pinned cross-engine in
+    tests/test_dataset_assembly.py."""
+    return _spark_docs(spark, sf_dir, _PII_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication: documents sharing a verbatim ≥10-token run.
+# --------------------------------------------------------------------------
+
+# Stop-gram guard: a run-hash appearing in more docs than this is dropped
+# from pair generation (boilerplate/template text would otherwise make a
+# bucket quadratic — the standard move in exact-substring dedup at scale).
+# Both engines apply the same cap, so results stay comparable; no fixture
+# bucket comes near it.
+_RUN_CAP = 1000
+
+
+def _subdup_cold(d) -> str:
+    """Drop stop-gram rows. Spark: broadcast LEFT ANTI JOIN (the hot set is
+    tiny by construction; NOT IN would plan a null-aware anti join).
+    DuckDB: plain NOT IN."""
+    if d is _SPARK_D:
+        return (
+            "SELECT /*+ BROADCAST(hot) */ r.doc_id, r.h "
+            "FROM runs r LEFT ANTI JOIN hot ON r.h = hot.h"
+        )
+    return "SELECT doc_id, h FROM runs WHERE h NOT IN (SELECT h FROM hot)"
+
+
+def _substring_dup_sql(d) -> str:
+    if d is _SPARK_D:
+        run = "md5(array_join(slice(ws, i, 10), ' '))"
+    else:
+        run = "md5(array_to_string(ws[i:i+9], ' '))"
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}
+               WHERE {d['len'](d['split']('text'))} >= 10),
+    pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 9')} AS i
+            FROM w),
+    runs AS (SELECT DISTINCT doc_id, {run} AS h FROM pos),
+    hot AS (SELECT h FROM runs GROUP BY h HAVING COUNT(*) > {_RUN_CAP}),
+    cold AS ({_subdup_cold(d)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_runs
+    FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+_SUBDUP_SPARK, _SUBDUP_DUCK = _dual(_substring_dup_sql)
+
+
+@register("substring_dup", _SUBDUP_DUCK)
+def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs: docs sharing a verbatim 10-token
+    run, found via rolling 10-gram window hashes (stride 1 finds every
+    shared run ≥ 10 tokens — the fixed-k reduction of suffix-array
+    substring dedup, which has no Spark-natural form). Inverted-index
+    equality join on the run hash — never doc×doc — with a stop-gram cap
+    so boilerplate buckets can't go quadratic; complements ngram_jaccard
+    (set similarity) with contiguous-run containment, the partial-copy
+    detector."""
+    return _spark_docs(spark, sf_dir, _SUBDUP_SPARK)

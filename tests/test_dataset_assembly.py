@@ -92,3 +92,79 @@ def test_contamination_detects_planted_leak(spark):
         assert all(tr != clean_id for _, tr in got)
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_pii_redact_planted_cross_engine(spark):
+    """The fixture corpus has no PII, so the oracle gate proves only the
+    zero-match path. Plant real emails/phones and assert (a) the Spark
+    counts/redactions match hand-written expectations and (b) DuckDB's
+    evaluation of the dialect-twin SQL is value-identical — pinning the
+    Java-regex vs RE2 agreement on text that actually matches."""
+    import duckdb
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _PII_DUCK,
+        _PII_SPARK,
+    )
+
+    docs = [
+        (1, "mail me at a.b+c@ex-ample.co.uk or call +1 415-555-0199 now"),
+        (2, "no pii here just words"),
+        (3, "x@y.io and 12345678 and admin@test.org"),
+    ]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS documents(doc_id, text)"
+    ).createOrReplaceTempView("documents")
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS documents_par(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        got = {r.doc_id: r for r in spark.sql(_PII_SPARK).collect()}
+        assert (got[1].n_emails, got[1].n_phones) == (1, 1)
+        assert (got[2].n_emails, got[2].n_phones) == (0, 0)
+        assert (got[3].n_emails, got[3].n_phones) == (2, 1)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        duck_rows = {r[0]: r for r in con.execute(_PII_DUCK).fetchall()}
+        for i in got:
+            g = got[i]
+            assert (g.n_emails, g.n_phones, g.clean_len, g.clean_fp) == tuple(
+                duck_rows[i][1:]
+            ), i
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("documents_par")
+
+
+def test_substring_dup_finds_planted_run_only(spark):
+    """Two docs sharing a verbatim 10-token run must pair; docs sharing
+    only scattered tokens (high Jaccard, no contiguous run) must not —
+    the property separating substring_dup from ngram_jaccard."""
+    from synth_timeseries_data_spark.queries.llm_pipeline import _SUBDUP_SPARK
+
+    run = " ".join(f"tok{i}" for i in range(10))
+    scattered = " ".join(f"tok{i} pad{i}" for i in range(10))  # same tokens, interleaved
+    docs = [
+        (1, f"left context {run} right context"),
+        (2, f"other lead-in {run} trailing words"),
+        (3, scattered),
+        (4, "entirely unrelated filler words " + " ".join(f"z{i}" for i in range(10))),
+    ]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS documents(doc_id, text)"
+    ).createOrReplaceTempView("documents")
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS documents_par(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        pairs = {(r.doc_a, r.doc_b) for r in spark.sql(_SUBDUP_SPARK).collect()}
+        assert (1, 2) in pairs
+        assert all(3 not in p and 4 not in p for p in pairs)
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("documents_par")
