@@ -174,3 +174,33 @@ def test_revenue_aggregates_before_dim_joins(spark, oracle_sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     # the aggregate keys on c_nationkey, not on the dim name columns
     assert "keys=[c_nationkey" in plan
+
+
+def test_tfidf_single_corpus_pass(spark, oracle_sf_dir):
+    """The tf CTE must not be inlined twice: exactly ONE documents scan and
+    ONE Generate (explode), with the tf aggregate exchange-free on top of
+    the doc-partitioned spread view (hash(doc_id) satisfies the
+    (doc_id, term) clustering)."""
+    plan = _plan(spark, "tfidf_topterms", oracle_sf_dir)
+    assert plan.count("FileScan parquet") <= 2  # corpus + the scalar COUNT(*)
+    assert plan.count("Generate") == 1, plan[:2000]
+    # rank pruning pushed below the final sort: only top-3 rows per doc
+    # survive to the row_number projection
+    assert "WindowGroupLimit" in plan
+
+
+def test_pii_redact_no_shuffle(spark, oracle_sf_dir):
+    """Row-local projection: the only exchange is the spread view's
+    repartition — no aggregation/join shuffles."""
+    plan = _plan(spark, "pii_redact", oracle_sf_dir)
+    assert plan.count("Exchange") <= 1
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_substring_dup_no_cartesian_anti_join_broadcast(spark, oracle_sf_dir):
+    """Candidates come from the run-hash equality join (never doc×doc) and
+    the stop-gram filter is a broadcast anti join, not a null-aware NOT IN."""
+    plan = _plan(spark, "substring_dup", oracle_sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, plan[:2000]
