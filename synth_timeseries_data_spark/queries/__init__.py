@@ -67,10 +67,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # order_set_ops, irregular_ts, corr_matrix — each has a driver-green row in
 # CORRECTNESS_r03.json and stays pinned every session by the full-registry
 # bit-exact replay in tests/test_oracle.py + scripts/driver_gate.py.
+# corpus_filter (69th oracle entry) bumps sampling_hist — round-3 green,
+# replayed every session by tests/test_oracle.py — into the tail as well.
 _DEMOTED = (
     "order_set_ops",
     "irregular_ts",
     "corr_matrix",
+    "sampling_hist",
     "trend_season",
     "validate_links",
     "encode_links",

@@ -1583,3 +1583,69 @@ def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (set similarity) with contiguous-run containment, the partial-copy
     detector."""
     return _spark_docs(spark, sf_dir, _SUBDUP_SPARK)
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation funnel: lang gate → quality gate → exact-dedup keep-
+# first, with per-stage survivor counts. The composition a corpus curator
+# actually ships, in ONE declarative plan.
+# --------------------------------------------------------------------------
+
+_KEEP_LANGS = "('en', 'de', 'fr')"
+_Q_MIN = "0.55"
+
+
+def _corpus_filter_sql(d) -> str:
+    ws = d["split"]("text")
+    hits = d["filter"](ws, f"w -> w IN {_STOPWORDS}")
+    return f"""
+    WITH f AS (
+      SELECT doc_id, source, lang, text,
+             {d['len'](ws)} AS n_words,
+             CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio,
+             CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
+               / {d['len'](ws)} AS unique_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN lang IN {_KEEP_LANGS} THEN 1 ELSE 0 END AS lang_ok,
+             CASE WHEN ROUND(LEAST(1.0, n_words / 100.0) * 0.5
+                             + LEAST(1.0, stop_ratio * 10.0) * 0.2
+                             + unique_ratio * 0.3, 6) >= {_Q_MIN}
+                  THEN 1 ELSE 0 END AS q_ok
+      FROM f
+    ),
+    dd AS (
+      SELECT source, lang, lang_ok, q_ok,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text), lang_ok * q_ok
+               ORDER BY doc_id) AS rn
+      FROM scored
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(lang_ok) AS BIGINT) AS n_lang_ok,
+           CAST(SUM(lang_ok * q_ok) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN lang_ok * q_ok = 1 AND rn = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM dd
+    GROUP BY source, lang
+    """
+
+
+_CF_SPARK, _CF_DUCK = _dual(_corpus_filter_sql)
+
+
+@register("corpus_filter", _CF_DUCK)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel: language allowlist → quality threshold
+    (same composite score as quality_score, thresholded on the ROUND(.,6)
+    value so both engines gate identically) → exact-dedup keep-first-doc_id
+    among the eligible set, rolled up to per-(source, lang) survivor counts
+    at each stage. One text-hash window shuffle + one rollup — the full
+    keep/drop pipeline as a single Catalyst plan (each gate is a projection
+    the optimizer can reorder/prune around, not a separate materialized
+    pass). The eligibility flag rides in the window partition key so kept
+    docs rank only against kept docs."""
+    return _spark_docs(spark, sf_dir, _CF_SPARK)

@@ -168,3 +168,32 @@ def test_substring_dup_finds_planted_run_only(spark):
     finally:
         spark.catalog.dropTempView("documents")
         spark.catalog.dropTempView("documents_par")
+
+
+def test_corpus_filter_dedups_only_eligible(spark):
+    """Duplicate text among eligible docs keeps exactly the first doc_id;
+    an ineligible duplicate (filtered lang) must not consume the kept slot
+    — the eligibility flag rides in the window partition key."""
+    from synth_timeseries_data_spark.queries.llm_pipeline import _CF_SPARK
+
+    good = "the a of and to in is it " + " ".join(f"w{i}" for i in range(92))
+    docs = [
+        (1, "s1", "zh", good),   # duplicate text but filtered lang
+        (2, "s1", "en", good),   # first eligible holder of the text → kept
+        (3, "s1", "en", good),   # eligible duplicate → dropped at dedup
+        (4, "s1", "en", "tiny low quality text"),  # fails quality gate
+    ]
+    values = ", ".join(f"({i}, '{s}', '{l}', '{t}')" for i, s, l, t in docs)
+    for view in ("documents", "documents_par"):
+        spark.sql(
+            f"SELECT * FROM (VALUES {values}) AS {view}(doc_id, source, lang, text)"
+        ).createOrReplaceTempView(view)
+    try:
+        rows = {(r.source, r.lang): r for r in spark.sql(_CF_SPARK).collect()}
+        en = rows[("s1", "en")]
+        assert (en.n_docs, en.n_lang_ok, en.n_eligible, en.n_kept) == (3, 3, 2, 1)
+        zh = rows[("s1", "zh")]
+        assert (zh.n_docs, zh.n_lang_ok, zh.n_eligible, zh.n_kept) == (1, 0, 0, 0)
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("documents_par")
