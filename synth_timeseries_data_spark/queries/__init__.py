@@ -67,9 +67,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # order_set_ops, irregular_ts, corr_matrix — each has a driver-green row in
 # CORRECTNESS_r03.json and stays pinned every session by the full-registry
 # bit-exact replay in tests/test_oracle.py + scripts/driver_gate.py.
-# corpus_filter (69th oracle entry) bumps sampling_hist — round-3 green,
-# replayed every session by tests/test_oracle.py — into the tail as well.
+# corpus_filter and unigram_xent (69th/70th oracle entries) bump
+# sampling_hist and metrics_rollup — both round-3 driver-green, replayed
+# every session by tests/test_oracle.py — into the tail as well.
 _DEMOTED = (
+    "metrics_rollup",
     "order_set_ops",
     "irregular_ts",
     "corr_matrix",

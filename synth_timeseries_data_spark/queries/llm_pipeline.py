@@ -1649,3 +1649,64 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass). The eligibility flag rides in the window partition key so kept
     docs rank only against kept docs."""
     return _spark_docs(spark, sf_dir, _CF_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Unigram LM cross-entropy per document — the perplexity-filter analog
+# (CCNet-style quality scoring against an in-corpus LM).
+# --------------------------------------------------------------------------
+
+
+def _xent_sql(d) -> str:
+    # xent = avg_tokens(-ln(c_term / T)) = ln(T) - avg(ln c_term).
+    # ln is libm → per-token ln(c) is snapped to integer micro-nats with
+    # ROUND(.*1e6) (nearest-integer; FLOOR would step on representation
+    # boundaries) and summed as exact BIGINTs, so the per-doc mean is
+    # order-independent and bit-identical across engines; the final value
+    # carries the usual ROUND(.,6)+0.0. T comes from a documents scan
+    # (SUM of word counts — no second explode).
+    unnest_toks = (
+        "SELECT doc_id, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if d is _SPARK_D
+        else "SELECT doc_id, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    total = f"SELECT CAST(SUM({d['len'](d['split']('text'))}) AS DOUBLE) AS t FROM documents"
+    if d is _SPARK_D:
+        # window COUNT over term: ONE corpus pass (a vocab CTE would be
+        # inlined into both its references and re-run the explode pipeline,
+        # same trap as tfidf_topterms)
+        counted = f"""
+    toks AS ({unnest_toks}),
+    counted AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY term) AS c FROM toks)"""
+    else:
+        counted = f"""
+    toks AS ({unnest_toks}),
+    vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    counted AS (SELECT toks.doc_id, vocab.c FROM toks JOIN vocab ON vocab.term = toks.term)"""
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    {counted},
+    tot AS ({total})
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(ln((SELECT t FROM tot))
+                 - CAST(SUM(CAST(ROUND(ln(c) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*), 6) + 0.0 AS xent_nats
+    FROM counted
+    GROUP BY doc_id
+    """
+
+
+_XENT_SPARK, _XENT_DUCK = _dual(_xent_sql)
+
+
+@register("unigram_xent", _XENT_DUCK)
+def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM — the
+    perplexity-filtering signal (docs far from the corpus distribution get
+    high xent and are filter candidates). Spark runs one corpus pass
+    (term-window count, same single-pass device as tfidf_topterms); the
+    oracle keeps the relational vocab-join form. Token ln-probabilities are
+    snapped to integer micro-nats and summed exactly, so the mean is
+    order-independent and engine-identical."""
+    return _spark_docs(spark, sf_dir, _XENT_SPARK)
