@@ -1549,7 +1549,7 @@ def _subdup_cold(d) -> str:
     return "SELECT doc_id, h FROM runs WHERE h NOT IN (SELECT h FROM hot)"
 
 
-def _substring_dup_sql(d) -> str:
+def _substring_dup_sql(d, cap: int = _RUN_CAP) -> str:
     if d is _SPARK_D:
         run = "md5(array_join(slice(ws, i, 10), ' '))"
     else:
@@ -1560,7 +1560,7 @@ def _substring_dup_sql(d) -> str:
     pos AS (SELECT doc_id, ws, {d['expand']('1', d['len']('ws') + ' - 9')} AS i
             FROM w),
     runs AS (SELECT DISTINCT doc_id, {run} AS h FROM pos),
-    hot AS (SELECT h FROM runs GROUP BY h HAVING COUNT(*) > {_RUN_CAP}),
+    hot AS (SELECT h FROM runs GROUP BY h HAVING COUNT(*) > {cap}),
     cold AS ({_subdup_cold(d)})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_runs

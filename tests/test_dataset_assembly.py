@@ -197,3 +197,33 @@ def test_corpus_filter_dedups_only_eligible(spark):
     finally:
         spark.catalog.dropTempView("documents")
         spark.catalog.dropTempView("documents_par")
+
+
+def test_substring_dup_stop_gram_cap_drops_hot_runs(spark):
+    """The stop-gram guard: a run shared by more docs than the cap is
+    boilerplate and must generate NO pairs (that bucket would otherwise be
+    quadratic at scale); a rare shared run still pairs. Cap lowered to 3
+    via the builder parameter so the fixture stays small."""
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _SPARK_D,
+        _substring_dup_sql,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # shared by 5 docs > cap 3
+    rare = " ".join(f"r{i}" for i in range(10))    # shared by 2 docs <= cap
+    spark.sql(
+        f"""
+        SELECT id AS doc_id,
+               CASE WHEN id < 5
+                    THEN CONCAT('u', id, ' filler words here ', '{boiler}')
+                    ELSE CONCAT('v', id, ' other lead text ', '{rare}')
+               END AS text
+        FROM (SELECT explode(sequence(0, 6)) AS id)
+        """
+    ).createOrReplaceTempView("documents_par")
+    try:
+        sql = _substring_dup_sql(_SPARK_D, cap=3)
+        pairs = {(r.doc_a, r.doc_b) for r in spark.sql(sql).collect()}
+        assert pairs == {(5, 6)}, pairs  # rare run pairs; boilerplate dropped
+    finally:
+        spark.catalog.dropTempView("documents_par")
