@@ -212,3 +212,56 @@ def lagged_stream(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_FP_EXPR = (
+    "md5(CONCAT(element_at(split(text, ' '), 1), ' ', "
+    "element_at(split(text, ' '), 2), ' ', element_at(split(text, ' '), 3)))"
+)
+_SPLIT_BUCKET = (
+    "CAST(CONV(SUBSTR(md5(CONCAT('split|', CAST(doc_id AS STRING))), 1, 15), "
+    "16, 10) AS BIGINT) % 100"
+)
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream of documents (the arriving-corpus side of
+    streaming curation jobs)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def train_fingerprints(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """STATIC side for contamination_stream: leading-3-shingle fingerprints
+    of the train split, built batch-side from the reference corpus. At
+    cluster scale this is the artifact you persist once (write_bucketed on
+    the fingerprint) and rescan per stream; here it is a small DataFrame
+    the planner broadcasts into every micro-batch."""
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .parquet(docs_dir)
+        .where(f"size(split(text, ' ')) >= 3 AND {_SPLIT_BUCKET} < 80")
+        .selectExpr("doc_id AS train_doc", f"{_FP_EXPR} AS fingerprint")
+    )
+
+
+def contamination_stream(docs: DataFrame, train_fps: DataFrame) -> DataFrame:
+    """Streaming train/test leakage check: fingerprint each ARRIVING
+    test-split document and stream-static inner-join against the train
+    fingerprint relation — the streaming twin of the batch
+    `contamination_check` query (queries/llm_pipeline.py). Stateless (no
+    watermark needed: the static side is bounded and the join emits on
+    arrival), so state never grows with the stream; the static side
+    broadcasts per micro-batch. Same semantics as batch asserted in
+    tests/test_streaming.py."""
+    test_fp = docs.where(
+        f"size(split(text, ' ')) >= 3 AND {_SPLIT_BUCKET} >= 90"
+    ).selectExpr("doc_id AS test_doc", f"{_FP_EXPR} AS fingerprint")
+    return test_fp.join(train_fps, "fingerprint").select(
+        "test_doc", "train_doc", "fingerprint"
+    )

@@ -335,3 +335,45 @@ def test_watermark_evicts_state_under_processing_time_trigger(spark):
         )
     finally:
         q.stop()
+
+
+def test_contamination_stream_matches_batch(spark, smoke_sf_dir):
+    """Stream-static join twin: streaming test-split docs joined against
+    the static train-fingerprint relation must emit exactly the pairs the
+    batch contamination_check query reports."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import (
+        contamination_stream,
+        stream_documents,
+        train_fingerprints,
+    )
+
+    docs_dir = tempfile.mkdtemp(prefix="stream_docs_")
+    try:
+        shutil.copy(
+            os.path.join(smoke_sf_dir, "documents.parquet"),
+            os.path.join(docs_dir, "part-0.parquet"),
+        )
+        static = train_fingerprints(spark, docs_dir)
+        stream = contamination_stream(stream_documents(spark, docs_dir), static)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("contam_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.test_doc, r.train_doc)
+            for r in spark.sql("SELECT * FROM contam_stream").collect()
+        }
+        expected = {
+            (r.test_doc, r.train_doc)
+            for r in all_queries()["contamination_check"]
+            .build(spark, smoke_sf_dir)
+            .collect()
+        }
+        assert got == expected and len(expected) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
