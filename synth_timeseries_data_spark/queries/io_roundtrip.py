@@ -61,3 +61,44 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_event_id"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+_JSONL_ORACLE = """
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts
+    FROM documents
+    """
+
+
+@register("jsonl_roundtrip", _JSONL_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip for the document corpus — the de-facto
+    interchange format of LLM training-data pipelines (one JSON object per
+    line; Spark's json source reads/writes it natively and in parallel).
+    Write documents to JSONL, read back with an explicit schema (schema
+    inference would cost a second pass at 100 TB), and aggregate including
+    a per-doc text hash — matching the oracle's aggregate over the
+    original parquet proves the sink/source pair is lossless for unicode
+    text, BIGINTs, and string categories."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    docs = load(spark, sf_dir, "documents")
+    # same spread rationale as csv_roundtrip: task-parallel serialization
+    # of the single-row-group fixture; the aggregate is order-independent
+    docs.repartition(8).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+    )
