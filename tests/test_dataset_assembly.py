@@ -227,3 +227,47 @@ def test_substring_dup_stop_gram_cap_drops_hot_runs(spark):
         assert pairs == {(5, 6)}, pairs  # rare run pairs; boilerplate dropped
     finally:
         spark.catalog.dropTempView("documents_par")
+
+
+def test_substring_dup_equals_bruteforce_on_random_corpus(spark):
+    """Randomized equivalence: on small corpora drawn from a tiny
+    vocabulary (forcing both collisions and near-misses), the SQL
+    pair set must equal a brute-force python check for a shared
+    10-token contiguous run — pinning the window arithmetic
+    (slice bounds, sequence end, >=10 filter) exactly."""
+    import numpy as np
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _SPARK_D,
+        _substring_dup_sql,
+    )
+
+    for seed in (7, 41):
+        rng = np.random.default_rng(seed)
+        docs = []
+        for i in range(30):
+            n = int(rng.integers(5, 26))  # some docs below the 10-token floor
+            docs.append((i, " ".join(f"w{rng.integers(0, 4)}" for _ in range(n))))
+
+        def runs(text):
+            ws = text.split(" ")
+            return {tuple(ws[i : i + 10]) for i in range(len(ws) - 9)}
+
+        expected = set()
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                if runs(docs[a][1]) & runs(docs[b][1]):
+                    expected.add((a, b))
+
+        values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+        spark.sql(
+            f"SELECT * FROM (VALUES {values}) AS documents_par(doc_id, text)"
+        ).createOrReplaceTempView("documents_par")
+        try:
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in spark.sql(_substring_dup_sql(_SPARK_D)).collect()
+            }
+            assert got == expected, (seed, got ^ expected)
+        finally:
+            spark.catalog.dropTempView("documents_par")
