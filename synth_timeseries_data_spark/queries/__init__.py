@@ -67,13 +67,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # order_set_ops, irregular_ts, corr_matrix — each has a driver-green row in
 # CORRECTNESS_r03.json and stays pinned every session by the full-registry
 # bit-exact replay in tests/test_oracle.py + scripts/driver_gate.py.
-# corpus_filter, unigram_xent and jsonl_roundtrip (69th-71st oracle
-# entries) bump sampling_hist, metrics_rollup and props_parse — all
-# round-3 driver-green, replayed every session by tests/test_oracle.py —
-# into the tail as well.
+# corpus_filter, unigram_xent, jsonl_roundtrip and partitioned_roundtrip
+# (69th-72nd oracle entries) bump sampling_hist, metrics_rollup,
+# props_parse and config_grid — all round-3 driver-green, replayed every
+# session by tests/test_oracle.py — into the tail as well.
 _DEMOTED = (
     "metrics_rollup",
     "props_parse",
+    "config_grid",
     "order_set_ops",
     "irregular_ts",
     "corr_matrix",

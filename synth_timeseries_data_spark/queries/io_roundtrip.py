@@ -102,3 +102,43 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
     )
+
+
+_PARTITIONED_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    """
+
+
+@register("partitioned_roundtrip", _PARTITIONED_ORACLE)
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned source — the layout that
+    makes 100 TB corpora queryable: write documents `partitionBy(lang)`,
+    read the dataset back, and aggregate only two languages. The lang
+    filter prunes at the DIRECTORY level (PartitionFilters in the scan,
+    asserted in tests/test_plans.py) — the other languages' files are
+    never opened, which at scale is the difference between scanning 2/5 of
+    the corpus and all of it. Values must match the oracle's plain WHERE
+    over the original parquet."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"part_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    docs = load(spark, sf_dir, "documents")
+    # repartition BY THE PARTITION COLUMN before the write: each task then
+    # holds exactly one lang and writes one file per directory, instead of
+    # every task writing a sliver into every lang directory (the
+    # small-files explosion that kills partitioned tables at scale)
+    docs.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -204,3 +204,14 @@ def test_substring_dup_no_cartesian_anti_join_broadcast(spark, oracle_sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, oracle_sf_dir):
+    """The readback scan must carry the lang filter as a PartitionFilter
+    (directory-level pruning), not a post-scan Filter over all files."""
+    plan = _plan(spark, "partitioned_roundtrip", oracle_sf_dir)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
