@@ -1285,7 +1285,8 @@ def _nd_sigs_sql(d, posexp: str, bits: int = 8) -> str:
     SELECT vec_id, band,
            CAST(SUM(CASE WHEN dot_p >= 0
                          THEN CAST(ROUND(POWER(2, p % {bits})) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS sig
+                         ELSE 0 END) AS BIGINT) AS sig,
+           MAX(CASE WHEN p % {bits} = 0 THEN dot_p END) AS proj
     FROM dots GROUP BY vec_id, band
     """
 
@@ -1303,17 +1304,72 @@ def _nd_v_sql(d) -> str:
     """
 
 
-def _nd_tail(d, sigs: str, v: str) -> str:
+# Dense-region guard for candidate generation: clustered embeddings defeat
+# plain sign-bit banding (vectors in a tight cluster share most hyperplane
+# signs, so hot buckets grow with the cluster, not with 2^bits — measured
+# at the sf10 fixture: 200k vectors, 16-bit bands, max bucket 1898, 110M
+# all-pairs candidates, 93 s). Buckets over _ND_BUCKET_CAP switch from
+# all-pairs to sorted-neighborhood pairing: members ordered by the band's
+# first-plane raw dot (an exact BIGINT micro-sum, so the sort is
+# deterministic; cosine-close vectors have close projections) and paired
+# only with their _ND_NEIGHBORS successors — candidates linear in bucket
+# size. Recall inside over-cap buckets is approximate by design (each of
+# the 4 bands retries with a different projection); gate fixtures never
+# exceed the cap (max bucket 105 at sf0.1), so the oracle path is
+# bit-identical all-pairs.
+_ND_BUCKET_CAP = 256
+_ND_NEIGHBORS = 16
+
+
+def _nd_tail(
+    d, sigs: str, v: str, broadcast_cand: bool = True, dense_guard: bool = False
+) -> str:
     """Candidate generation + exact-cosine verify over relations ``sigs``
-    and ``v``."""
-    return f"""
+    and ``v``. ``broadcast_cand`` should be False for large corpora where
+    the candidate set outgrows a broadcast build; ``dense_guard`` switches
+    over-cap buckets to sorted-neighborhood pairing (engaged only past the
+    8-bit gate tier — below it no fixture bucket approaches the cap and
+    the bucket-count join would be pure overhead)."""
+    hint = "/*+ BROADCAST(c) */ " if broadcast_cand and d is _SPARK_D else ""
+    if dense_guard:
+        cand = f"""
+    bsize AS (
+      SELECT band, sig, COUNT(*) AS c FROM {sigs} GROUP BY band, sig
+    ),
+    members AS (
+      SELECT s.vec_id, s.band, s.sig, s.proj, z.c
+      FROM {sigs} s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+    ),
+    ranked AS (
+      SELECT vec_id, band, sig,
+             ROW_NUMBER() OVER (PARTITION BY band, sig
+                                ORDER BY proj, vec_id) AS rn
+      FROM members WHERE c > {_ND_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM members a JOIN members b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE a.c <= {_ND_BUCKET_CAP}
+        UNION ALL
+        SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+               GREATEST(a.vec_id, b.vec_id) AS vec_b
+        FROM ranked a JOIN ranked b
+          ON a.band = b.band AND a.sig = b.sig
+         AND b.rn > a.rn AND b.rn <= a.rn + {_ND_NEIGHBORS}
+      ) u
+    )"""
+    else:
+        cand = f"""
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM {sigs} a JOIN {sigs} b ON a.band = b.band AND a.sig = b.sig
                                  AND a.vec_id < b.vec_id
-    ),
+    )"""
+    return f"""{cand},
     sims AS (
-      SELECT /*+ BROADCAST(c) */ c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
+      SELECT {hint}c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
              {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)'
               if d is _SPARK_D else
               'list_dot_product(va.e, vb.e)'} / (va.nrm * vb.nrm) AS cos_sim
@@ -1353,7 +1409,8 @@ _ND_DUCK = (
       SELECT vec_id, band,
              CAST(SUM(CASE WHEN dot_p >= 0
                            THEN CAST(ROUND(POWER(2, p % 8)) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS sig
+                           ELSE 0 END) AS BIGINT) AS sig,
+             MAX(CASE WHEN p % 8 = 0 THEN dot_p END) AS proj
       FROM dots GROUP BY vec_id, band
     ),
     v AS ({_nd_v_sql(_DUCK_D)}),"""
@@ -1386,7 +1443,19 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _indexed(spark, f"nd_v|{sf_dir}", _nd_v_sql(_SPARK_D)).createOrReplaceTempView(
         "nd_v"
     )
-    return spark.sql("WITH " + _nd_tail(_SPARK_D, "nd_sigs", "nd_v"))
+    # candidates broadcast only at gate scales; past the 8-bit tier the
+    # candidate relation is corpus-proportional (shuffle join) and the
+    # dense-region guard engages (sorted-neighborhood inside hot buckets)
+    return spark.sql(
+        "WITH "
+        + _nd_tail(
+            _SPARK_D,
+            "nd_sigs",
+            "nd_v",
+            broadcast_cand=bits == 8,
+            dense_guard=bits > 8,
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -96,3 +96,76 @@ def test_ivf_recall_at_10(spark, ann_corpus):
         f"IVF recall@10 {recall:.2f} below {RECALL_FLOOR} — "
         "raise _IVF_PROBES (probed cells are the recall/cost knob)"
     )
+
+
+def test_dense_bucket_guard_keeps_blob_connected(spark):
+    """Dense-region guard property: a near-dup blob LARGER than
+    _ND_BUCKET_CAP lands in over-cap LSH buckets, where pairing switches
+    from all-pairs to sorted-neighborhood. For dedup semantics the
+    requirement is NOT full pairwise recall (that is what the cap
+    deliberately gives up) but CONNECTIVITY: the found pairs must keep the
+    blob one connected component, so downstream clustering still collapses
+    it to one representative. Background vectors must stay un-paired."""
+    import numpy as np
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _ND_BUCKET_CAP,
+        _ND_POSEXP_SPARK,
+        _SPARK_D,
+        _nd_sigs_sql,
+        _nd_tail,
+        _nd_v_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    dims = 64
+    n_blob = _ND_BUCKET_CAP + 60  # forces over-cap buckets in every band
+    center = rng.normal(size=dims)
+    center /= np.linalg.norm(center)
+    blob = center[None, :] + 0.02 * rng.normal(size=(n_blob, dims))  # cos ≈ 1
+    bg = rng.normal(size=(40, dims))  # random directions, cos ≈ 0
+    vecs = np.vstack([blob, bg])
+
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(0 if i < n_blob else 1))
+        for i in range(len(vecs))
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    try:
+        spark.sql(
+            _nd_sigs_sql(_SPARK_D, _ND_POSEXP_SPARK, 12)
+        ).createOrReplaceTempView("g_sigs")
+        spark.sql(_nd_v_sql(_SPARK_D)).createOrReplaceTempView("g_v")
+        pairs = [
+            (r.vec_a, r.vec_b)
+            for r in spark.sql(
+                "WITH "
+                + _nd_tail(
+                    _SPARK_D, "g_sigs", "g_v",
+                    broadcast_cand=False, dense_guard=True,
+                )
+            ).collect()
+        ]
+        # union-find over found pairs
+        parent = list(range(len(vecs)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        blob_roots = {find(i) for i in range(n_blob)}
+        assert len(blob_roots) == 1, f"blob split into {len(blob_roots)} components"
+        # background mostly stays out (a random 64-dim vector can clear the
+        # 0.3 cosine threshold by chance, so a few strays are legitimate)
+        n_bg_paired = len({v for p in pairs for v in p if v >= n_blob})
+        assert n_bg_paired <= 8, n_bg_paired
+        # and the pair count stayed LINEAR in blob size, not quadratic
+        assert len(pairs) < n_blob * 16 * 4 * 2
+    finally:
+        spark.catalog.dropTempView("embeddings")
