@@ -1674,7 +1674,7 @@ def _corpus_filter_sql(d) -> str:
              CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio,
              CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
                / {d['len'](ws)} AS unique_ratio
-      FROM documents
+      FROM {d['pdocs']}
     ),
     scored AS (
       SELECT doc_id, source, lang, text,
@@ -1741,26 +1741,35 @@ def _xent_sql(d) -> str:
     )
     total = f"SELECT CAST(SUM({d['len'](d['split']('text'))}) AS DOUBLE) AS t FROM documents"
     if d is _SPARK_D:
-        # window COUNT over term: ONE corpus pass (a vocab CTE would be
-        # inlined into both its references and re-run the explode pipeline,
-        # same trap as tfidf_topterms)
+        # tf-first single pass (same device as tfidf_topterms): aggregate to
+        # distinct (doc, term) pairs — exchange-free, hash(doc_id) from the
+        # spread already satisfies the (doc_id, term) clustering, with
+        # map-side partial agg — THEN window-sum by term for the corpus
+        # count. The term exchange ships one row per distinct (doc, term)
+        # instead of one per token (a vocab CTE would be inlined into both
+        # references and re-run the explode pipeline). Every token of a
+        # (doc, term) pair shares the same c, so tf·round(ln c·1e6) equals
+        # the per-token sum bit-exactly and n_tokens = SUM(tf).
         counted = f"""
     toks AS ({unnest_toks}),
-    counted AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY term) AS c FROM toks)"""
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    counted AS (SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY term) AS c FROM tf)"""
     else:
         counted = f"""
     toks AS ({unnest_toks}),
-    vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
-    counted AS (SELECT toks.doc_id, vocab.c FROM toks JOIN vocab ON vocab.term = toks.term)"""
+    tfd AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tfd GROUP BY term),
+    counted AS (SELECT tfd.doc_id, tfd.tf, vocab.c
+                FROM tfd JOIN vocab ON vocab.term = tfd.term)"""
     return f"""
     WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
     {counted},
     tot AS ({total})
     SELECT doc_id,
-           COUNT(*) AS n_tokens,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
            ROUND(ln((SELECT t FROM tot))
-                 - CAST(SUM(CAST(ROUND(ln(c) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                   / 1000000.0 / COUNT(*), 6) + 0.0 AS xent_nats
+                 - CAST(SUM(tf * CAST(ROUND(ln(c) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / SUM(tf), 6) + 0.0 AS xent_nats
     FROM counted
     GROUP BY doc_id
     """
