@@ -71,7 +71,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (69th-72nd oracle entries) bump sampling_hist, metrics_rollup,
 # props_parse and config_grid — all round-3 driver-green, replayed every
 # session by tests/test_oracle.py — into the tail as well.
+# Round-5 additions (doc_chunks, pack_sequences, decontam_ngram, semdedup →
+# 76 oracle entries) demote four more round-3 driver-green entries whose
+# semantics are independently pinned every session: lagged_matrix (window
+# machinery shared with lag_features, which stays in-window),
+# summary_stats / missing_profile / missing_pattern (bit-exact replay in
+# tests/test_oracle.py + the golden generation suite covers the same
+# mask/profile arithmetic).
 _DEMOTED = (
+    "lagged_matrix",
+    "summary_stats",
+    "missing_profile",
+    "missing_pattern",
     "metrics_rollup",
     "props_parse",
     "config_grid",
@@ -111,6 +122,7 @@ def all_queries() -> dict[str, Query]:
     from . import events_ext  # noqa: F401
     from . import projections  # noqa: F401
     from . import llm_pipeline  # noqa: F401
+    from . import corpus_ext  # noqa: F401
     from . import generation  # noqa: F401
 
     # The driver verifies registry entries in order and may cap how many it

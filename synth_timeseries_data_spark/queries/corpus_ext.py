@@ -1,0 +1,402 @@
+"""Training-corpus assembly operators, round 5 (EXT surface, first-class at
+100 TB): context-window chunking, sequence packing, cross-split n-gram
+decontamination, and cluster-bounded semantic dedup (SemDeDup-style).
+
+These extend llm_pipeline.py with the remaining ops a pretraining-data
+pipeline runs between "filtered corpus" and "training batches":
+
+- doc_chunks     — overlapping fixed-size token windows per document (the
+                   RAG / pretraining chunker). Pure row-local explode: zero
+                   shuffles at any scale.
+- pack_sequences — greedy concat-and-chunk packing of documents into
+                   fixed-capacity context windows, parallelized by hash
+                   bucket so no global coordination exists: each bucket
+                   packs independently (the only window runs inside a
+                   bucket), which is the property that lets 1000 executors
+                   pack 100 TB without a driver-side loop.
+- decontam_ngram — benchmark-decontamination: test-split documents sharing
+                   a verbatim 8-token run with any train-split document.
+                   Candidates come from an equality join on the run hash
+                   (inverted index), never test×train; a stop-gram cap
+                   keeps boilerplate runs from going quadratic.
+- semdedup       — semantic near-dup pruning: every embedding is assigned
+                   to its nearest coarse centroid (same determinism
+                   discipline as vec_topk_ivf) and exact pairwise cosine
+                   runs ONLY inside a cluster — the SemDeDup shape, where
+                   candidate pairs are cluster-bounded instead of corpus-
+                   quadratic. Keep-rule: a vector is dropped iff a
+                   lower-id vector in ITS cluster matches at >= tau.
+
+Design rules are inherited from llm_pipeline.py: every operator is a
+dialect-shared SQL template (Spark + DuckDB oracle), floats follow the
+libm/ROUND(.,6)+0.0 discipline, sums that feed decisions accumulate as
+FLOOR-micro bigints, and every ordering carries a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.detrand import lcg_uniform_sql
+from . import register
+from .llm_pipeline import (
+    _DUCK_D,
+    _SPARK_D,
+    _dual,
+    _hex2int,
+    _indexed,
+    _spark_docs,
+)
+
+# --------------------------------------------------------------------------
+# Shared dialect helpers (beyond llm_pipeline's table)
+# --------------------------------------------------------------------------
+
+
+def _idiv(d, a: str, b: str) -> str:
+    """Integer division (both operands non-negative here)."""
+    return f"({a} DIV {b})" if d is _SPARK_D else f"({a} // {b})"
+
+
+def _slice(d, arr: str, start: str, k: int) -> str:
+    """k elements of ``arr`` from 1-based ``start`` (truncates at the end)."""
+    if d is _SPARK_D:
+        return f"slice({arr}, {start}, {k})"
+    return f"{arr}[({start}):(({start}) + {k - 1})]"
+
+
+def _joinarr(d, arr: str) -> str:
+    return (
+        f"array_join({arr}, ' ')" if d is _SPARK_D else f"array_to_string({arr}, ' ')"
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_chunks: overlapping fixed-size token windows.
+# --------------------------------------------------------------------------
+
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 48  # chunk start stride (=> 16-token overlap)
+
+
+def _doc_chunks_sql(d) -> str:
+    ws = d["split"]("text")
+    # number of chunks - 1: 0 when the doc fits in one window, else
+    # ceil((n - CHUNK) / STRIDE) via integer arithmetic (exact in both
+    # engines; no float division anywhere). The slice happens in the same
+    # projection that exploded the chunk ids — one pipeline, no re-join.
+    last_k = (
+        f"CASE WHEN n <= {_CHUNK} THEN 0 "
+        f"ELSE {_idiv(d, f'(n - {_CHUNK} + {_STRIDE} - 1)', str(_STRIDE))} END"
+    )
+    start = f"1 + chunk_id * {_STRIDE}"
+    sl = _slice(d, "ws", start, _CHUNK)
+    return f"""
+    WITH w AS (SELECT doc_id, {ws} AS ws FROM {d['pdocs']}),
+    m AS (SELECT doc_id, ws, {d['len']('ws')} AS n FROM w),
+    k AS (SELECT doc_id, ws, n, {d['expand']('0', last_k)} AS chunk_id FROM m)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST({start} AS INT) AS start_tok,
+           CAST(LEAST({_CHUNK}, n - ({start}) + 1) AS INT) AS n_tok,
+           md5({_joinarr(d, sl)}) AS chunk_fp
+    FROM k
+    """
+
+
+_DOC_CHUNKS_SPARK, _DOC_CHUNKS_DUCK = _dual(_doc_chunks_sql)
+
+
+@register("doc_chunks", _DOC_CHUNKS_DUCK)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48 =>
+    16-token overlap): the pretraining/RAG chunker. Every chunk carries its
+    1-based token offset, actual length (the tail chunk may be short), and
+    an md5 fingerprint of its text, so chunk identity is verifiable without
+    shipping the text. Chunk generation is a row-local explode over the
+    pre-split word array — zero shuffles at any corpus size; at 100 TB this
+    is a map-only stage whose output feeds the packer or an embedding UDF
+    downstream."""
+    return _spark_docs(spark, sf_dir, _DOC_CHUNKS_SPARK)
+
+
+# --------------------------------------------------------------------------
+# pack_sequences: bucket-parallel greedy concat-and-chunk packing.
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 2048  # context-window token capacity
+_PACK_BUCKETS = 64
+
+
+def _pack_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(
+        d, f"SUBSTR(md5(CONCAT('pack|', CAST(doc_id AS {strcast}))), 1, 15)"
+    )
+    ws = d["split"]("text")
+    seq_id = _idiv(d, "(cum - n)", str(_PACK_CAP))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({bucket} % {_PACK_BUCKETS} AS INT) AS bucket,
+             {d['len'](ws)} AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT bucket, doc_id, n,
+             SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT bucket,
+           CAST({seq_id} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n) AS DOUBLE) / {_PACK_CAP}.0, 6) + 0.0 AS fill_ratio
+    FROM c
+    GROUP BY bucket, CAST({seq_id} AS BIGINT)
+    """
+
+
+_PACK_SPARK, _PACK_DUCK = _dual(_pack_sql)
+
+
+@register("pack_sequences", _PACK_DUCK)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing: documents are concatenated
+    in deterministic (bucket, doc_id) order and cut into 2048-token context
+    windows; a document belongs to the window its first token lands in.
+    Packing runs independently inside 64 md5 buckets — the scale move:
+    there is NO global running sum, so 1000 executors pack 1000 buckets
+    with one narrow shuffle on the bucket key and a window that never
+    crosses bucket boundaries. Output is the per-window manifest (doc
+    count, token count, fill ratio) a batch loader would read.
+    Deterministic by construction: md5 bucketing + integer token arithmetic
+    — identical across engines, re-runs, and partition counts."""
+    return _spark_docs(spark, sf_dir, _PACK_SPARK)
+
+
+# --------------------------------------------------------------------------
+# decontam_ngram: cross-split verbatim 8-gram leakage.
+# --------------------------------------------------------------------------
+
+_DC_K = 8  # tokens per run
+_DC_CAP = 1000  # stop-gram cap: runs in more docs than this are boilerplate
+
+
+def _decontam_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(
+        d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)"
+    )
+    ws = d["split"]("text")
+    run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+    # `runs_cte` is the only engine split in the head: Spark skips the
+    # DISTINCT (the collect_set aggregate below dedups per-doc runs in the
+    # same exchange, with map-side partial agg); the oracle keeps the
+    # relational distinct.
+    runs_cte = (
+        f"rawruns AS (SELECT doc_id, split, {run} AS h FROM pos)"
+        if d is _SPARK_D
+        else f"runs AS (SELECT DISTINCT doc_id, split, {run} AS h FROM pos)"
+    )
+    head = f"""
+    WITH s AS (
+      SELECT doc_id, {ws} AS ws,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 >= 90 THEN 'test' END AS split
+      FROM {d['pdocs']}
+    ),
+    w AS (SELECT doc_id, split, ws FROM s
+          WHERE split IS NOT NULL AND {d['len']('ws')} >= {_DC_K}),
+    pos AS (SELECT doc_id, split, ws,
+                   {d['expand']('1', d['len']('ws') + f' - {_DC_K - 1}')} AS i
+            FROM w),
+    {runs_cte}"""
+    if d is _SPARK_D:
+        # One aggregation does triple duty: per-doc run dedup (collect_set),
+        # the stop-gram cap (HAVING on the set sizes = the distinct-doc
+        # count for this run), and the test/train doc lists. No anti join,
+        # and the explode pipeline feeds exactly ONE aggregate, so Catalyst
+        # cannot re-run it.
+        return f"""{head},
+    g AS (
+      SELECT h,
+             collect_set(CASE WHEN split = 'test' THEN doc_id END) AS te,
+             collect_set(CASE WHEN split = 'train' THEN doc_id END) AS tr
+      FROM rawruns GROUP BY h
+      HAVING size(collect_set(CASE WHEN split = 'test' THEN doc_id END))
+             + size(collect_set(CASE WHEN split = 'train' THEN doc_id END))
+             <= {_DC_CAP}
+    ),
+    pairs AS (
+      SELECT h, te_doc, tr_doc
+      FROM g LATERAL VIEW explode(te) AS te_doc LATERAL VIEW explode(tr) AS tr_doc
+    )
+    SELECT te_doc AS test_doc,
+           COUNT(DISTINCT h) AS n_leaked_ngrams,
+           COUNT(DISTINCT tr_doc) AS n_train_docs
+    FROM pairs GROUP BY te_doc
+    """
+    # Oracle: same cap via a count window, then the plain inverted-index
+    # equality join on the run hash.
+    return f"""{head},
+    cold AS (
+      SELECT doc_id, split, h
+      FROM (SELECT doc_id, split, h, COUNT(*) OVER (PARTITION BY h) AS nh
+            FROM runs)
+      WHERE nh <= {_DC_CAP}
+    )
+    SELECT te.doc_id AS test_doc,
+           COUNT(DISTINCT te.h) AS n_leaked_ngrams,
+           COUNT(DISTINCT tr.doc_id) AS n_train_docs
+    FROM cold te JOIN cold tr ON te.h = tr.h
+    WHERE te.split = 'test' AND tr.split = 'train'
+    GROUP BY te.doc_id
+    """
+
+
+_DECONTAM_SPARK, _DECONTAM_DUCK = _dual(_decontam_sql)
+
+
+@register("decontam_ngram", _DECONTAM_DUCK)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split documents sharing a verbatim
+    8-token run with any train-split document (the GPT-3/Pile-style
+    n-gram overlap check), reported per test doc with the leaked-run and
+    train-doc counts. Candidates come from grouping run hashes — an
+    inverted index, never test×train — and a 1000-doc stop-gram cap
+    drops boilerplate runs before pair expansion, so post-shuffle work is
+    proportional to the leak set at any corpus size. The Spark plan runs
+    the explode pipeline ONCE: a single aggregate applies the cap (HAVING)
+    and collects both splits' doc lists, whose product explodes only for
+    colliding hashes (same device as contamination_check)."""
+    return _spark_docs(spark, sf_dir, _DECONTAM_SPARK)
+
+
+# --------------------------------------------------------------------------
+# semdedup: cluster-bounded semantic near-dup pruning.
+# --------------------------------------------------------------------------
+
+_SD_K = 32  # coarse centroids
+_SD_TAU = 0.3  # cosine keep threshold (fixture max pairwise cosine ~0.51)
+_SD_DIMS = 64
+_SD_W = f"(2.0 * {lcg_uniform_sql('(c * 64 + dim)', salt=83)} - 1.0)"
+
+
+def _sd_assign_sql(d, posexp: str) -> str:
+    """Per-vector nearest-centroid assignment (vec_id, c) — the index
+    relation. Same determinism discipline as vec_topk_ivf: FLOOR-micro
+    bigint distance sums + centroid-id tiebreak, so assignment can never
+    diverge from summation order or engine."""
+    return f"""
+    WITH centroids AS (
+      SELECT c, dim, {_SD_W} AS w
+      FROM (SELECT {d['expand']('0', str(_SD_K - 1))} AS c) cc,
+           (SELECT {d['expand']('1', str(_SD_DIMS))} AS dim) dd
+    ),
+    comps AS ({posexp}),
+    dists AS (
+      SELECT p.vec_id, ct.c,
+             SUM(CAST(FLOOR((p.x - ct.w) * (p.x - ct.w) * 1000000.0) AS BIGINT)) AS d2
+      FROM comps p JOIN centroids ct ON ct.dim = p.dim
+      GROUP BY p.vec_id, ct.c
+    ),
+    ranked AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM dists
+    )
+    SELECT vec_id, c FROM ranked WHERE rn = 1
+    """
+
+
+def _sd_dot(d, a: str, b: str) -> str:
+    if d is _SPARK_D:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return f"list_dot_product({a}, {b})"
+
+
+def _sd_tail(d, assign: str) -> str:
+    """Cluster-bounded pairwise cosine + keep/drop decision over the
+    assignment relation ``assign``. Norms are precomputed per VECTOR (the
+    `v` relation), not per pair — the pair stage then runs a single
+    dot-product fold per candidate instead of three (the array fold is the
+    interpreted hot path in Spark; this cut the pair stage ~3×). cos =
+    dot/(norm_a*norm_b) is the identical IEEE sequence in both engines."""
+    e = (
+        "transform(embedding, x -> CAST(x AS DOUBLE))"
+        if d is _SPARK_D
+        else "CAST(embedding AS DOUBLE[])"
+    )
+    return f"""
+    v0 AS (SELECT vec_id, {e} AS e FROM embeddings),
+    v AS (SELECT vec_id, e, SQRT({_sd_dot(d, 'e', 'e')}) AS nrm FROM v0),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS lo,
+             ROUND({_sd_dot(d, 'va.e', 'vb.e')} / (va.nrm * vb.nrm), 6) AS rcos
+      FROM {assign} a
+      JOIN {assign} b ON b.c = a.c AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    dup AS (
+      SELECT vec_id, MIN(lo) AS dup_of, MAX(rcos) + 0.0 AS max_cos
+      FROM pairs WHERE rcos >= {_SD_TAU}
+      GROUP BY vec_id
+    )
+    SELECT s.vec_id,
+           CAST(s.c AS INT) AS cluster_id,
+           CAST(d.dup_of AS BIGINT) AS dup_of,
+           d.max_cos AS max_cos,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM {assign} s LEFT JOIN dup d ON d.vec_id = s.vec_id
+    """
+
+
+_SD_ASSIGN_SPARK = _sd_assign_sql(
+    _SPARK_D,
+    "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+)
+
+_SD_DUCK_ASSIGN = _sd_assign_sql(
+    _DUCK_D,
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings",
+)
+# Compose the one-statement DuckDB twin: wrap the assignment pipeline's
+# final SELECT as one more CTE and append the pair/keep tail.
+_SD_CUT = _SD_DUCK_ASSIGN.rindex("SELECT vec_id, c FROM ranked")
+_SEMDEDUP_DUCK = (
+    _SD_DUCK_ASSIGN[:_SD_CUT]
+    + ", assign AS ("
+    + _SD_DUCK_ASSIGN[_SD_CUT:].rstrip()
+    + "\n    ),"
+    + _sd_tail(_DUCK_D, "assign")
+)
+
+
+@register("semdedup", _SEMDEDUP_DUCK)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pruning: nearest-of-32
+    coarse-centroid assignment (the coarse quantizer — a trained k-means
+    would slot in unchanged), then exact pairwise cosine ONLY between
+    vectors sharing a cluster. A vector is dropped iff some lower-id vector
+    in its cluster matches at ROUND(cos,6) >= 0.3; the output keeps
+    every vector with its cluster, verdict, and (for drops) the witness
+    vector and similarity. Candidate pairs are cluster-bounded — K scales
+    with corpus size to hold cluster width, so the pair stage never goes
+    corpus-quadratic; the assignment relation materializes once per session
+    (the artifact a pipeline would persist) and the pair join + verify read
+    only it and the candidates' embeddings."""
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _indexed(spark, f"semdedup_assign|{sf_dir}", _SD_ASSIGN_SPARK).createOrReplaceTempView(
+        "semdedup_assign"
+    )
+    return spark.sql("WITH " + _sd_tail(_SPARK_D, "semdedup_assign").lstrip())

@@ -1,0 +1,248 @@
+"""Semantic properties of the round-5 corpus-assembly operators beyond the
+oracle gate: chunk coverage arithmetic, packing reconstruction, planted
+cross-split leaks, and planted semantic duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from synth_timeseries_data_spark.queries import all_queries
+
+# ---------------------------------------------------------------------------
+# doc_chunks
+# ---------------------------------------------------------------------------
+
+
+def _expected_chunks(n: int, chunk: int = 64, stride: int = 48):
+    """Brute-force chunk layout for an n-token doc."""
+    last_k = 0 if n <= chunk else (n - chunk + stride - 1) // stride
+    out = []
+    for k in range(last_k + 1):
+        start = 1 + k * stride
+        out.append((k, start, min(chunk, n - start + 1)))
+    return out
+
+
+def test_doc_chunks_covers_every_token_exactly(spark, oracle_sf_dir):
+    """Chunk starts/lengths must match the brute-force layout for every doc,
+    which implies full coverage (no token outside a chunk) and the 16-token
+    overlap between consecutive chunks."""
+    from synth_timeseries_data_spark.sources import load
+    from pyspark.sql import functions as F
+
+    docs = {
+        r.doc_id: r.n
+        for r in load(spark, oracle_sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    rows = all_queries()["doc_chunks"].build(spark, oracle_sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.n_tok))
+    assert set(got) == set(docs)
+    for doc_id, n in docs.items():
+        assert sorted(got[doc_id]) == _expected_chunks(n), (doc_id, n)
+
+
+def test_doc_chunks_fingerprint_is_md5_of_slice(spark):
+    """Planted doc: the chunk_fp must be the md5 of exactly the sliced
+    tokens (space-joined), including the short tail chunk."""
+    words = [f"w{i}" for i in range(120)]  # 120 tokens -> chunks at 1, 49, 97
+    text = " ".join(words)
+    spark.sql(
+        f"SELECT * FROM (VALUES (1, '{text}')) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_ext import _DOC_CHUNKS_SPARK
+
+        rows = {r.chunk_id: r for r in spark.sql(_DOC_CHUNKS_SPARK).collect()}
+        assert set(rows) == {0, 1, 2}
+        for k, start, ntok in [(0, 1, 64), (1, 49, 64), (2, 97, 24)]:
+            sl = words[start - 1 : start - 1 + 64]
+            fp = hashlib.md5(" ".join(sl).encode()).hexdigest()
+            assert rows[k].start_tok == start
+            assert rows[k].n_tok == ntok
+            assert rows[k].chunk_fp == fp, k
+    finally:
+        spark.catalog.dropTempView("documents_par")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_bruteforce_reconstruction(spark, oracle_sf_dir):
+    """Recompute the packing driver-side (md5 buckets, doc_id order, running
+    token sum, floor-div window id) and require the Spark manifest to match
+    it EXACTLY — pins bucket assignment, ordering, and straddle arithmetic."""
+    import duckdb
+
+    con = duckdb.connect()
+    base = con.execute(
+        "SELECT doc_id, len(str_split(text, ' ')) AS n FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    expect: dict[tuple, list] = {}
+    cum: dict[int, int] = {}
+    for doc_id, n in base:
+        b = (
+            int(
+                hashlib.md5(f"pack|{doc_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            % 64
+        )
+        before = cum.get(b, 0)
+        cum[b] = before + n
+        seq = before // 2048
+        key = (b, seq)
+        expect.setdefault(key, [0, 0])
+        expect[key][0] += 1
+        expect[key][1] += n
+
+    rows = all_queries()["pack_sequences"].build(spark, oracle_sf_dir).collect()
+    got = {(r.bucket, r.seq_id): [r.n_docs, r.n_tokens] for r in rows}
+    assert got == expect
+    # fill ratio is n_tokens / capacity
+    for r in rows:
+        assert r.fill_ratio == pytest.approx(r.n_tokens / 2048.0, abs=1e-6)
+    # windows are contiguous within a bucket
+    by_bucket: dict[int, list] = {}
+    for b, s in got:
+        by_bucket.setdefault(b, []).append(s)
+    for b, seqs in by_bucket.items():
+        assert sorted(seqs) == list(range(len(seqs))), b
+
+
+# ---------------------------------------------------------------------------
+# decontam_ngram
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_detects_planted_8gram_leak(spark):
+    """A verbatim 8-token run shared train->test MUST be reported (with
+    correct run/doc counts); a 7-token overlap must NOT."""
+    from synth_timeseries_data_spark.queries.corpus_ext import _DECONTAM_SPARK
+    from synth_timeseries_data_spark.queries.llm_pipeline import _SPARK_D, _hex2int
+
+    bucket = _hex2int(
+        _SPARK_D, "SUBSTR(md5(CONCAT('split|', CAST(id AS STRING))), 1, 15)"
+    )
+    buckets = {
+        r.id: r.b
+        for r in spark.sql(
+            f"SELECT id, CAST({bucket} % 100 AS INT) AS b "
+            "FROM (SELECT explode(sequence(0, 300)) AS id)"
+        ).collect()
+    }
+    train_ids = [i for i, b in buckets.items() if b < 80]
+    test_ids = [i for i, b in buckets.items() if b >= 90]
+
+    leak = "a1 a2 a3 a4 a5 a6 a7 a8"  # exactly 8 tokens
+    seven = "b1 b2 b3 b4 b5 b6 b7"
+    docs = [
+        (train_ids[0], f"intro words {leak} trailing text here"),
+        (test_ids[0], f"{leak} other tail content words"),  # leaked
+        (train_ids[1], f"{seven} x filler filler2 filler3"),
+        (test_ids[1], f"{seven} y pad pad2 pad3"),  # 7-gram only: clean
+    ]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        rows = {r.test_doc: r for r in spark.sql(_DECONTAM_SPARK).collect()}
+        assert set(rows) == {test_ids[0]}
+        assert rows[test_ids[0]].n_leaked_ngrams == 1
+        assert rows[test_ids[0]].n_train_docs == 1
+    finally:
+        spark.catalog.dropTempView("documents_par")
+
+
+def test_decontam_spark_matches_duckdb_on_planted_data(spark):
+    """Cross-engine pin on data with actual leaks (the fixture corpus may
+    have few): the dialect twins must agree row-for-row."""
+    import duckdb
+
+    from synth_timeseries_data_spark.queries.corpus_ext import _decontam_sql
+    from synth_timeseries_data_spark.queries.llm_pipeline import _DUCK_D, _SPARK_D
+
+    # ids 0..120 hashed into splits inside the SQL itself; shared run text
+    base = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = [(i, f"{base} u{i} v{i} w{i}") for i in range(120)]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        got = sorted(
+            (r.test_doc, r.n_leaked_ngrams, r.n_train_docs)
+            for r in spark.sql(_decontam_sql(_SPARK_D)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+        )
+        want = sorted(map(tuple, con.execute(_decontam_sql(_DUCK_D)).fetchall()))
+        con.close()
+        assert got == want
+        assert len(got) > 0  # the planted run leaks for every test doc
+    finally:
+        spark.catalog.dropTempView("documents_par")
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_output_invariants(spark, oracle_sf_dir):
+    rows = all_queries()["semdedup"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) == len({r.vec_id for r in rows})  # one verdict per vector
+    for r in rows:
+        if r.is_kept:
+            assert r.dup_of is None and r.max_cos is None
+        else:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert r.max_cos >= 0.3
+
+
+def test_semdedup_drops_planted_duplicate(spark, tmp_path):
+    """Two identical vectors (plus orthogonal-ish noise vectors) MUST land
+    in one cluster, and the higher id must be dropped with the lower id as
+    witness at cosine 1.0."""
+    import random
+
+    rng = random.Random(7)
+    dup = [rng.uniform(-1, 1) for _ in range(64)]
+    vecs = [dup, dup] + [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)
+    ]
+    sf_dir = _write_embeddings(tmp_path, vecs)
+    rows = {r.vec_id: r for r in all_queries()["semdedup"].build(spark, sf_dir).collect()}
+    assert rows[0].is_kept == 1
+    assert rows[1].is_kept == 0
+    assert rows[1].dup_of == 0
+    assert rows[1].max_cos == pytest.approx(1.0, abs=1e-6)
+    assert rows[0].cluster_id == rows[1].cluster_id

@@ -215,3 +215,43 @@ def test_partitioned_roundtrip_prunes_partitions(spark, oracle_sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:2000]
+
+
+def test_doc_chunks_map_only(spark, oracle_sf_dir):
+    """Chunking is a row-local explode: the ONLY exchange is the spread
+    view's repartition — no joins, no aggregates, one corpus scan."""
+    plan = _plan(spark, "doc_chunks", oracle_sf_dir)
+    assert plan.count("Exchange") <= 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, oracle_sf_dir):
+    """Packing shuffles ONCE on the bucket key: the running-sum window and
+    the (bucket, seq_id) rollup both reuse the hash(bucket) clustering, so
+    no second exchange exists — the property that makes packing
+    embarrassingly parallel across buckets at 100 TB."""
+    plan = _plan(spark, "pack_sequences", oracle_sf_dir)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "partial_" in plan  # rollup still map-side combines
+    assert "Join" not in plan
+
+
+def test_decontam_ngram_no_join_single_pipeline(spark, oracle_sf_dir):
+    """The leak report comes from ONE aggregation over the run hashes (cap
+    via HAVING, doc lists via collect_set) — no self-join of the explode
+    pipeline, no cartesian anywhere, one corpus scan."""
+    plan = _plan(spark, "decontam_ngram", oracle_sf_dir)
+    assert "Join" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_semdedup_cluster_bounded_pairs(spark, oracle_sf_dir):
+    """Candidate pairs come from the cluster-equality self-join of the
+    materialized assignment relation — never an all-pairs product."""
+    plan = _plan(spark, "semdedup", oracle_sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the assignment relation is a materialized leaf, not a re-run pipeline
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:1500]
