@@ -45,6 +45,7 @@ from .llm_pipeline import (
     _dual,
     _hex2int,
     _indexed,
+    _parquet_rows,
     _spark_docs,
 )
 
@@ -278,13 +279,34 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semdedup: cluster-bounded semantic near-dup pruning.
 # --------------------------------------------------------------------------
 
-_SD_K = 32  # coarse centroids
+_SD_K = 32  # coarse centroids at gate scales
 _SD_TAU = 0.3  # cosine keep threshold (fixture max pairwise cosine ~0.51)
 _SD_DIMS = 64
 _SD_W = f"(2.0 * {lcg_uniform_sql('(c * 64 + dim)', salt=83)} - 1.0)"
 
 
-def _sd_assign_sql(d, posexp: str) -> str:
+def _sd_k(n_vectors: int) -> int:
+    """Centroid count scaled to corpus size.
+
+    With FIXED K, expected cluster size grows as n/K and the within-cluster
+    pair stage goes quadratic (the same failure class _nd_bits fixes for
+    embed_neardup's fixed band width). Scaling K ~ sqrt(n) balances the
+    n×K assignment stage against the n²/K pair stage (both ~n^1.5 — the
+    classic coarse-quantizer sizing rule). Gate scales (sf0.01 = 500
+    vectors, sf0.1 = 5k) stay at K=32, bit-identical to the static DuckDB
+    oracle; larger corpora widen where no oracle runs (the weak-scaling
+    table in COVERAGE.md is the check there). At real cluster scale the
+    LCG centroids would be a trained k-means codebook and the assignment a
+    blocked mapInPandas argmin, but the relation shape — (vec_id, c) — and
+    everything downstream of it are unchanged."""
+    if n_vectors < 20_000:
+        return _SD_K
+    if n_vectors < 200_000:
+        return 256
+    return 1024
+
+
+def _sd_assign_sql(d, posexp: str, k: int = _SD_K) -> str:
     """Per-vector nearest-centroid assignment (vec_id, c) — the index
     relation. Same determinism discipline as vec_topk_ivf: FLOOR-micro
     bigint distance sums + centroid-id tiebreak, so assignment can never
@@ -292,7 +314,7 @@ def _sd_assign_sql(d, posexp: str) -> str:
     return f"""
     WITH centroids AS (
       SELECT c, dim, {_SD_W} AS w
-      FROM (SELECT {d['expand']('0', str(_SD_K - 1))} AS c) cc,
+      FROM (SELECT {d['expand']('0', str(k - 1))} AS c) cc,
            (SELECT {d['expand']('1', str(_SD_DIMS))} AS dim) dd
     ),
     comps AS ({posexp}),
@@ -357,10 +379,9 @@ def _sd_tail(d, assign: str) -> str:
     """
 
 
-_SD_ASSIGN_SPARK = _sd_assign_sql(
-    _SPARK_D,
+_SD_POSEXP_SPARK = (
     "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
-    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
 )
 
 _SD_DUCK_ASSIGN = _sd_assign_sql(
@@ -389,14 +410,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its cluster matches at ROUND(cos,6) >= 0.3; the output keeps
     every vector with its cluster, verdict, and (for drops) the witness
     vector and similarity. Candidate pairs are cluster-bounded — K scales
-    with corpus size to hold cluster width, so the pair stage never goes
-    corpus-quadratic; the assignment relation materializes once per session
-    (the artifact a pipeline would persist) and the pair join + verify read
-    only it and the candidates' embeddings."""
+    ~sqrt(n) with corpus size (see _sd_k; parquet footer row count, no
+    job), so the pair stage never goes corpus-quadratic; the assignment
+    relation materializes once per session (the artifact a pipeline would
+    persist) and the pair join + verify read only it and the candidates'
+    embeddings."""
+    import os as _os
+
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    _indexed(spark, f"semdedup_assign|{sf_dir}", _SD_ASSIGN_SPARK).createOrReplaceTempView(
-        "semdedup_assign"
-    )
+    k = _sd_k(_parquet_rows(_os.path.join(sf_dir, "embeddings.parquet")))
+    _indexed(
+        spark,
+        f"semdedup_assign|{k}|{sf_dir}",
+        _sd_assign_sql(_SPARK_D, _SD_POSEXP_SPARK, k),
+    ).createOrReplaceTempView("semdedup_assign")
     return spark.sql("WITH " + _sd_tail(_SPARK_D, "semdedup_assign").lstrip())
