@@ -384,6 +384,73 @@ _SD_POSEXP_SPARK = (
     "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
 )
 
+
+def _sd_centroid_matrix(k: int):
+    """The LCG centroid matrix W[k, dims] in numpy — BIT-IDENTICAL to the
+    SQL `_SD_W` expression: the two LCG steps run in exact int64 (every
+    intermediate < 2^63) and the final scale is all-binary64, the same IEEE
+    ops Spark/DuckDB evaluate."""
+    import numpy as np
+
+    A, C, M, SALT = 1103515245, 12345, 2147483648, 83
+    c = np.arange(k, dtype=np.int64)[:, None]
+    dim = np.arange(1, _SD_DIMS + 1, dtype=np.int64)[None, :]
+    key = c * 64 + dim
+    s1 = ((key % M) * A + C + SALT * 7919) % M
+    s2 = (s1 * A + C) % M
+    u = (s2.astype(np.float64) + 0.5) / float(M)
+    return 2.0 * u - 1.0
+
+
+def _sd_assign_numpy(spark: SparkSession, k: int):
+    """Blocked-numpy nearest-centroid assignment via Arrow `mapInPandas` —
+    the scale path for the assignment stage. The SQL form materializes the
+    comps⋈centroids join as n·dims·K rows (3×10^10 at 500k vectors,
+    K=1024); here each Arrow batch computes the same FLOOR-micro bigint
+    distances as a [batch, K_block, dims] broadcast subtract — identical
+    values by construction (floor((x−w)²·1e6) per dim in float64, exact
+    int64 sums, argmin ≡ ORDER BY d2, c since np.argmin takes the first
+    minimum), verified bit-equal to the SQL path in
+    tests/test_corpus_ext.py. At real cluster scale this is the standard
+    IVF assignment kernel (and where one would drop the floor discipline
+    for pure matmul + a trained codebook)."""
+    import pandas as pd  # noqa: F401
+
+    import numpy as np
+
+    W = _sd_centroid_matrix(k)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            best_d = np.full(len(pdf), np.iinfo(np.int64).max, dtype=np.int64)
+            best_c = np.zeros(len(pdf), dtype=np.int64)
+            for lo in range(0, k, 64):
+                Wb = W[lo : lo + 64]
+                diff = x[:, None, :] - Wb[None, :, :]
+                d2 = (
+                    np.floor((diff * diff) * 1000000.0)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                blk_c = d2.argmin(axis=1)
+                blk_d = d2[np.arange(len(pdf)), blk_c]
+                upd = blk_d < best_d  # strict: ties keep the lower block
+                best_d = np.where(upd, blk_d, best_d)
+                best_c = np.where(upd, blk_c + lo, best_c)
+            out = pdf[["vec_id"]].copy()
+            out["c"] = best_c
+            yield out
+
+    return (
+        spark.sql("SELECT vec_id, embedding FROM embeddings")
+        .mapInPandas(assign, "vec_id long, c long")
+    )
+
 _SD_DUCK_ASSIGN = _sd_assign_sql(
     _DUCK_D,
     "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
@@ -417,13 +484,21 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings."""
     import os as _os
 
+    from ..functions.materialize import materialized
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     k = _sd_k(_parquet_rows(_os.path.join(sf_dir, "embeddings.parquet")))
-    _indexed(
-        spark,
-        f"semdedup_assign|{k}|{sf_dir}",
-        _sd_assign_sql(_SPARK_D, _SD_POSEXP_SPARK, k),
-    ).createOrReplaceTempView("semdedup_assign")
+    if k > _SD_K:
+        # past gate scales the n·dims·K join would dominate — use the
+        # blocked-numpy Arrow kernel (bit-identical distances; see
+        # _sd_assign_numpy)
+        build = lambda: _sd_assign_numpy(spark, k)  # noqa: E731
+    else:
+        build = lambda: spark.sql(  # noqa: E731
+            _sd_assign_sql(_SPARK_D, _SD_POSEXP_SPARK, k)
+        )
+    materialized(spark, f"semdedup_assign|{k}|{sf_dir}", build).createOrReplaceTempView(
+        "semdedup_assign"
+    )
     return spark.sql("WITH " + _sd_tail(_SPARK_D, "semdedup_assign").lstrip())
