@@ -3,6 +3,7 @@
 from .jobs import (  # noqa: F401
     contamination_stream,
     lagged_stream,
+    packing_stream,
     sessionized_stream,
     sliding_stream,
     stream_documents,

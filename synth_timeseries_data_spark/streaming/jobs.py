@@ -250,6 +250,59 @@ def train_fingerprints(spark: SparkSession, docs_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUCKET = (
+    "CAST(CAST(CONV(SUBSTR(md5(CONCAT('pack|', CAST(doc_id AS STRING))), 1, 15), "
+    "16, 10) AS BIGINT) % 64 AS INT)"
+)
+
+
+def packing_stream(docs: DataFrame) -> DataFrame:
+    """Streaming sequence packer — the stateful-ingestion twin of the batch
+    `pack_sequences` query (queries/corpus_ext.py). Per md5 bucket, the
+    running token count persists in state across micro-batches (ONE bigint
+    per bucket — bounded forever, no timeline kept); each arriving document
+    is assigned the 2048-token context window its first token lands in and
+    emitted immediately. Streaming packing is arrival-order by definition;
+    the batch twin packs in (bucket, doc_id) order, so an ordered replay of
+    the corpus produces the identical per-window manifest (asserted in
+    tests/test_streaming.py). At scale this is the shape of a continuous
+    ingestion packer: 64-way keyed state, no shuffle beyond the bucket
+    exchange, emit-on-arrival."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "bucket int, doc_id long, n_tokens long, seq_id long"
+    state_schema = "cum long"
+
+    def step(key, pdfs, state: GroupState):
+        (bucket,) = key
+        cum = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for r in pdf.itertuples(index=False):
+                n = int(r.n)
+                rows.append((int(bucket), int(r.doc_id), n, cum // 2048))
+                cum += n
+        state.update((cum,))
+        yield pd.DataFrame(
+            rows, columns=["bucket", "doc_id", "n_tokens", "seq_id"]
+        )
+
+    pre = docs.selectExpr(
+        f"{_PACK_BUCKET} AS bucket",
+        "doc_id",
+        "size(split(text, ' ')) AS n",
+    )
+    return pre.groupBy("bucket").applyInPandasWithState(
+        step,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def contamination_stream(docs: DataFrame, train_fps: DataFrame) -> DataFrame:
     """Streaming train/test leakage check: fingerprint each ARRIVING
     test-split document and stream-static inner-join against the train

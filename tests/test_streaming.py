@@ -377,3 +377,49 @@ def test_contamination_stream_matches_batch(spark, smoke_sf_dir):
         assert got == expected and len(expected) > 0
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_packing_stream_matches_batch_manifest(spark, smoke_sf_dir):
+    """Stateful packer twin: the streaming per-doc window assignments,
+    rolled up to (bucket, seq_id) manifests, must equal the batch
+    pack_sequences manifest exactly when the corpus is replayed in order
+    (streaming packing is arrival-order by definition; the batch twin packs
+    in (bucket, doc_id) order)."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import (
+        packing_stream,
+        stream_documents,
+    )
+
+    docs_dir = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        shutil.copy(
+            os.path.join(smoke_sf_dir, "documents.parquet"),
+            os.path.join(docs_dir, "part-0.parquet"),
+        )
+        stream = packing_stream(stream_documents(spark, docs_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pack_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.bucket, r.seq_id): (r.n_docs, r.n_tokens)
+            for r in spark.sql(
+                "SELECT bucket, seq_id, COUNT(*) AS n_docs, "
+                "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens "
+                "FROM pack_stream GROUP BY bucket, seq_id"
+            ).collect()
+        }
+        expected = {
+            (r.bucket, r.seq_id): (r.n_docs, r.n_tokens)
+            for r in all_queries()["pack_sequences"]
+            .build(spark, smoke_sf_dir)
+            .collect()
+        }
+        assert got == expected and len(expected) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
