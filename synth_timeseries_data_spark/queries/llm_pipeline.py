@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
@@ -563,13 +564,88 @@ def _char_entropy_sql(d) -> str:
 
 _ENT_SPARK, _ENT_DUCK = _dual(_char_entropy_sql)
 
+_ENT_SCHEMA = "doc_id long, n_chars_counted long, entropy_bits double"
+
+
+def _entropy_batches(batches):
+    """Arrow-batched per-doc char entropy, bit-exact vs the SQL contract.
+
+    The explode form inflates each doc into |text| rows that feed a
+    doc-keyed hash aggregate; per-char row inflation (~1000×) is exactly
+    the case where a vectorized histogram inside the scan task is the
+    physical strategy the optimizer can't pick for us. This computes the
+    SAME integer micro-nat contract as _char_entropy_sql: per-class terms
+    FLOOR(c · ROUND(ln c, 9) · 1e6) summed as int64 (ROUND replicated as
+    BigDecimal HALF_UP, Spark's ROUND semantics), final value under
+    Decimal HALF_UP at 6 places like ROUND(.,6). ASCII docs take a
+    np.bincount byte path; any non-ASCII doc falls back to a code-point
+    Counter (matching Java's code-point split — see the char-split caveat
+    on _char_entropy_sql). Zero shuffles: pure map over the pruned scan.
+    """
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    _Q9 = Decimal("1E-9")
+    _Q6 = Decimal("1E-6")
+    _LN2 = math.log(2.0)
+    term_memo: dict[int, int] = {}
+
+    def term(c: int) -> int:
+        t = term_memo.get(c)
+        if t is None:
+            rln = float(Decimal(math.log(c)).quantize(_Q9, rounding=ROUND_HALF_UP))
+            t = math.floor((c * rln) * 1000000.0)
+            term_memo[c] = t
+        return t
+
+    for pdf in batches:
+        out_id, out_n, out_e = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not text:
+                continue  # SQL side emits no row for empty text
+            b = text.encode("utf-8")
+            if len(b) == len(text):  # pure ASCII: byte == code point
+                counts = np.bincount(np.frombuffer(b, np.uint8))
+                counts = counts[counts > 0]
+            else:
+                counts = np.fromiter(Counter(text).values(), np.int64)
+            n = int(counts.sum())
+            sc_micro = sum(term(int(c)) for c in counts)
+            val = (math.log(n) - (sc_micro / 1000000.0) / n) / _LN2
+            ent = float(Decimal(val).quantize(_Q6, rounding=ROUND_HALF_UP)) + 0.0
+            out_id.append(doc_id)
+            out_n.append(n)
+            out_e.append(ent)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "n_chars_counted": pd.Series(out_n, dtype="int64"),
+                "entropy_bits": pd.Series(out_e, dtype="float64"),
+            }
+        )
+
 
 @register("char_entropy", _ENT_DUCK)
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap
     perplexity proxy quality pipelines cut on (low entropy = repetitive or
-    degenerate text). Char histogram + one doc-keyed aggregate."""
-    return _spark_docs(spark, sf_dir, _ENT_SPARK)
+    degenerate text). Spark side: pruned (doc_id, text) scan →
+    Arrow-batched histogram in mapInPandas (`_entropy_batches`) — zero
+    shuffles, vs the explode form's 1000× row inflation into a doc-keyed
+    hash aggregate. Oracle keeps the relational explode+aggregate form;
+    both meet on the integer micro-nat contract.
+
+    No spread view here (unlike the shingle pipelines): the vectorized
+    histogram costs ~30 ns/char — same order as the scan itself — so the
+    stage inherits the scan's native partitioning; at cluster scale that
+    is already wide, and locally a repartition exchange would cost more
+    than the whole Python stage (measured: 0.33 s inline vs 0.45 s
+    spread-32)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_entropy_batches, schema=_ENT_SCHEMA)
 
 
 # --------------------------------------------------------------------------
