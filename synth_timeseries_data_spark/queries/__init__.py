@@ -78,7 +78,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # summary_stats / missing_profile / missing_pattern (bit-exact replay in
 # tests/test_oracle.py + the golden generation suite covers the same
 # mask/profile arithmetic).
+# domain_mix (77th oracle entry) demotes trend_fit: driver-green in
+# CORRECTNESS_r03.json (V6), its FLOOR-micro exact-sum regression device
+# is shared with corr_matrix/summary_stats, and the full-registry
+# bit-exact replay in tests/test_oracle.py re-pins it every session.
 _DEMOTED = (
+    "trend_fit",
     "lagged_matrix",
     "summary_stats",
     "missing_profile",

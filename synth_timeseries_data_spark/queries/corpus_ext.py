@@ -502,3 +502,68 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_assign"
     )
     return spark.sql("WITH " + _sd_tail(_SPARK_D, "semdedup_assign").lstrip())
+
+
+# --------------------------------------------------------------------------
+# domain_mix: temperature-weighted source mixture (sampling-weight table).
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # temperature exponent: w ∝ n_tokens^alpha (sqrt smoothing)
+
+
+def _domain_mix_sql(d) -> str:
+    # One corpus pass: per-source token totals (partial agg → one tiny
+    # exchange of ~n_sources rows per partition), then the share/weight
+    # arithmetic runs as windows OVER () on the tiny per-source relation —
+    # a scalar-subquery/CTE form would be inlined by Spark into every
+    # reference and re-run the corpus scan per reference.
+    #
+    # Determinism: n_tokens sums exact BIGINTs; token_share divides two
+    # identical exact-int-derived doubles (same op, same operands → bit-
+    # identical, no ROUND needed); the libm POWER for the temperature
+    # weight is snapped to 9 decimals before FLOOR-micro quantization (the
+    # char_entropy device), so the weight sums and every derived ratio are
+    # exact-integer arithmetic over identical inputs in both engines.
+    ws = d["split"]("text")
+    w_micro = (
+        f"CAST(FLOOR(ROUND(POWER(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}), 9)"
+        f" * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM({d['len'](ws)}) AS BIGINT) AS n_tokens
+      FROM {d['pdocs']}
+      GROUP BY source
+    ),
+    w AS (SELECT source, n_docs, n_tokens, {w_micro} AS w_micro FROM per_src)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+             AS token_share,
+           CAST(w_micro AS DOUBLE) / CAST(SUM(w_micro) OVER () AS DOUBLE)
+             AS mix_weight,
+           CAST(FLOOR(CAST(w_micro AS DOUBLE) * 1000000.0
+                      / CAST(SUM(w_micro) OVER () AS DOUBLE)) AS BIGINT)
+             AS tokens_per_million
+    FROM w
+    """
+
+
+_MIX_SPARK, _MIX_DUCK = _dual(_domain_mix_sql)
+
+
+@register("domain_mix", _MIX_DUCK)
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting table: per-source doc/token counts, the
+    corpus token share, and a temperature-smoothed sampling weight
+    w ∝ n_tokens^0.5 (the standard move that keeps a 100:1 web:books corpus
+    from drowning the small high-quality sources), plus the integer token
+    budget per million sampled tokens that weight implies. This is the
+    table a training-data loader consumes to draw mixture batches.
+    One corpus pass at any scale: the heavy stage is the per-source token
+    count (map-side partials → ~n_sources rows shuffled); everything after
+    runs on a relation the size of the source list."""
+    return _spark_docs(spark, sf_dir, _MIX_SPARK)

@@ -1817,19 +1817,27 @@ def _xent_sql(d) -> str:
     )
     total = f"SELECT CAST(SUM({d['len'](d['split']('text'))}) AS DOUBLE) AS t FROM documents"
     if d is _SPARK_D:
-        # tf-first single pass (same device as tfidf_topterms): aggregate to
-        # distinct (doc, term) pairs — exchange-free, hash(doc_id) from the
-        # spread already satisfies the (doc_id, term) clustering, with
-        # map-side partial agg — THEN window-sum by term for the corpus
-        # count. The term exchange ships one row per distinct (doc, term)
-        # instead of one per token (a vocab CTE would be inlined into both
-        # references and re-run the explode pipeline). Every token of a
-        # (doc, term) pair shares the same c, so tf·round(ln c·1e6) equals
-        # the per-token sum bit-exactly and n_tokens = SUM(tf).
+        # Broadcast-vocab plan: the big relation (tf) NEVER moves. tf
+        # aggregates exchange-free (hash(doc_id) from the spread satisfies
+        # the (doc, term) clustering with map-side partials); the corpus
+        # term counts come from a SECOND explode branch that partial-aggs
+        # to per-partition-distinct terms before its exchange — the only
+        # shuffle ships ~vocab × partitions rows, not the tf relation.
+        # vocab then broadcast-joins back onto tf, which stays doc-
+        # clustered for the final per-doc aggregate (no exchange). The
+        # earlier window form (SUM(tf) OVER (PARTITION BY term)) exchanged
+        # + sorted ALL tf rows by term and exchanged them BACK by doc —
+        # two full-relation shuffles this plan doesn't have; re-running
+        # the cheap scan→split→explode for the vocab branch schedules
+        # concurrently with the tf branch. Every token of a (doc, term)
+        # pair shares the same c, so tf·round(ln c·1e6) equals the
+        # per-token sum bit-exactly and n_tokens = SUM(tf).
         counted = f"""
     toks AS ({unnest_toks}),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-    counted AS (SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY term) AS c FROM tf)"""
+    vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    counted AS (SELECT /*+ BROADCAST(vocab) */ tf.doc_id, tf.tf, vocab.c
+                FROM tf JOIN vocab ON vocab.term = tf.term)"""
     else:
         counted = f"""
     toks AS ({unnest_toks}),
