@@ -197,13 +197,18 @@ def test_pii_redact_no_shuffle(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
 
 
-def test_substring_dup_no_cartesian_anti_join_broadcast(spark, oracle_sf_dir):
-    """Candidates come from the run-hash equality join (never doc×doc) and
-    the stop-gram filter is a broadcast anti join, not a null-aware NOT IN."""
+def test_substring_dup_single_pass_no_join(spark, oracle_sf_dir):
+    """The one-aggregation form: candidates pair up INSIDE a run-hash
+    bucket (collect_set + in-bucket explode), so the plan has exactly one
+    corpus scan, one explode pipeline feeding a collect_set aggregate, and
+    NO join operator of any kind — the earlier relational form re-ran the
+    scan→explode→hash pipeline four times across a self-join + anti-join."""
     plan = _plan(spark, "substring_dup", oracle_sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan, plan[:2000]
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "collect_set" in plan
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_partitioned_roundtrip_prunes_partitions(spark, oracle_sf_dir):
