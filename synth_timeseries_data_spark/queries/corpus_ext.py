@@ -191,6 +191,10 @@ def _decontam_sql(d) -> str:
         d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)"
     )
     ws = d["split"]("text")
+    # (Hash-function note: h is internal-only here, so Spark COULD use a
+    # different hash than the oracle — but an interleaved min-of-8 A/B at
+    # sf0.1 measured md5-of-joined-run FASTER than xxhash64-of-slice in
+    # this plan (0.58 s vs 0.67 s), unlike substring_dup; keep md5.)
     run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
     # `runs_cte` is the only engine split in the head: Spark skips the
     # DISTINCT (the collect_set aggregate below dedups per-doc runs in the

@@ -1726,12 +1726,11 @@ _SUBDUP_SPARK, _SUBDUP_DUCK = _dual(_substring_dup_sql)
 # with a map-side-partial collect_set(doc_id); the stop-gram cap AND the
 # ≥2-docs filter fold into the same HAVING; pairs explode from the
 # in-bucket set (bounded by the cap, so never corpus-quadratic). One
-# explode pipeline, one h exchange, one pair-agg exchange. The run key is
-# xxhash64 over the token-slice array — h is internal (never output), so
-# the engines need not share a hash function; xxhash64 skips both the md5
-# digest and the array_join allocation (measured 0.80 → 0.72 s), and a
-# 64-bit collision (~1e-8 at 1.45M runs) is the standard accepted risk of
-# hash-bucketed substring dedup. Extreme-skew caveat: collect_set
+# explode pipeline, one h exchange, one pair-agg exchange. (Hash note:
+# h is internal-only, so Spark could use a cheaper hash than the oracle's
+# md5 — but interleaved min-of-8 A/Bs at sf0.1 measured md5-of-joined-run
+# FASTER than xxhash64-of-slice in both this plan and decontam_ngram's,
+# 0.62 s vs 0.67 s here; md5 it stays.) Extreme-skew caveat: collect_set
 # materializes a hot bucket's full doc set before HAVING can drop it; if
 # a boilerplate run could span ~billions of docs, pre-cap with the
 # two-phase COUNT + anti-join form instead (O(1) agg state) — at the
@@ -1741,7 +1740,7 @@ _SUBDUP_SPARK_1PASS = f"""
     WITH w AS (SELECT doc_id, ws FROM
                (SELECT doc_id, split(text, ' ') AS ws FROM documents_par) t
                WHERE size(ws) >= 10),
-    pos AS (SELECT doc_id, xxhash64(slice(ws, i, 10)) AS h
+    pos AS (SELECT doc_id, md5(array_join(slice(ws, i, 10), ' ')) AS h
             FROM w LATERAL VIEW explode(sequence(1, size(ws) - 9)) x AS i),
     b AS (SELECT h, collect_set(doc_id) AS ds
           FROM pos GROUP BY h
