@@ -1576,30 +1576,29 @@ def _tfidf_sql(d) -> str:
 
 _TFIDF_DUCK = _tfidf_sql(_DUCK_D)
 
-# Spark side: Catalyst inlines the `tf` CTE into BOTH its references (the
-# df aggregate and the score join), re-running the scan→explode→aggregate
-# pipeline twice. Computing df as COUNT(*) OVER (PARTITION BY term) on the
-# tf relation keeps ONE corpus pass: exchange(doc) → explode → tf agg
-# (exchange-free — hash(doc_id) already satisfies the (doc_id, term)
-# clustering) → term-window for df → doc-window for the top-k rank
-# (WindowGroupLimit prunes below rank 3 before the final sort). The tf
-# relation rows are unique per (doc, term), so the term-window COUNT(*)
-# IS the distinct-doc count, no expand. Measured ~0.75 s vs ~1.9 s for the
-# double-pipeline form at sf0.1.
+# Spark side: broadcast-df plan — the tf relation NEVER moves. tf
+# aggregates exchange-free (hash(doc_id) from the spread satisfies the
+# (doc, term) clustering); the document frequencies come from a SECOND
+# explode branch whose COUNT(DISTINCT doc_id) partial-aggregates before
+# its term exchange, then broadcast-join back onto tf (vocab << corpus at
+# any scale); the top-k rank windows on doc_id — the clustering tf still
+# has, so only a local sort (WindowGroupLimit prunes below rank 3 before
+# it). History: the double-pipeline relational form measured ~1.9 s; the
+# term-window form (COUNT(*) OVER (PARTITION BY term)) that replaced it
+# ~0.75-0.89 s but exchanged ALL tf rows to term and back to doc; this
+# form drops both full-relation exchanges — 0.64 s vs 0.89 s interleaved
+# min-of-8 at sf0.1, and the structurally right shape at 100 TB (same
+# device as unigram_xent).
 _TFIDF_SPARK = """
     WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents_par),
     toks AS (SELECT doc_id, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
     n AS (SELECT COUNT(*) AS n FROM documents),
-    scored AS (
-      SELECT doc_id, term, tf,
-             COUNT(*) OVER (PARTITION BY term) AS df
-      FROM tf
-    ),
     ranked AS (
-      SELECT doc_id, term, tf, df,
-             ROUND(tf * ln((SELECT CAST(n AS DOUBLE) FROM n) / df), 6) + 0.0 AS score
-      FROM scored
+      SELECT /*+ BROADCAST(dfr) */ tf.doc_id, tf.term, tf.tf, dfr.df,
+             ROUND(tf.tf * ln((SELECT CAST(n AS DOUBLE) FROM n) / dfr.df), 6) + 0.0 AS score
+      FROM tf JOIN dfr ON dfr.term = tf.term
     ),
     topk AS (
       SELECT doc_id, term, tf, df, score,

@@ -177,13 +177,15 @@ def test_revenue_aggregates_before_dim_joins(spark, oracle_sf_dir):
 
 
 def test_tfidf_single_corpus_pass(spark, oracle_sf_dir):
-    """The tf CTE must not be inlined twice: exactly ONE documents scan and
-    ONE Generate (explode), with the tf aggregate exchange-free on top of
-    the doc-partitioned spread view (hash(doc_id) satisfies the
-    (doc_id, term) clustering)."""
+    """Broadcast-df shape: the tf relation never moves. Two explode
+    branches (tf + the partial-distinct document frequencies), the df
+    side BROADCAST back onto tf, and the top-k rank windowing on the
+    doc clustering tf already has — no full-relation term exchange of tf
+    and no exchange back to doc."""
     plan = _plan(spark, "tfidf_topterms", oracle_sf_dir)
-    assert plan.count("FileScan parquet") <= 2  # corpus + the scalar COUNT(*)
-    assert plan.count("Generate") == 1, plan[:2000]
+    assert plan.count("FileScan parquet") <= 3  # 2 corpus branches + COUNT(*)
+    assert plan.count("Generate") == 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
     # rank pruning pushed below the final sort: only top-3 rows per doc
     # survive to the row_number projection
     assert "WindowGroupLimit" in plan
