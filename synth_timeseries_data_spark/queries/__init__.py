@@ -82,8 +82,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # CORRECTNESS_r03.json (V6), its FLOOR-micro exact-sum regression device
 # is shared with corr_matrix/summary_stats, and the full-registry
 # bit-exact replay in tests/test_oracle.py re-pins it every session.
+# neardup_survivors (78th) demotes quality_score: driver-green in r03,
+# and corpus_filter (in-window) embeds the identical composite score as
+# its quality gate, so the arithmetic stays driver-attested.
 _DEMOTED = (
     "trend_fit",
+    "quality_score",
     "lagged_matrix",
     "summary_stats",
     "missing_profile",

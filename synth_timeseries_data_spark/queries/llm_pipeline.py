@@ -953,6 +953,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", w_size.cast("bigint"))
 
 
+# --------------------------------------------------------------------------
+# Dedup APPLY step: drop non-representative cluster members, report the
+# per-source survivor manifest. detect (minhash_dedup) → cluster
+# (dedup_clusters) → apply (this) is the full near-dup pipeline.
+# --------------------------------------------------------------------------
+
+
+def _survivors_duck_sql() -> str:
+    # reuse the recursive min-label closure, swap the per-doc tail for the
+    # drop set + per-source manifest
+    cl = _clusters_duck_sql()
+    cut = cl.rindex("SELECT doc_id, cluster_rep,")
+    return (
+        cl[:cut].rstrip().rstrip(",")
+        + """,
+    drops AS (SELECT doc_id FROM comp WHERE doc_id != cluster_rep)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+    )
+
+
+@register("neardup_survivors", _survivors_duck_sql())
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup APPLIED: every non-representative member of a
+    MinHash cluster is dropped (keep-min-doc_id rule from dedup_clusters)
+    and the result is the per-source survivor manifest — docs seen,
+    dropped, kept. This is the corpus a curation pipeline actually ships;
+    the pair and cluster queries are its evidence trail.
+
+    Scale shape: the drop set is (cluster members − representatives) —
+    near-dup-proportional, tiny next to the corpus — so applying the
+    dedup is ONE broadcast left join against the documents scan plus a
+    per-source rollup; no corpus-sized shuffle anywhere. All-integer
+    output: cross-engine bit-exactness is structural."""
+    import pyspark.sql.functions as F
+
+    clusters = dedup_clusters(spark, sf_dir)
+    drops = (
+        clusters.where(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+        .withColumn("is_drop", F.lit(1))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = docs.join(F.broadcast(drops), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_drop"), F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("is_drop").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
 def _ngram_jaccard_tail(d) -> str:
     return """
     small AS (SELECT * FROM shingles WHERE doc_id < 200),
