@@ -262,3 +262,40 @@ def test_semdedup_cluster_bounded_pairs(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the assignment relation is a materialized leaf, not a re-run pipeline
     assert plan.count("Scan ExistingRDD") >= 2, plan[:1500]
+
+
+def test_unigram_xent_broadcast_vocab_tf_unmoved(spark, oracle_sf_dir):
+    """Broadcast-vocab shape (same device as tfidf): the tf relation joins
+    the corpus term counts via BroadcastHashJoin and the final per-doc
+    aggregate runs on tf's doc clustering — no full-relation exchange of
+    tf to term and back (the old window form had both)."""
+    plan = _plan(spark, "unigram_xent", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Window" not in plan  # the term-window form is gone
+    assert plan.count("Generate") == 2  # tf branch + vocab branch
+
+
+def test_char_entropy_zero_shuffle_python_stage(spark, oracle_sf_dir):
+    """The Arrow-batched histogram is a pure map over the pruned scan:
+    no Exchange of any kind, no explode, one scan reading only
+    (doc_id, text)."""
+    plan = _plan(spark, "char_entropy", oracle_sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" not in plan
+    assert "MapInPandas" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id",
+        "text",
+    }, plan[:2000]
+
+
+def test_neardup_survivors_broadcast_apply(spark, oracle_sf_dir):
+    """Applying the dedup is a broadcast join of the (near-dup-sized) drop
+    set against the documents scan — never a corpus-sized shuffle join."""
+    plan = _plan(spark, "neardup_survivors", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
