@@ -3,6 +3,7 @@
 from .jobs import (  # noqa: F401
     contamination_stream,
     lagged_stream,
+    mix_stream,
     packing_stream,
     sessionized_stream,
     sliding_stream,

@@ -318,3 +318,22 @@ def contamination_stream(docs: DataFrame, train_fps: DataFrame) -> DataFrame:
     return test_fp.join(train_fps, "fingerprint").select(
         "test_doc", "train_doc", "fingerprint"
     )
+
+
+def mix_stream(docs: DataFrame) -> DataFrame:
+    """Running source-mixture statistics — the streaming twin of the batch
+    `domain_mix` query (queries/corpus_ext.py). A continuously-ingesting
+    curation pipeline needs the per-source doc/token tallies LIVE (they
+    drive the sampler's mixture weights); this maintains exactly that:
+    groupBy(source) with count + exact BIGINT token sums, state bounded by
+    source cardinality forever (one row per source — no watermark needed,
+    nothing ever evicts). The temperature-weight arithmetic stays a
+    finalization over this tiny relation (batch-side, same SQL as
+    domain_mix's window tail) — recomputing weights per micro-batch would
+    put a global normalization inside the stream for no benefit.
+    Completeness vs batch asserted in tests/test_streaming.py."""
+    pre = docs.selectExpr("source", "size(split(text, ' ')) AS n")
+    return pre.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )

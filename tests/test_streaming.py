@@ -423,3 +423,44 @@ def test_packing_stream_matches_batch_manifest(spark, smoke_sf_dir):
         assert got == expected and len(expected) > 0
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_mix_stream_matches_batch_domain_mix(spark, smoke_sf_dir):
+    """Running-mixture twin: after the whole corpus replays (availableNow,
+    complete mode — state is one row per source), the per-source doc and
+    token tallies must equal the batch domain_mix columns exactly; the
+    weight columns are a deterministic finalization of these tallies, so
+    tally equality IS weight equality."""
+    import os
+    import shutil
+    import tempfile
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import mix_stream, stream_documents
+
+    docs_dir = tempfile.mkdtemp(prefix="stream_mix_")
+    try:
+        shutil.copy(
+            os.path.join(smoke_sf_dir, "documents.parquet"),
+            os.path.join(docs_dir, "part-0.parquet"),
+        )
+        stream = mix_stream(stream_documents(spark, docs_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("mix_stream_t")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.source: (r.n_docs, r.n_tokens)
+            for r in spark.sql("SELECT * FROM mix_stream_t").collect()
+        }
+        expected = {
+            r.source: (r.n_docs, r.n_tokens)
+            for r in all_queries()["domain_mix"].build(spark, smoke_sf_dir).collect()
+        }
+        assert got == expected and len(expected) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
