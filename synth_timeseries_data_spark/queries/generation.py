@@ -171,17 +171,22 @@ def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
         f"SELECT * FROM (VALUES {values}) AS grid"
         "(family, config_id, n, n_vars, max_lag, noise, p1, p2, p3)"
     )
-    # One row per config → round-robin repartition(N) + mapInPandas pins
-    # EXACTLY one config per task. The earlier repartition(N, key) +
-    # groupBy shape had two flaws: AQE would coalesce the tiny grid
-    # shuffle to one partition without the explicit count (measured
-    # 6.0 s → 1.7 s at 196 configs), and the groupBy's own hash exchange
-    # re-collides ~1/e of the configs into shared tasks (hash of N keys
-    # into N partitions leaves ~37% empty). A user-specified repartition
-    # count is AQE-exempt, and round-robin placement is exactly even; one
-    # task per config is the right shape at scale too — per-config skew
-    # isolation, compute (not bytes) is the cost.
-    return grid.repartition(len(rows)).mapInPandas(group_fn, out_schema)
+    # Round-robin repartition to min(n_configs, defaultParallelism) +
+    # mapInPandas. History: the groupBy(key) shape let AQE coalesce the
+    # tiny grid shuffle to ONE partition, serializing every kernel
+    # (6.0 s); one-task-per-config (repartition(N)) fixed that (1.7 s) but
+    # paid 196 tasks' worth of Python-runner/Arrow setup for 5-45 ms
+    # kernels — batching ~6 configs per task measured 0.72 s vs 1.88 s.
+    # A user-specified repartition count is AQE-exempt, and round-robin
+    # placement is exactly even by count; with sub-second kernels the
+    # per-task overhead dominates any config-size skew inside a batch.
+    # Tradeoff at cluster scale: batching gives up per-config straggler
+    # isolation — for HEAVY kernels (minutes+), raise the partition count
+    # back toward n_configs so a slow config can't pin its batchmates to
+    # one core; for this grid's millisecond kernels, one wave of
+    # core-count tasks is strictly better.
+    width = min(len(rows), spark.sparkContext.defaultParallelism)
+    return grid.repartition(width).mapInPandas(group_fn, out_schema)
 
 
 def _rows(fam, combos):

@@ -116,16 +116,19 @@ def test_embed_neardup_no_allpairs(spark, oracle_sf_dir):
 
 
 def test_generation_sweep_partitioning_survives_aqe(spark, smoke_sf_dir):
-    """The kernel sweep must run one partition per config: AQE's coalescer
-    once collapsed the tiny grid shuffle to a single partition, serializing
-    every kernel into one task (6.0 s -> 1.7 s fix). The executed plan must
-    carry the user-pinned hash partitioning, and the RDD must have as many
-    partitions as configs."""
+    """The kernel sweep must run full-width: AQE's coalescer once
+    collapsed the tiny grid shuffle to a single partition, serializing
+    every kernel into one task (6.0 s -> 1.7 s fix); a later pass batched
+    the millisecond kernels into min(n_configs, defaultParallelism)
+    round-robin partitions to amortize per-task Python/Arrow setup
+    (1.88 s -> 0.72 s). The RDD must carry exactly that user-pinned
+    width — neither coalesced down nor exploded back to one-per-config."""
     from synth_timeseries_data_spark.queries import generation as G
 
     df = all_queries()["scm_generate"].build(spark, smoke_sf_dir)
     n_configs = len(G._complete_grid())
-    assert df.rdd.getNumPartitions() == n_configs
+    expected = min(n_configs, spark.sparkContext.defaultParallelism)
+    assert df.rdd.getNumPartitions() == expected
 
 
 def test_stratified_sample_broadcasts_rates_no_extra_shuffle(spark, oracle_sf_dir):
