@@ -928,24 +928,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("b").alias("v2"))
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
+        # the convergence flag rides in the SAME projection as the label
+        # update (changed = new label strictly smaller), so the per-round
+        # cost is one join + one agg + the checkpoint — the earlier form
+        # re-joined new labels against old ones purely to count changes,
+        # a whole extra shuffle per round
+        stepped = (
             labels.join(neigh, labels.v == F.col("v2"), "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(F.sum("chg")).collect()[0][0]
+        labels = stepped.select(F.col("v"), F.col("new_label").alias("label"))
+        if not changed:
             break
     w_size = F.count("*").over(Window.partitionBy("cluster_rep"))
     return labels.select(
