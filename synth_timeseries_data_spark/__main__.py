@@ -1,0 +1,136 @@
+"""Command-line surface: the reference's `python a1.py … python d3c.py`
+workflow as one distributed entrypoint.
+
+A reference user runs per-family scripts that loop configs serially and
+drop a CSV + structure-sidecar tree under Datasets/ (Codes/a1.py:237-344).
+The engine's equivalent is one command that runs the SAME factorial sweeps
+as a Spark job (every config a task batch — see queries/generation.py) and
+writes a partition-pruned dataset tree:
+
+    python -m synth_timeseries_data_spark list
+    python -m synth_timeseries_data_spark query asof_lag --sf-dir /data/sf0.1 --out /tmp/res
+    python -m synth_timeseries_data_spark generate --families a1,c1 --out /tmp/corpus --format csv
+
+`generate` writes long-form series partitioned by (family, config_id) —
+one directory per config like the reference's tree, readable back with a
+partition-pruned scan — plus the ground-truth structure sidecar
+(sinks.write_structure_json). Masking families (d1/d2/d3 and confounded
+twins) land under out/masked with the (value_complete, value_observed)
+pair schema; complete-data families under out/complete.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _families_of(grid_fn) -> set[str]:
+    return {row[0] for row in grid_fn()}
+
+
+def _sweep_specs():
+    """(label, grid_fn, group_factory(kernels), schema) per umbrella."""
+    from .queries import generation as G
+
+    return (
+        ("complete", G._complete_grid, G._complete_group(G._COMPLETE_KERNELS), G._COMPLETE_SCHEMA),
+        ("complete", G._confounded_grid, G._complete_group(G._CONFOUNDED_KERNELS), G._COMPLETE_SCHEMA),
+        ("masked", G._missing_grid, G._pair_group(G._PAIR_KERNELS), G._PAIR_SCHEMA),
+        ("masked", G._missing_confounded_grid, G._pair_group(G._PAIR_CONFOUNDED_KERNELS), G._PAIR_SCHEMA),
+    )
+
+
+def cmd_list(_args) -> int:
+    from .queries import all_queries
+
+    for name, q in all_queries().items():
+        kind = "oracle" if q.oracle is not None else "rows-only"
+        doc = " ".join((q.doc or "").split())[:88]
+        print(f"{name:32s} [{kind}] {doc}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .queries import all_queries
+    from .session import get_session
+
+    spark = get_session()
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    df = qs[args.name].build(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .session import get_session
+    from .sinks import write_structure_json
+
+    spark = get_session()
+    wanted = None if args.families == "all" else set(args.families.split(","))
+    known: set[str] = set()
+    wrote_any = False
+    from .queries.generation import _sweep
+
+    for label, grid_fn, group_fn, schema in _sweep_specs():
+        fams = _families_of(grid_fn)
+        known |= fams
+        rows = [r for r in grid_fn() if wanted is None or r[0] in wanted]
+        if not rows:
+            continue
+        out = os.path.join(args.out, label)
+        df = _sweep(spark, rows, group_fn, schema)
+        writer = df.write.mode("overwrite").partitionBy("family", "config_id")
+        if args.format == "csv":
+            writer.option("header", True).option("nullValue", "").csv(out)
+        else:
+            writer.parquet(out)
+        print(f"wrote {len(rows)} configs -> {out}")
+        wrote_any = True
+    if wanted is not None and (missing := wanted - known):
+        print(f"unknown families: {sorted(missing)}", file=sys.stderr)
+        return 2
+    if not wrote_any:
+        print("no configs matched", file=sys.stderr)
+        return 2
+    write_structure_json(spark, os.path.join(args.out, "structure"))
+    print(f"wrote structure sidecar -> {os.path.join(args.out, 'structure')}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="synth_timeseries_data_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="print the query registry")
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    q.add_argument("--out", help="write result parquet here (default: show)")
+    q.add_argument("--limit", type=int, default=20)
+
+    g = sub.add_parser(
+        "generate", help="run family sweeps and write the dataset tree"
+    )
+    g.add_argument("--families", default="all", help="comma list (a1,c1c,d3,…) or 'all'")
+    g.add_argument("--out", required=True)
+    g.add_argument("--format", choices=("csv", "parquet"), default="csv")
+
+    args = ap.parse_args(argv)
+    return {"list": cmd_list, "query": cmd_query, "generate": cmd_generate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

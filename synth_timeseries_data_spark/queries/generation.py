@@ -159,6 +159,13 @@ def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
             return "CAST(NULL AS DOUBLE)"
         if isinstance(v, str):
             return f"'{v}'"
+        if isinstance(v, float):
+            # Spark parses a bare 0.01 literal as DECIMAL(2,2); in the full
+            # umbrella grids a NULL-cast-DOUBLE row promotes the column,
+            # but a single-family subset (CLI --families) has none and the
+            # DECIMAL reaches the kernels as decimal.Decimal (c1's
+            # trend multiply then raises TypeError). Always cast.
+            return f"CAST({v!r} AS DOUBLE)"
         return repr(v)
 
     values = ", ".join(

@@ -1,0 +1,61 @@
+"""CLI surface (__main__.py): the reference's per-family script workflow
+as one distributed entrypoint — list / query / generate drive the same
+registry and sweep machinery the driver contract uses."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from synth_timeseries_data_spark.__main__ import main
+
+
+def test_cli_list_prints_registry(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "asof_lag" in out and "[oracle]" in out
+    assert "scm_generate" in out and "rows-only" in out
+
+
+def test_cli_query_writes_parquet(spark, oracle_sf_dir):
+    out = tempfile.mkdtemp(prefix="cli_q_")
+    try:
+        assert main(["query", "summary_stats", "--sf-dir", oracle_sf_dir, "--out", out]) == 0
+        got = spark.read.parquet(out)
+        assert got.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_query_unknown_name_fails(spark, oracle_sf_dir):
+    assert main(["query", "no_such_query", "--sf-dir", oracle_sf_dir]) == 2
+
+
+def test_cli_generate_single_family_tree(spark):
+    """A pure-family subset is the case that once leaked DECIMAL literals
+    into the kernels (see _sweep.lit); the tree must land partitioned by
+    (family, config_id) with real float values, plus the structure
+    sidecar."""
+    out = tempfile.mkdtemp(prefix="cli_g_")
+    try:
+        assert main(["generate", "--families", "c1", "--out", out, "--format", "parquet"]) == 0
+        tree = spark.read.parquet(os.path.join(out, "complete"))
+        assert tree.where("family = 'c1'").count() > 0
+        assert dict(tree.dtypes)["value"] == "double"
+        # one directory per config — the reference's tree shape
+        fam_dir = os.path.join(out, "complete", "family=c1")
+        assert any(e.startswith("config_id=") for e in os.listdir(fam_dir))
+        assert os.path.isdir(os.path.join(out, "structure"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_generate_unknown_family_fails(spark):
+    out = tempfile.mkdtemp(prefix="cli_gf_")
+    try:
+        assert main(["generate", "--families", "zz9", "--out", out]) == 2
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
