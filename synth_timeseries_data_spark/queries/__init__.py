@@ -85,9 +85,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # neardup_survivors (78th) demotes quality_score: driver-green in r03,
 # and corpus_filter (in-window) embeds the identical composite score as
 # its quality gate, so the arithmetic stays driver-attested.
+# length_percentiles (79th) demotes token_count: driver-green in r03;
+# replayed bit-exactly every session by tests/test_oracle.py.
 _DEMOTED = (
     "trend_fit",
     "quality_score",
+    "token_count",
     "lagged_matrix",
     "summary_stats",
     "missing_profile",

@@ -571,3 +571,54 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (map-side partials → ~n_sources rows shuffled); everything after
     runs on a relation the size of the source list."""
     return _spark_docs(spark, sf_dir, _MIX_SPARK)
+
+
+# --------------------------------------------------------------------------
+# length_percentiles: per-source sequence-length distribution (exact).
+# --------------------------------------------------------------------------
+
+
+def _length_pct_sql(d) -> str:
+    # Exact order statistics by INTEGER rank arithmetic: the q-quantile is
+    # the ceil(q·n)-th smallest, with ceil done in pure integer math
+    # (ceil(k·n/m) = (k·n + m - 1) DIV m) — no percentile_cont/disc, whose
+    # interpolation rules differ per engine, and no float ranks at all.
+    # One window shuffle on source; ordering ties broken by doc_id, which
+    # cannot change the VALUE at a fixed rank (equal n's are
+    # interchangeable), only stabilize row order.
+    ws = d["split"]("text")
+    idx = lambda k, m: _idiv(d, f"(cnt * {k} + {m - 1})", str(m))  # noqa: E731
+    pick = lambda e: f"CAST(MAX(CASE WHEN rk = {e} THEN n END) AS BIGINT)"  # noqa: E731
+    return f"""
+    WITH t AS (SELECT source, doc_id, {d['len'](ws)} AS n FROM {d['pdocs']}),
+    r AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM t
+    )
+    SELECT source,
+           CAST(MAX(cnt) AS BIGINT) AS n_docs,
+           {pick('1')} AS min_tokens,
+           {pick(idx(1, 2))} AS p50_tokens,
+           {pick(idx(9, 10))} AS p90_tokens,
+           {pick(idx(99, 100))} AS p99_tokens,
+           {pick('cnt')} AS max_tokens
+    FROM r GROUP BY source
+    """
+
+
+_LENPCT_SPARK, _LENPCT_DUCK = _dual(_length_pct_sql)
+
+
+@register("length_percentiles", _LENPCT_DUCK)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-length distribution — min/p50/p90/p99/max token
+    counts, the table that sizes context windows, packing capacity, and
+    truncation budgets before a training run. Exact order statistics via
+    integer rank arithmetic (see _length_pct_sql — engine-identical by
+    construction, unlike percentile_cont interpolation). One window
+    shuffle on the source key; at 100 TB the same shape computes exact
+    per-domain quantiles with source-proportional state, or swaps to a
+    t-digest sketch when a single source outgrows a partition."""
+    return _spark_docs(spark, sf_dir, _LENPCT_SPARK)
