@@ -271,3 +271,70 @@ def test_semdedup_numpy_assignment_bitexact_vs_sql(spark, oracle_sf_dir):
             (r.vec_id, r.c) for r in _sd_assign_numpy(spark, k).collect()
         )
         assert np_rows == sql_rows, k
+
+
+def test_length_percentiles_match_numpy_rank_semantics(spark, oracle_sf_dir):
+    """Exact order statistics: the q-quantile must be the ceil(q*n)-th
+    smallest token count per source — checked against a driver-side numpy
+    sort of the same data (independent of both engines' SQL)."""
+    import math
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    got = {
+        r.source: r
+        for r in all_queries()["length_percentiles"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    docs = (
+        load(spark, oracle_sf_dir, "documents")
+        .selectExpr("source", "size(split(text, ' ')) AS n")
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n)
+    assert set(got) == set(by_src)
+    for src, ns in by_src.items():
+        ns.sort()
+        n = len(ns)
+        row = got[src]
+        assert row.n_docs == n
+        assert row.min_tokens == ns[0] and row.max_tokens == ns[-1]
+        assert row.p50_tokens == ns[math.ceil(0.5 * n) - 1]
+        assert row.p90_tokens == ns[math.ceil(0.9 * n) - 1]
+        assert row.p99_tokens == ns[math.ceil(0.99 * n) - 1]
+
+
+def test_domain_mix_weights_are_normalized(spark, oracle_sf_dir):
+    """mix_weight and token_share each sum to 1 (within float addition
+    slack); the integer tokens-per-million budgets sum to <= 1e6 with
+    deficit < n_sources (floor rounding loses < 1 unit per source)."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    rows = all_queries()["domain_mix"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-9
+    budget = sum(r.tokens_per_million for r in rows)
+    assert 10**6 - len(rows) < budget <= 10**6
+
+
+def test_neardup_survivors_consistent_with_clusters(spark, oracle_sf_dir):
+    """Total drops must equal sum(cluster_size - 1) over distinct clusters
+    (keep exactly one doc per component), and kept + dropped = corpus."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    surv = all_queries()["neardup_survivors"].build(spark, oracle_sf_dir).collect()
+    clusters = all_queries()["dedup_clusters"].build(spark, oracle_sf_dir).collect()
+    sizes: dict[int, int] = {}
+    for r in clusters:
+        sizes[r.cluster_rep] = r.cluster_size
+    expected_drops = sum(s - 1 for s in sizes.values())
+    n_docs_total = load(spark, oracle_sf_dir, "documents").count()
+    assert sum(r.n_dropped for r in surv) == expected_drops
+    assert sum(r.n_docs for r in surv) == n_docs_total
+    assert sum(r.n_kept + r.n_dropped for r in surv) == n_docs_total
