@@ -139,10 +139,12 @@ def main() -> None:
     # Second-chance pass: host-level interference arrives in multi-second
     # bursts (observed: a 0.4 s query measuring 9.8 s mid-session), and a
     # query whose 2-3 in-place runs all landed inside a burst keeps the
-    # inflated number. Re-time every query slower than 0.6 s once more at
+    # inflated number. Re-time every query slower than 0.45 s once more at
     # the end of the run — cheap (only the slow tail re-executes) and the
-    # min can only sharpen the estimate, never pad it.
-    for name in [n for n, v in timings.items() if v > 0.6]:
+    # min can only sharpen the estimate, never pad it. (0.45 not 0.6: a
+    # 0.30 s query inflated to 0.55 sat just under the old threshold and
+    # kept its burst number in the record.)
+    for name in [n for n, v in timings.items() if v > 0.45]:
         t3 = time.perf_counter()
         queries[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"
