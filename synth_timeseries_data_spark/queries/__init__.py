@@ -87,10 +87,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # its quality gate, so the arithmetic stays driver-attested.
 # length_percentiles (79th) demotes token_count: driver-green in r03;
 # replayed bit-exactly every session by tests/test_oracle.py.
+# vec_topk_pq (80th) demotes nonlinear_proj: driver-green in r03, its
+# nonlinear-term arithmetic is bit-exactly pinned by the golden B/C-family
+# generation suite, and tests/test_oracle.py replays it every session.
 _DEMOTED = (
     "trend_fit",
     "quality_score",
     "token_count",
+    "nonlinear_proj",
     "lagged_matrix",
     "summary_stats",
     "missing_profile",

@@ -32,7 +32,10 @@ DIMS = 64
 RECALL_FLOOR = 0.8
 
 
-@pytest.fixture(scope="module")
+# function scope on purpose: other tests in this file (dense-bucket guard,
+# PQ exact-duplicate) replace the "embeddings" temp view with their own
+# corpora — each use must re-register the view, not trust a module-cached one
+@pytest.fixture()
 def ann_corpus(spark):
     rng = np.random.default_rng(7)
     q = rng.normal(size=DIMS)
@@ -167,5 +170,69 @@ def test_dense_bucket_guard_keeps_blob_connected(spark):
         assert n_bg_paired <= 8, n_bg_paired
         # and the pair count stayed LINEAR in blob size, not quadratic
         assert len(pairs) < n_blob * 16 * 4 * 2
+    finally:
+        spark.catalog.dropTempView("embeddings")
+
+
+def _pq_sqls(codes_view: str):
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _PQ_CODES_TAIL,
+        _PQ_POSEXP_SPARK,
+        _pq_dists_sql,
+        _pq_tail,
+    )
+
+    idx = (
+        f"WITH comps AS ({_PQ_POSEXP_SPARK}),"
+        + _pq_dists_sql(_SPARK_D, "")
+        + _PQ_CODES_TAIL
+    )
+    tail = (
+        f"WITH comps AS ({_PQ_POSEXP_SPARK}),"
+        + _pq_dists_sql(_SPARK_D, "WHERE vec_id = 0")
+        + ",\n    qd AS (SELECT m, c, d2 FROM dists),"
+        + _pq_tail(_SPARK_D, codes_view)
+    )
+    return idx, tail
+
+
+def test_pq_recall_at_10(spark, ann_corpus):
+    """PQ = ADC shortlist + exact-L2 re-rank. On unit vectors the L2
+    re-rank order equals the cosine order (||a-b||² = 2-2cosθ), so recall
+    is governed by whether the true top-10 survives the ADC shortlist —
+    _PQ_SHORTLIST is the documented recall/IO knob."""
+    idx, tail = _pq_sqls("t_pq_codes")
+    spark.sql(idx).createOrReplaceTempView("t_pq_codes")
+    got = {r.vec_id for r in spark.sql(tail).collect()}
+    recall = len(got & ann_corpus) / len(ann_corpus)
+    assert recall >= RECALL_FLOOR, (
+        f"PQ recall@10 {recall:.2f} below {RECALL_FLOOR} — "
+        "raise _PQ_SHORTLIST (ADC candidates kept for exact re-rank)"
+    )
+
+
+def test_pq_exact_duplicate_is_rank1(spark):
+    """A planted exact copy of the query has the provably minimal ADC
+    (its codes are the query's own argmin codes), so it MUST survive any
+    shortlist and re-rank to distance zero."""
+    rng = np.random.default_rng(11)
+    rows = []
+    q = rng.normal(size=DIMS)
+    q /= np.linalg.norm(q)
+    qf = [float(x) for x in np.asarray(q, dtype=np.float32)]
+    rows.append((0, "q", qf))
+    for i in range(1, 120):
+        v = rng.normal(size=DIMS)
+        v /= np.linalg.norm(v)
+        rows.append((i, f"v{i}", [float(x) for x in np.asarray(v, dtype=np.float32)]))
+    rows.append((9999, "copy", qf))
+    spark.createDataFrame(
+        rows, schema="vec_id long, label string, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    try:
+        idx, tail = _pq_sqls("t_pq_codes_dup")
+        spark.sql(idx).createOrReplaceTempView("t_pq_codes_dup")
+        got = {r.vec_id: r.l2_d2_micro for r in spark.sql(tail).collect()}
+        assert 9999 in got and got[9999] == 0
     finally:
         spark.catalog.dropTempView("embeddings")
