@@ -10,13 +10,15 @@ in t, so the engine's scale-out axis is ACROSS configurations
 config — millions of independent series parallelize embarrassingly; time
 stays a tight loop inside one partition, same as the reference.
 
-Numeric fidelity: with noise_type='gaussian' and the same seed this kernel
-reproduces the reference's CSVs bit-for-bit (term accumulation follows the
-equation's textual term order; noise draw order is warmup rows first, then
-one n_vars draw per timestep). Student-t uses numpy's standard_t stream
-(scipy is not available here) — same distribution and scale as the
-reference's stats.t.rvs (a1.py:133), different RNG stream; validated by
-moment tests instead of value equality.
+Numeric fidelity: with the same seed this kernel reproduces the
+reference's CSVs bit-for-bit for BOTH noise types (term accumulation
+follows the equation's textual term order; noise draw order is warmup
+rows first, then one n_vars draw per timestep). Student-t draws come
+from a dedicated RandomState(seed) exactly as the reference's
+`stats.t.random_state = np.random.RandomState(seed)` + `stats.t.rvs`
+(a1.py:124-133) — scipy's t._rvs delegates to random_state.standard_t,
+corpus-verified bit-exact without scipy (see _T_RS / _seed_all and
+scripts/corpus_audit.py).
 """
 
 from __future__ import annotations
@@ -101,11 +103,33 @@ def topo_order(parsed: dict[int, list], n_vars: int) -> list[int]:
     return order
 
 
+# Dedicated Student-t stream, reset by _seed_all. The reference scripts
+# seed the GLOBAL RandomState and ALSO attach a fresh RandomState(seed) to
+# scipy's t distribution (a1.py:124-126, c2.py:68-70); every t draw then
+# comes from that dedicated stream, so interleaved global draws
+# (irregular timestamps, masks) never advance it. scipy's t._rvs
+# delegates to random_state.standard_t — corpus-verified bit-exact
+# (C2 "Students t" files, scripts/corpus_audit.py). For families with no
+# interleaved global draws (A1, B1) dedicated ≡ global from the same
+# seed, which is why those t files matched the old global-stream
+# implementation too. Module-global is safe here: kernels run one config
+# at a time per process (Spark Python worker or driver test).
+_T_RS: np.random.RandomState | None = None
+
+
+def _seed_all(seed: int) -> None:
+    """np.random.seed(seed) + reset the dedicated t stream (see _T_RS)."""
+    global _T_RS
+    np.random.seed(seed)
+    _T_RS = np.random.RandomState(seed)
+
+
 def _draw(rng_kind: str, n: int, scale: float, df: int) -> np.ndarray:
     if rng_kind == "gaussian":
         return np.random.normal(0, scale, size=n)
     if rng_kind == "student_t":
-        return np.random.standard_t(df, size=n) * scale
+        rs = _T_RS if _T_RS is not None else np.random
+        return rs.standard_t(df, size=n) * scale
     raise ValueError(f"unknown noise type: {rng_kind}")
 
 
@@ -117,15 +141,34 @@ def generate_linear_config(
     seed: int = 42,
     noise_scale: float = 0.1,
     df: int = 3,
-    use_reference_order: bool = True,
+    order_mode: str = "corpus",
 ) -> pd.DataFrame:
     """Generate one linear-family dataset (wide: X1..Xn + time).
 
-    Mirrors a1.py:194-212 exactly: global seed, warmup rows of pure noise,
-    then per-t evaluation in reverse variable order with the contemporaneous
-    memo falling back to the (zero-initialized) current row — including that
-    quirky fallback, which is reachable only for DSLs the registry never
-    produces but is part of the effective semantics.
+    Draw choreography mirrors a1.py:194-212 (global seed, warmup rows of
+    pure noise, one n_vars noise draw per timestep). Evaluation follows
+    the CORPUS-effective semantics: the full-corpus audit
+    (scripts/corpus_audit.py, implied-operand solves) shows the shipped
+    6/8-var data spans THREE script vintages, none reproducible by the
+    current a1.py:
+
+    - student_t, all lags (oldest vintage): X5 — and X8 in 8-var — are
+      PURE NOISE; their parent terms were added later (the "Added X4
+      influence" comment at a1.py:49 marks the edit). X6's parent is
+      X5[t].
+    - gaussian, max_lag=2: all current terms present, but X6's
+      contemporaneous parent is X4[t] — edited to X5 after generation
+      (exact implied-operand match at every probed timestep, both sizes).
+    - gaussian, max_lag=3/4: the current equations.
+
+    Every vintage evaluated in dependency (topo) order with COMPUTED
+    contemporaneous values; the current script's reverse-index loop
+    (a1.py:147) would leave X6 reading a zero fallback instead. 4-var
+    output is identical under both orders (reverse order IS a valid topo
+    order there), which is why only 6/8-var files ever diverged.
+
+    ``order_mode="script"`` keeps the current-script semantics (reverse
+    order, zero fallback, current equations) instead of the corpus's.
     """
     eqs = equations("a1", n_vars, max_lag)
     if not eqs:
@@ -134,13 +177,24 @@ def generate_linear_config(
     for eq in eqs:
         tgt, terms = parse_linear_equation(eq)
         parsed[tgt] = terms
-    order = (
-        list(range(n_vars - 1, -1, -1))
-        if use_reference_order
-        else topo_order(parsed, n_vars)
-    )
+    if order_mode == "corpus":
+        if n_vars >= 6:
+            if noise_type == "student_t":
+                # oldest vintage: X5 (and X8) had no parent terms yet
+                parsed[4] = [t for t in parsed[4] if t[0] == "noise"]
+                if n_vars == 8:
+                    parsed[7] = [t for t in parsed[7] if t[0] == "noise"]
+            elif max_lag == 2:
+                # gaussian lag-2 vintage: X6's parent was X4, not X5
+                parsed[5] = [
+                    t if not (t[0] == "var" and t[3] == 0) else (t[0], t[1], 3, 0)
+                    for t in parsed[5]
+                ]
+        order = topo_order(parsed, n_vars)
+    else:
+        order = list(range(n_vars - 1, -1, -1))
 
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     for i in range(max_lag):
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
@@ -185,7 +239,7 @@ def irregular_timestamps(
     overflow (a2.py:146-160). The reference RE-SEEDS inside this function
     (quirk Q4) — replicated so draw choreography matches."""
     if seed is not None:
-        np.random.seed(seed)
+        np.random.seed(seed)  # global only: Q4 re-seed, t stream NOT reset here
     times = np.zeros(n_points)
     times[0] = np.random.uniform(0, min_gap)
     for i in range(1, n_points):
@@ -244,7 +298,7 @@ def generate_irregular_config(
                 lag = 0 if lag_part == "t" else -int(lag_part.split("-")[1])
                 links[(var, lag, tgt)] = float(coeff)
 
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     if ts_mode == "linspace":
         ts = np.linspace(0.0, 100.0, n_points)
@@ -313,7 +367,7 @@ def generate_confounded_config(
     if not eqs:
         raise ValueError(f"no a1c registry for ({n_vars}, {max_lag})")
 
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     for i in range(max_lag):
@@ -434,7 +488,7 @@ def generate_poly_mixture_config(
         raise ValueError(f"no b2 registry for ({n_vars}, {max_lag})")
     links = _parse_poly_links(eqs)
 
-    np.random.seed(seed)
+    _seed_all(seed)
 
     def _mixed(size: int) -> np.ndarray:
         mask = np.random.random(size) < mix_ratio
@@ -504,7 +558,7 @@ def generate_poly_config(
         raise ValueError(f"no b2 registry for ({n_vars}, {max_lag})")
     links = _parse_poly_links(eqs)
 
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     frozen = None
     if noise_type == "student_t":
@@ -560,7 +614,7 @@ def generate_trend_season_config(
     if not eqs:
         raise ValueError(f"no c1 registry for ({n_vars}, {max_lag})")
 
-    np.random.seed(seed)
+    _seed_all(seed)
     tt = np.arange(n_points)
     trends = [trend_strength * (i + 1) * 0.5 * tt for i in range(n_vars)]
     seas = []
@@ -673,7 +727,7 @@ def generate_mcar_config(
     if not eqs:
         raise ValueError(f"no linear registry for ({n_vars}, {max_lag})")
 
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     for i in range(max_lag):
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
@@ -802,7 +856,7 @@ def generate_block_missing_config(
     links = _parse_poly_links(equations("b2", n_vars, max_lag))
     if not links:
         raise ValueError(f"no poly registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     ts = _adaptive_timestamps_noreseed(n_points)
     for i in range(max_lag):
@@ -862,7 +916,7 @@ def generate_trig_irregular_config(
     eqs = equations("c2", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no c2 registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
 
     def _noise(size: int) -> np.ndarray:
         return _draw(noise_type, size, noise_scale, df)
@@ -995,7 +1049,7 @@ def generate_mixed_missing_config(
     eqs = equations("c2", n_vars, max_lag)  # d3 shares c2's registry
     if not eqs:
         raise ValueError(f"no c2/d3 registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
 
     def _noise(size: int) -> np.ndarray:
         mask = np.random.random(size) < mix_ratio

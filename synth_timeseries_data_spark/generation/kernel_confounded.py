@@ -43,6 +43,7 @@ from .kernel import (
     _adaptive_timestamps_noreseed,
     _block_pattern,
     _draw,
+    _seed_all,
     _nearest_lag_indices,
 )
 
@@ -121,7 +122,7 @@ def generate_confounded_poly_config(
     links = _parse_poly_links_u(equations("b1c", n_vars, max_lag))
     if not links:
         raise ValueError(f"no b1c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     for i in range(max_lag):
@@ -155,7 +156,7 @@ def generate_confounded_poly_mixture_config(
     links = _parse_poly_links_u(equations("b2c", n_vars, max_lag))
     if not links:
         raise ValueError(f"no b2c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     ts = _adaptive_timestamps_noreseed(n_points)
@@ -186,7 +187,7 @@ def generate_confounded_block_missing_config(
     links = _parse_poly_links_u(equations("d2c", n_vars, max_lag))
     if not links:
         raise ValueError(f"no d2c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     ts = _adaptive_timestamps_noreseed(n_points)
@@ -264,7 +265,7 @@ def generate_confounded_trend_season_config(
     eqs = equations("c1c", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no c1c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     tt = np.arange(n_points)
     trends = [trend_strength * (i + 1) * 0.5 * tt for i in range(n_vars)]
     seas = []
@@ -434,7 +435,7 @@ def generate_confounded_trig_irregular_config(
     eqs = equations("c2c", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no c2c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X, U, ts = _trig_irregular_u_core(
         eqs, n_points, n_vars, max_lag,
         lambda: _draw(noise_type, n_vars + 1, noise_scale, df),
@@ -466,7 +467,7 @@ def generate_confounded_mixed_missing_config(
     eqs = equations("d3c", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no d3c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X, U, ts = _trig_irregular_u_core(
         eqs, n_points, n_vars, max_lag,
         lambda: _mixed_noise(n_vars + 1, mix_ratio, noise_scale),
@@ -506,7 +507,7 @@ def generate_confounded_mcar_config(
     eqs = equations("d1c", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no d1c registry for ({n_vars}, {max_lag})")
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     for i in range(max_lag):
@@ -634,7 +635,7 @@ def generate_confounded_irregular_config(
     from .kernel import irregular_timestamps
 
     links = _parse_a2c_links(equations("a2c", n_vars, max_lag))
-    np.random.seed(seed)
+    _seed_all(seed)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     ts = irregular_timestamps(n_points, seed=seed)  # re-seeds (Q4)
