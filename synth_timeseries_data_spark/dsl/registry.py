@@ -104,6 +104,38 @@ _C1_4: dict[int, list[str]] = {
 }
 
 
+def _c1_equations(n_vars: int, max_lag: int) -> list[str]:
+    """C1 DSL for any registry width (c1.py:19-109). 6/8-var prepend the
+    chain extensions (trig analogs of A1's); at max_lag=2 X4 gains a lag-1
+    X5 term that the lag-3/4 configs drop again ("Removed X5[t-1] term"
+    comments in the script). 8-var X6's coefficient is 0.45, not 6-var's
+    0.85 — same asymmetry as A1."""
+    core = list(_C1_4.get(max_lag, []))
+    if not core:
+        return []
+    if n_vars == 4:
+        return core
+    if max_lag == 2:
+        core = [
+            "X4[t] = 0.25 * cos(X1[t-2] * pi/2) + 0.3 * sin(X5[t-1] * pi/2)"
+            " + trend4[t] + season4[t] + e4"
+        ] + core[1:]
+    x5 = "X5[t] = 0.4 * cos(X4[t-1] * pi/2) + trend5[t] + season5[t] + e5"
+    if n_vars == 6:
+        return [
+            "X6[t] = 0.85 * sin(X5[t] * pi/2) + trend6[t] + season6[t] + e6",
+            x5,
+        ] + core
+    if n_vars == 8:
+        return [
+            "X8[t] = 0.4 * sin(X7[t] * pi/2) + trend8[t] + season8[t] + e8",
+            "X7[t] = 0.35 * cos(X6[t-1] * pi/2) + trend7[t] + season7[t] + e7",
+            "X6[t] = 0.45 * sin(X5[t] * pi/2) + trend6[t] + season6[t] + e6",
+            x5,
+        ] + core
+    return []
+
+
 # A2 (irregular sampling, Codes/a2.py:20-106): 4-var configs are identical
 # to A1; 6/8-var make X5 implicitly exogenous via the literal string
 # "X5[t] = noise_extra" that the parser skips (quirk Q3).
@@ -145,10 +177,7 @@ def equations(family: str, n_vars: int, max_lag: int) -> list[str]:
             return _B2_PREFIX_8 + equations("b2", 6, max_lag)
         return []
     if family == "c1":
-        # 4-var configs only in the engine registry; the reference's 6/8-var
-        # C1 configs (c1.py:46-107) use the identical grammar, so parser
-        # coverage does not grow with them.
-        return list(_C1_4.get(max_lag, [])) if n_vars == 4 else []
+        return _c1_equations(n_vars, max_lag)
     if family == "a2":
         return _a2_equations(n_vars, max_lag)
     if family == "c2":

@@ -103,33 +103,52 @@ def topo_order(parsed: dict[int, list], n_vars: int) -> list[int]:
     return order
 
 
-# Dedicated Student-t stream, reset by _seed_all. The reference scripts
-# seed the GLOBAL RandomState and ALSO attach a fresh RandomState(seed) to
-# scipy's t distribution (a1.py:124-126, c2.py:68-70); every t draw then
-# comes from that dedicated stream, so interleaved global draws
-# (irregular timestamps, masks) never advance it. scipy's t._rvs
-# delegates to random_state.standard_t — corpus-verified bit-exact
-# (C2 "Students t" files, scripts/corpus_audit.py). For families with no
-# interleaved global draws (A1, B1) dedicated ≡ global from the same
-# seed, which is why those t files matched the old global-stream
-# implementation too. Module-global is safe here: kernels run one config
-# at a time per process (Spark Python worker or driver test).
+# Student-t stream modes — the reference scripts use THREE different
+# scipy idioms, each with a different effective RNG stream (all
+# corpus-verified bit-exact via scripts/corpus_audit.py; scipy's t._rvs
+# delegates to random_state.standard_t, so each is reproducible with
+# plain numpy):
+#
+#   "dedicated" — stats.t.random_state = RandomState(seed) set once in
+#       __init__ (a1.py:124-126, a1c.py:134, c2.py:68-70, c2c.py:127):
+#       one persistent t stream that interleaved GLOBAL draws
+#       (timestamps, masks) never advance.
+#   "global"   — stats.t.rvs with no random_state (d1/d2/d1c/d2c):
+#       scipy's default random state IS numpy's global RandomState, so t
+#       draws interleave with every other draw on the global stream.
+#   "percall"  — stats.t.rvs(..., random_state=seed) passing the INT on
+#       every call (a2.py:141-144, a2c.py:126-129, b1c.py:106-109):
+#       scipy builds a FRESH RandomState(seed) per call, so every noise
+#       call REPLAYS the t stream from its origin — the first size
+#       values repeat forever. A genuine reference bug, replicated
+#       because the corpus embeds it.
+#
+# For families with no interleaved global draws (A1, B1) dedicated ≡
+# global from the same seed. Module-globals are safe here: kernels run
+# one config at a time per process (Spark Python worker or driver test).
 _T_RS: np.random.RandomState | None = None
+_T_MODE: str = "dedicated"
+_T_SEED: int = 42
 
 
-def _seed_all(seed: int) -> None:
-    """np.random.seed(seed) + reset the dedicated t stream (see _T_RS)."""
-    global _T_RS
+def _seed_all(seed: int, t_mode: str = "dedicated") -> None:
+    """np.random.seed(seed) + configure the Student-t stream mode."""
+    global _T_RS, _T_MODE, _T_SEED
     np.random.seed(seed)
-    _T_RS = np.random.RandomState(seed)
+    _T_MODE = t_mode
+    _T_SEED = seed
+    _T_RS = np.random.RandomState(seed) if t_mode == "dedicated" else None
 
 
 def _draw(rng_kind: str, n: int, scale: float, df: int) -> np.ndarray:
     if rng_kind == "gaussian":
         return np.random.normal(0, scale, size=n)
     if rng_kind == "student_t":
-        rs = _T_RS if _T_RS is not None else np.random
-        return rs.standard_t(df, size=n) * scale
+        if _T_MODE == "dedicated" and _T_RS is not None:
+            return _T_RS.standard_t(df, size=n) * scale
+        if _T_MODE == "percall":
+            return np.random.RandomState(_T_SEED).standard_t(df, size=n) * scale
+        return np.random.standard_t(df, size=n) * scale
     raise ValueError(f"unknown noise type: {rng_kind}")
 
 
@@ -298,7 +317,17 @@ def generate_irregular_config(
                 lag = 0 if lag_part == "t" else -int(lag_part.split("-")[1])
                 links[(var, lag, tgt)] = float(coeff)
 
-    _seed_all(seed)
+    # Corpus-vintage override (scripts/corpus_audit.py): every lag-3/4
+    # wide file (both noise types) predates the 0.3*X5[t-1] feedback term
+    # into X4 — the era other scripts mark with "Removed X5[t-1] term"
+    # comments; the current a2.py carries the term at ALL lags and so
+    # cannot regenerate its own shipped lag-3/4 data. Implied-residual
+    # solves show X4 = 0.25*X1[t-lag] + e4 exactly there, while the lag-2
+    # files carry the term.
+    if max_lag >= 3 and n_vars >= 6:
+        links.pop(("X5", -1, "X4"), None)
+
+    _seed_all(seed, "percall")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     if ts_mode == "linspace":
         ts = np.linspace(0.0, 100.0, n_points)
@@ -310,14 +339,28 @@ def generate_irregular_config(
     for i in range(max_lag):
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
 
-    targets = [t for (_, _, t) in links]
+    # Corpus-vintage evaluation (scripts/corpus_audit.py, verified
+    # bit-exact on every A2 file): NO exogenous pre-pass. The reverse-order
+    # pass zero-reads contemporaneous parents written later, so the Q2
+    # gate (`value != 0`) leaves chain-head targets (X6; X8 in 8-var)
+    # unassigned; a post-pass then gives any still-unassigned variable its
+    # BLOCK noise — except the `noise_extra` variable (X5), which draws an
+    # EXTRA size-1 value after the block. Under this family's per-call t
+    # idiom that extra value replays the FIRST t draw every timestep, so
+    # t-config X5 (and zero-read X6/X8) are constant columns — the corpus
+    # embeds exactly that degeneracy (e.g. multivariate_ts_*_t.csv: X5 ≡
+    # 0.060129, X6 ≡ 0.240120). 4-var configs have no unassigned vars, so
+    # this path reduces to the plain reverse evaluation there.
+    noise_extra_vars = {
+        int(eq.split("[")[0].strip()[1:]) - 1
+        for eq in eqs
+        if "=" in eq and "noise" in eq
+    }
     mean_diff = np.mean(np.diff(ts))  # loop-invariant (Q5 full-series look-ahead)
     for t in range(max_lag, n_points):
         lag_idx = _nearest_lag_indices(ts, t, mean_diff, max_lag)
         noise = _draw(noise_type, n_vars, noise_scale, df)
-        for i in range(n_vars):
-            if f"X{i + 1}" not in targets:
-                X[t, i] = noise[i]
+        written = [False] * n_vars
         for i in range(n_vars - 1, -1, -1):
             var_name = f"X{i + 1}"
             value = 0.0
@@ -331,6 +374,13 @@ def generate_irregular_config(
                     value += coef * X[lag_idx[abs(lag) - 1], si]
             if value != 0:
                 X[t, i] = value + noise[i]
+                written[i] = True
+        for i in range(n_vars):
+            if not written[i]:
+                if i in noise_extra_vars:
+                    X[t, i] = _draw(noise_type, 1, noise_scale, df)[0]
+                else:
+                    X[t, i] = noise[i]
 
     out = pd.DataFrame(X, columns=[f"X{i + 1}" for i in range(n_vars)])
     out["time"] = ts
@@ -389,9 +439,18 @@ def generate_confounded_config(
             _, right = eq.split("=")
             terms = [x.strip() for x in right.split("+")]
             # deferral: a same-t X dependency not yet computed sends this
-            # variable to the back of the queue (a1c.py:196-214)
+            # variable to the back of the queue (a1c.py:196-214).
+            # Corpus-vintage quirk (scripts/corpus_audit.py): in the 8-var
+            # corpus, X8 alone did NOT defer — its X7[t] read resolves to
+            # the zero-initialized current row (implied-operand solve is
+            # exactly 0 at every probed timestep, all lags), while X1/X3/
+            # X6 in the same files use computed values. The generating
+            # script's deferral evidently missed the last-added chain
+            # head; replicated as a targeted exception: X8 skips the
+            # ready-check and computes immediately (zero-read fallback).
+            skip_defer = n_vars == 8 and vi == 7
             ready = True
-            for term in terms:
+            for term in terms if not skip_defer else ():
                 if term.startswith("e") or "U[t]" in term:
                     continue
                 parts = term.split("*")
@@ -727,7 +786,7 @@ def generate_mcar_config(
     if not eqs:
         raise ValueError(f"no linear registry for ({n_vars}, {max_lag})")
 
-    _seed_all(seed)
+    _seed_all(seed, "global")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     for i in range(max_lag):
         X[i] = _draw(noise_type, n_vars, noise_scale, df)
@@ -856,7 +915,7 @@ def generate_block_missing_config(
     links = _parse_poly_links(equations("b2", n_vars, max_lag))
     if not links:
         raise ValueError(f"no poly registry for ({n_vars}, {max_lag})")
-    _seed_all(seed)
+    _seed_all(seed, "global")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     ts = _adaptive_timestamps_noreseed(n_points)
     for i in range(max_lag):

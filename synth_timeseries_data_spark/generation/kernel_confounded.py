@@ -122,7 +122,7 @@ def generate_confounded_poly_config(
     links = _parse_poly_links_u(equations("b1c", n_vars, max_lag))
     if not links:
         raise ValueError(f"no b1c registry for ({n_vars}, {max_lag})")
-    _seed_all(seed)
+    _seed_all(seed, "percall")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     for i in range(max_lag):
@@ -187,7 +187,7 @@ def generate_confounded_block_missing_config(
     links = _parse_poly_links_u(equations("d2c", n_vars, max_lag))
     if not links:
         raise ValueError(f"no d2c registry for ({n_vars}, {max_lag})")
-    _seed_all(seed)
+    _seed_all(seed, "global")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     ts = _adaptive_timestamps_noreseed(n_points)
@@ -507,7 +507,7 @@ def generate_confounded_mcar_config(
     eqs = equations("d1c", n_vars, max_lag)
     if not eqs:
         raise ValueError(f"no d1c registry for ({n_vars}, {max_lag})")
-    _seed_all(seed)
+    _seed_all(seed, "global")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     for i in range(max_lag):
@@ -635,7 +635,7 @@ def generate_confounded_irregular_config(
     from .kernel import irregular_timestamps
 
     links = _parse_a2c_links(equations("a2c", n_vars, max_lag))
-    _seed_all(seed)
+    _seed_all(seed, "percall")  # t-stream idiom of this family's script (see _seed_all)
     X = np.zeros((n_points, n_vars))
     U = np.zeros(n_points)
     ts = irregular_timestamps(n_points, seed=seed)  # re-seeds (Q4)

@@ -230,8 +230,9 @@ def _complete_grid():
     rows += _rows("b2", [(n, v, lag, None, r, None, None)
                          for n in (500, 1000) for v in (4, 6)
                          for lag in (2, 3) for r in (0.3, 0.5, 0.7)])
-    rows += _rows("c1", [(n, 4, lag, None, ts, ss, None)
-                         for n in (500, 1000) for lag in (2, 3, 4)
+    rows += _rows("c1", [(n, v, lag, None, ts, ss, None)
+                         for n in (500, 1000) for v in (4, 6, 8)
+                         for lag in (2, 3, 4)
                          for ts in (0.01, 0.02) for ss in (0.3, 0.5)])
     rows += _rows("c2", [(n, v, lag, noise, None, None, None)
                          for n in (500, 1000) for v in (4, 6)
