@@ -2,6 +2,7 @@
 
 from .jobs import (  # noqa: F401
     contamination_stream,
+    docdedup_stream,
     lagged_stream,
     mix_stream,
     packing_stream,

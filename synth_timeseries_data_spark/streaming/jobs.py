@@ -337,3 +337,18 @@ def mix_stream(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n").cast("bigint").alias("n_tokens"),
     )
+
+
+def docdedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup of the arriving corpus — the streaming twin
+    of the batch `dedup_firstseen` query: every arriving document is kept
+    iff its text fingerprint has not been seen before. State is one
+    fingerprint per DISTINCT document — that is the dedup index itself
+    (exact dedup at any scale carries exactly this state; at 100 TB it is
+    the RocksDB-backed keyed store, or a bloom-with-false-positive
+    variant when approximate suppression is acceptable). No watermark on
+    purpose: content dedup has no event-time horizon — a duplicate a
+    month later is still a duplicate. Kept-set equality vs the batch
+    query under ordered replay is asserted in tests/test_streaming.py."""
+    fp = docs.selectExpr("doc_id", "md5(text) AS fp", "source")
+    return fp.dropDuplicates(["fp"])

@@ -464,3 +464,39 @@ def test_mix_stream_matches_batch_domain_mix(spark, smoke_sf_dir):
         assert got == expected and len(expected) > 0
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_docdedup_stream_matches_batch_firstseen(spark, smoke_sf_dir):
+    """Streaming exact dedup twin: under ordered replay (file source
+    streams rows in doc_id order), the kept set must equal batch
+    dedup_firstseen's keep-lowest-doc_id-per-md5(text) exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.streaming import docdedup_stream, stream_documents
+
+    docs_dir = tempfile.mkdtemp(prefix="stream_dd_")
+    try:
+        shutil.copy(
+            os.path.join(smoke_sf_dir, "documents.parquet"),
+            os.path.join(docs_dir, "part-0.parquet"),
+        )
+        q = (
+            docdedup_stream(stream_documents(spark, docs_dir))
+            .writeStream.format("memory")
+            .queryName("dd_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dd_stream").collect()}
+        expected = {
+            r.doc_id
+            for r in all_queries()["dedup_firstseen"].build(spark, smoke_sf_dir).collect()
+        }
+        assert got == expected and len(expected) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
