@@ -90,7 +90,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # vec_topk_pq (80th) demotes nonlinear_proj: driver-green in r03, its
 # nonlinear-term arithmetic is bit-exactly pinned by the golden B/C-family
 # generation suite, and tests/test_oracle.py replays it every session.
+# bpe_pairs (81st) demotes rolling_stats: driver-green in r03; its frame-
+# window machinery is shared with rolling_median (in-window) and replayed
+# by tests/test_oracle.py every session.
 _DEMOTED = (
+    "rolling_stats",
     "trend_fit",
     "quality_score",
     "token_count",

@@ -622,3 +622,45 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain quantiles with source-proportional state, or swaps to a
     t-digest sketch when a single source outgrows a partition."""
     return _spark_docs(spark, sf_dir, _LENPCT_SPARK)
+
+
+# --------------------------------------------------------------------------
+# bpe_pairs: top adjacent-token pair counts (the first BPE merge iteration).
+# --------------------------------------------------------------------------
+
+
+def _bpe_pairs_sql(d) -> str:
+    # Adjacent-token pairs via a positional explode over each doc's word
+    # array — one corpus pass, map-side partial counts, one pair-keyed
+    # exchange of per-partition distinct pairs, TakeOrdered top-k. This is
+    # the inner statistic of BPE/WordPiece vocabulary induction: the
+    # highest-count pair is the next merge. All-integer output with a
+    # (count DESC, pair) tiebreak — engine-identical by construction.
+    ws = d["split"]("text")
+    return f"""
+    WITH w AS (SELECT {ws} AS ws FROM {d['pdocs']}),
+    pairs AS (
+      SELECT CONCAT({d['el']('ws', 'i')}, ' ', {d['el']('ws', 'i + 1')}) AS pair
+      FROM (SELECT ws, {d['expand']('1', d['len']('ws') + ' - 1')} AS i FROM w
+            WHERE {d['len']('ws')} >= 2) t
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """
+
+
+_BPE_SPARK, _BPE_DUCK = _dual(_bpe_pairs_sql)
+
+
+@register("bpe_pairs", _BPE_DUCK)
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token pairs by corpus count — the statistic that
+    drives BPE/WordPiece vocabulary induction (the argmax pair is the
+    next merge; iterating this query IS tokenizer training). One corpus
+    pass: positional explode → map-side partial counts → pair-keyed
+    exchange of per-partition-distinct pairs → TakeOrderedAndProject.
+    At 100 TB the shuffle is vocabulary²-bounded (distinct pairs), not
+    token-bounded, and the top-k never materializes a global sort."""
+    return _spark_docs(spark, sf_dir, _BPE_SPARK)
