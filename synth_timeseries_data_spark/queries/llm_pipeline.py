@@ -1274,7 +1274,11 @@ def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition the space into Voronoi cells); the query probes its 2 nearest
 # cells and exact cosine runs only inside the probed cells (~2/K of the
 # corpus). At 100 TB the assignment is one narrow aggregate and the probe is
-# a semi-join on cluster id — the classic IVF shape. Distances accumulate as
+# a semi-join on cluster id — the classic IVF shape. Distances accumulate as Fixed K=8 holds
+# through the measured tiers (sf10/200k vectors: 0.63 s steady probe);
+# past that, widen K with corpus size exactly like semdedup's _sd_k
+# (footer row count, no job) while the gate-scale oracle keeps K=8 — the
+# _nd_bits/_sd_k precedent.
 # FLOOR-micro bigints so assignments can never diverge from summation order.
 # --------------------------------------------------------------------------
 
