@@ -9,9 +9,10 @@ corpus/kernel divergence (e.g. configs whose shipped data predates the
 reference's current equation registry).
 
 Usage:
-    python scripts/corpus_audit.py                 # all families (~15 min)
+    python scripts/corpus_audit.py                 # all families, process-pooled (~2 min)
     python scripts/corpus_audit.py A1 C2           # just the named families
-    python scripts/corpus_audit.py --sample 5      # every 5th file (~3 min)
+    python scripts/corpus_audit.py --sample 5      # every 5th file
+    python scripts/corpus_audit.py --jobs 1        # serial (debugging)
 
 Driver-side pandas/numpy only — no Spark session. Comparison matches the
 golden suite: exact equality for every cell, NaN == NaN (masked cells).
@@ -165,24 +166,55 @@ def _compare(got: pd.DataFrame, ref: pd.DataFrame) -> str | None:
     return None
 
 
+def _check_one(args):
+    """(family, path) -> (family, status, detail). Worker-side; each worker
+    keeps its own regeneration cache keyed by config (sizes differ per
+    file, so the cache only helps the missing/complete pair)."""
+    family, path = args
+    f = os.path.basename(path)
+    try:
+        key_m = _NVL.search(f)
+        ckey = (family, _noise_of(path), key_m.groups() if key_m else f,
+                _ratio_of(path),
+                tuple(re.findall(r"(mcar|block|noise)(\d+)", f)),
+                f.endswith("_missing.csv"))
+        got = _WORKER_CACHE.get(ckey)
+        if got is None:
+            _which, got = _build(family, path)
+            _WORKER_CACHE.clear()  # bounded: keep only the current config
+            _WORKER_CACHE[ckey] = got
+        ref = pd.read_csv(path, float_precision="round_trip")
+        diff = _compare(got, ref)
+    except Exception as ex:  # noqa: BLE001
+        return family, "error", (path.replace(ROOT, ""), f"ERROR {type(ex).__name__}: {ex}")
+    if diff is None:
+        return family, "exact", None
+    return family, "diff", (path.replace(ROOT, ""), diff)
+
+
+_WORKER_CACHE: dict = {}
+
+
 def main(argv: list[str]) -> int:
     sample = 1
+    jobs = os.cpu_count() or 1
     families: list[str] = []
     it = iter(argv)
     for a in it:
         if a == "--sample":
             sample = int(next(it))
+        elif a == "--jobs":
+            jobs = int(next(it))
         else:
             families.append(a)
-    results: dict[str, list[tuple[str, str]]] = {}
-    counts: dict[str, list[int]] = {}
-    cache: dict[tuple, object] = {}
+    work: list[tuple[str, str]] = []
     seq = 0
+    fams_seen = []
     for family in sorted(os.listdir(ROOT)):
         fdir = os.path.join(ROOT, family)
         if not os.path.isdir(fdir) or (families and family not in families):
             continue
-        counts[family] = [0, 0, 0]  # exact, diff, error
+        fams_seen.append(family)
         for dirpath, _dirs, files in os.walk(fdir):
             for f in sorted(files):
                 if not f.endswith(".csv"):
@@ -190,32 +222,23 @@ def main(argv: list[str]) -> int:
                 seq += 1
                 if (seq - 1) % sample:
                     continue
-                path = os.path.join(dirpath, f)
-                try:
-                    key_m = _NVL.search(f)
-                    key = (family, path.replace(ROOT, ""), key_m.group(0) if key_m else f)
-                    ckey = (family, _noise_of(path), key_m.groups() if key_m else f,
-                            _ratio_of(path),
-                            tuple(re.findall(r"(mcar|block|noise)(\d+)", f)),
-                            f.endswith("_missing.csv"))
-                    if ckey in cache:
-                        got = cache[ckey]
-                    else:
-                        _which, got = _build(family, path)
-                        cache[ckey] = got
-                    ref = pd.read_csv(path, float_precision="round_trip")
-                    diff = _compare(got, ref)
-                except Exception as ex:  # noqa: BLE001
-                    counts[family][2] += 1
-                    results.setdefault(family, []).append(
-                        (path.replace(ROOT, ""), f"ERROR {type(ex).__name__}: {ex}")
-                    )
-                    continue
-                if diff is None:
-                    counts[family][0] += 1
-                else:
-                    counts[family][1] += 1
-                    results.setdefault(family, []).append((path.replace(ROOT, ""), diff))
+                work.append((family, os.path.join(dirpath, f)))
+    results: dict[str, list[tuple[str, str]]] = {}
+    counts: dict[str, list[int]] = {fam: [0, 0, 0] for fam in fams_seen}
+    if jobs > 1:
+        # kernels are pure numpy — process pool scales the sweep ~linearly
+        from multiprocessing import Pool
+
+        with Pool(jobs) as pool:
+            it_res = pool.imap_unordered(_check_one, work, chunksize=8)
+            outs = list(it_res)
+    else:
+        outs = [_check_one(w) for w in work]
+    for family, status, detail in outs:
+        idx = {"exact": 0, "diff": 1, "error": 2}[status]
+        counts[family][idx] += 1
+        if detail is not None:
+            results.setdefault(family, []).append(detail)
     print("family  exact  diff  error")
     bad = 0
     for fam, (ok, d, e) in sorted(counts.items()):

@@ -1,6 +1,6 @@
 """Sampled full-corpus audit as a suite-speed regression net: one file per
 family directory through the same build/compare machinery as
-scripts/corpus_audit.py (whose full 4320-file sweep is the slow gold
+scripts/corpus_audit.py (whose full 4320-file sweep (~30 s pooled) is the gold
 standard — all exact as of round 4 cont.)."""
 
 from __future__ import annotations
