@@ -151,6 +151,11 @@ def main() -> None:
         ).save()
         timings[name] = round(min(timings[name], time.perf_counter() - t3), 4)
 
+    # the oracle pass runs after ~minutes of Spark churn; without its own
+    # quiet-wait the DuckDB denominators absorb JVM GC / other-tenant
+    # bursts and the overall ratio swings 1.5-2.6× run-to-run on an
+    # otherwise identical Spark column
+    _wait_for_quiet_cpu()
     duck = _duckdb_times(queries, sf_dir)
     ratio = {
         name: round(timings[name] / duck[name], 2)
