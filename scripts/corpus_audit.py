@@ -70,8 +70,11 @@ def _ratio_of(path: str) -> float | None:
 
 
 def _build(family: str, path: str):
-    """Return (which, DataFrame) for a corpus file; which is 'single',
-    'missing' or 'complete'. Raises KeyError for unknown layouts."""
+    """Return (which, payload) for a corpus file; which is 'single',
+    'missing' or 'complete'. For the D families the payload is the full
+    (missing, complete) tuple — callers pick the side — so the worker cache
+    can serve both files of a pair from one kernel run. Raises KeyError for
+    unknown layouts."""
     m = _NVL.search(os.path.basename(path))
     if not m:
         raise KeyError("no n/vars/lag in name")
@@ -115,7 +118,7 @@ def _build(family: str, path: str):
 
     def _pair(fn, *args, **kw):
         missing, complete = fn(*args, **kw)
-        return missing if which == "missing" else complete
+        return (missing, complete)
 
     if family == "D1":
         p = int(re.search(r"mcar(\d+)", base).group(1)) / 100.0
@@ -169,20 +172,26 @@ def _compare(got: pd.DataFrame, ref: pd.DataFrame) -> str | None:
 def _check_one(args):
     """(family, path) -> (family, status, detail). Worker-side; each worker
     keeps its own regeneration cache keyed by config (sizes differ per
-    file, so the cache only helps the missing/complete pair)."""
+    file, so the cache only helps the missing/complete pair). The key is
+    deliberately which-independent: both files of a D-family pair map to the
+    same entry, whose payload is the full (missing, complete) tuple — the
+    side is picked at lookup, so the pair kernel runs once, not twice."""
     family, path = args
     f = os.path.basename(path)
     try:
         key_m = _NVL.search(f)
         ckey = (family, _noise_of(path), key_m.groups() if key_m else f,
                 _ratio_of(path),
-                tuple(re.findall(r"(mcar|block|noise)(\d+)", f)),
-                f.endswith("_missing.csv"))
-        got = _WORKER_CACHE.get(ckey)
-        if got is None:
-            _which, got = _build(family, path)
+                tuple(re.findall(r"(mcar|block|noise)(\d+)", f)))
+        payload = _WORKER_CACHE.get(ckey)
+        if payload is None:
+            _which, payload = _build(family, path)
             _WORKER_CACHE.clear()  # bounded: keep only the current config
-            _WORKER_CACHE[ckey] = got
+            _WORKER_CACHE[ckey] = payload
+        if isinstance(payload, tuple):
+            got = payload[0] if f.endswith("_missing.csv") else payload[1]
+        else:
+            got = payload
         ref = pd.read_csv(path, float_precision="round_trip")
         diff = _compare(got, ref)
     except Exception as ex:  # noqa: BLE001

@@ -528,9 +528,11 @@ def _char_entropy_sql(d) -> str:
     #
     # Char-split caveat: Spark's split(text, '') splits on Java code points
     # while DuckDB's str_split(text, '') is grapheme-aware — identical only
-    # for text without combining marks or astral-plane characters. The
-    # fixture corpus is ASCII; if it ever gains such text, normalize both
-    # sides to explicit code points before comparing.
+    # for text without combining marks or astral-plane characters. That
+    # precondition is ASSERTED on every gate fixture by
+    # tests/test_corpus_ext.py::test_char_entropy_fixture_is_codepoint_split_safe
+    # — if a future fixture trips it, normalize both sides to explicit code
+    # points before comparing.
     if d is _SPARK_D:
         chars_from = (
             "SELECT doc_id, ch FROM "
@@ -1274,12 +1276,12 @@ def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition the space into Voronoi cells); the query probes its 2 nearest
 # cells and exact cosine runs only inside the probed cells (~2/K of the
 # corpus). At 100 TB the assignment is one narrow aggregate and the probe is
-# a semi-join on cluster id — the classic IVF shape. Distances accumulate as Fixed K=8 holds
-# through the measured tiers (sf10/200k vectors: 0.63 s steady probe);
-# past that, widen K with corpus size exactly like semdedup's _sd_k
-# (footer row count, no job) while the gate-scale oracle keeps K=8 — the
-# _nd_bits/_sd_k precedent.
+# a semi-join on cluster id — the classic IVF shape. Distances accumulate as
 # FLOOR-micro bigints so assignments can never diverge from summation order.
+# Fixed K=8 holds through the measured tiers (sf10/200k vectors: 0.63 s
+# steady probe); past that, widen K with corpus size exactly like semdedup's
+# _sd_k (footer row count, no job) while the gate-scale oracle keeps K=8 —
+# the _nd_bits/_sd_k precedent.
 # --------------------------------------------------------------------------
 
 _IVF_K = 8

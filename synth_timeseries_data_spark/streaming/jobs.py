@@ -348,7 +348,20 @@ def docdedup_stream(docs: DataFrame) -> DataFrame:
     the RocksDB-backed keyed store, or a bloom-with-false-positive
     variant when approximate suppression is acceptable). No watermark on
     purpose: content dedup has no event-time horizon — a duplicate a
-    month later is still a duplicate. Kept-set equality vs the batch
+    month later is still a duplicate.
+
+    SURVIVOR NONDETERMINISM (by design): dropDuplicates keeps the FIRST
+    ARRIVAL per fingerprint, while the batch twin keeps min(doc_id). The
+    kept doc_id sets coincide only when duplicates arrive in doc_id order
+    (e.g. ordered single-partition replay, the test's setup); a
+    multi-file or multi-partition source may keep a different — equally
+    valid — representative per group. This is inherent to append-mode
+    streaming, not an implementation shortcut: once a representative is
+    emitted, a later lower-id duplicate cannot retract it, so min(doc_id)
+    parity is impossible without buffering every group forever (complete
+    mode over unbounded state). Downstream consumers must treat the
+    survivor as an arbitrary group representative; only the kept
+    FINGERPRINT set is deterministic. Kept-set equality vs the batch
     query under ordered replay is asserted in tests/test_streaming.py."""
     fp = docs.selectExpr("doc_id", "md5(text) AS fp", "source")
     return fp.dropDuplicates(["fp"])
