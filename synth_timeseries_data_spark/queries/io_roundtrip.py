@@ -3,8 +3,15 @@
 The reference persists every generated series as CSV and reads it back for
 analysis (a1.py:242-243); lossless round-tripping of doubles (shortest-repr
 formatting), NULLs (empty string), and BIGINT timestamps is the contract.
-The DuckDB oracle aggregates the ORIGINAL parquet — so any loss anywhere in
-the engine's CSV write/read path fails the value-hash check.
+
+The DuckDB oracles are LIKE-FOR-LIKE (VERDICT r04 item 6): each one COPYs
+the same relation to the same format, reads it back with the same explicit
+schema, and aggregates the readback — so both engines are measured on the
+identical write+read+aggregate work (the old parquet-only oracles produced
+structural 50-240× ratios that measured nothing). Correctness is unchanged:
+any loss anywhere in either engine's sink/source path fails the value-hash
+check, and a lossless round-trip equals the original-parquet aggregate by
+definition (asserted in tests/test_oracle.py via the shared gate).
 """
 
 from __future__ import annotations
@@ -18,21 +25,31 @@ from pyspark.sql import functions as F
 from ..sources import load
 from . import register
 
+# Multi-statement oracle: DuckDB's execute() runs ;-separated statements
+# sequentially and returns the last result — the COPY materializes the CSV,
+# the SELECT aggregates the readback. ts is written as the engine-canonical
+# epoch-ns BIGINT so both engines serialize the same 5 logical columns.
 _CSV_ORACLE = """
+    COPY (SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
+          FROM events)
+    TO '/tmp/duck_oracle_csv_rt.csv' (FORMAT CSV, HEADER, NULL '');
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
            MIN(event_id) AS min_event_id,
            MAX(event_id) AS max_event_id,
            COUNT(DISTINCT event_type) AS n_types
-    FROM events
+    FROM read_csv('/tmp/duck_oracle_csv_rt.csv', header=true, nullstr='',
+         columns={'event_id':'BIGINT','ts':'BIGINT','user_id':'BIGINT',
+                  'event_type':'VARCHAR','value':'DOUBLE'})
     """
 
 
 @register("csv_roundtrip", _CSV_ORACLE)
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the event table to CSV (header, empty-string nulls), read it
-    back with an explicit schema, and aggregate — matching the oracle's
-    aggregate over the original parquet proves the sink/source pair is
+    back with an explicit schema, and aggregate. The oracle performs the
+    SAME write+read+aggregate via COPY/read_csv, so the timing ratio is
+    like-for-like; value equality proves both sink/source pairs are
     lossless for doubles, strings, and BIGINTs."""
     out = os.path.join(
         tempfile.gettempdir(), f"csv_roundtrip_{os.path.basename(sf_dir)}"
@@ -64,13 +81,18 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSONL_ORACLE = """
+    COPY (SELECT doc_id, text, lang, source, n_chars FROM documents)
+    TO '/tmp/duck_oracle_jsonl_rt.json' (FORMAT JSON);
     SELECT COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc,
            COUNT(DISTINCT md5(text)) AS n_distinct_texts
-    FROM documents
+    FROM read_json('/tmp/duck_oracle_jsonl_rt.json',
+         format='newline_delimited',
+         columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+                  'source':'VARCHAR','n_chars':'BIGINT'})
     """
 
 
@@ -81,9 +103,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line; Spark's json source reads/writes it natively and in parallel).
     Write documents to JSONL, read back with an explicit schema (schema
     inference would cost a second pass at 100 TB), and aggregate including
-    a per-doc text hash — matching the oracle's aggregate over the
-    original parquet proves the sink/source pair is lossless for unicode
-    text, BIGINTs, and string categories."""
+    a per-doc text hash. The oracle performs the same write+read+aggregate
+    via COPY (FORMAT JSON)/read_json; value equality proves both
+    sink/source pairs are lossless for unicode text, BIGINTs, and string
+    categories."""
     out = os.path.join(
         tempfile.gettempdir(), f"jsonl_roundtrip_{os.path.basename(sf_dir)}"
     )
@@ -105,12 +128,16 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARTITIONED_ORACLE = """
+    COPY (SELECT * FROM documents)
+    TO '/tmp/duck_oracle_part_rt'
+    (FORMAT PARQUET, PARTITION_BY (lang), OVERWRITE);
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
-    FROM documents
+    FROM read_parquet('/tmp/duck_oracle_part_rt/*/*.parquet',
+                      hive_partitioning=1)
     WHERE lang IN ('en', 'de')
     GROUP BY lang
     """
@@ -124,8 +151,9 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes at the DIRECTORY level (PartitionFilters in the scan,
     asserted in tests/test_plans.py) — the other languages' files are
     never opened, which at scale is the difference between scanning 2/5 of
-    the corpus and all of it. Values must match the oracle's plain WHERE
-    over the original parquet."""
+    the corpus and all of it. The oracle runs the same
+    partitioned-write + hive-partitioned readback via COPY (PARTITION_BY)/
+    read_parquet(hive_partitioning=1), pruning the same two directories."""
     out = os.path.join(
         tempfile.gettempdir(), f"part_roundtrip_{os.path.basename(sf_dir)}"
     )
