@@ -34,12 +34,30 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    The registered build is wrapped with :func:`session.tune_for_input`:
+    before every build the session's shuffle DOP and AQE posture are sized
+    to the input footprint (cost-based DOP selection — fixture-small inputs
+    run a plain 8-task DAG; at data scale the configured cluster posture
+    with AQE stands). Memoized, so the wrapper costs two dict hits."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query id: {name}")
-        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import tune_for_input
+
+            tune_for_input(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        tuned.__wrapped__ = fn
+        REGISTRY[name] = Query(
+            name=name, build=tuned, oracle=oracle, doc=doc or fn.__doc__ or ""
+        )
         return fn
 
     return wrap

@@ -128,12 +128,23 @@ def _run_kernel(kernels, pdf: pd.DataFrame):
     )
 
 
+# Both group runners yield ONE concatenated frame per incoming batch (= per
+# task with the packed-bin layout), not one per config: each yield becomes
+# its own Arrow record batch on the wire, and ~8 tiny per-config batches
+# per task measured ~15% slower than a single ~60k-row batch (schema +
+# flush overhead per batch). Memory stays bounded by the bin's output —
+# tens of MB at this grid, by construction of the LPT bins.
+
+
 def _complete_group(kernels):
     def gen(batches):
         for pdf in batches:
+            out = []
             for i in range(len(pdf)):
                 cfg, wide = _run_kernel(kernels, pdf.iloc[[i]])
-                yield _melt_wide(cfg["family"], cfg["config_id"], wide)
+                out.append(_melt_wide(cfg["family"], cfg["config_id"], wide))
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     return gen
 
@@ -141,13 +152,63 @@ def _complete_group(kernels):
 def _pair_group(kernels):
     def gen(batches):
         for pdf in batches:
+            out = []
             for i in range(len(pdf)):
                 cfg, (missing, complete) = _run_kernel(kernels, pdf.iloc[[i]])
-                yield _melt_pair(
-                    cfg["family"], cfg["config_id"], missing, complete
+                out.append(
+                    _melt_pair(cfg["family"], cfg["config_id"], missing, complete)
                 )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     return gen
+
+
+# Measured kernel cost weights: µs of kernel wall time per n·n_vars cell,
+# keyed by (family, noise), calibrated by timing every grid config
+# driver-side (mean of t/(n·v) per class; see the r05 calibration run).
+# The naïve cost ≈ n·v model was WRONG — measured correlation with actual
+# kernel time was 0.07, because cost is dominated by which SAMPLER the
+# family uses: scipy student-t draws inside an irregular-timestamp or
+# poly-confounded loop (a2/a2c/b1c + student_t) run 35-48 µs/cell while
+# plain vectorized gaussian families run 2-9 µs/cell. An LPT pack on the
+# wrong model is worse than round-robin — it deliberately stacks the
+# "cheap-looking" expensive configs. The 5 ms additive term is the fixed
+# per-config overhead (kernel dispatch + melt + pandas assembly), which
+# keeps bins from hoarding many tiny configs.
+_COST_W = {
+    ("a1", "gaussian"): 1.7, ("a1", "student_t"): 1.8,
+    ("a2", "gaussian"): 4.4, ("a2", "student_t"): 47.6,
+    ("b1", "gaussian"): 3.5, ("b1", "student_t"): 2.8,
+    ("b2", None): 7.8, ("c1", None): 6.8,
+    ("c2", "gaussian"): 8.3, ("c2", "student_t"): 8.4,
+    ("a1c", "gaussian"): 8.7, ("a1c", "student_t"): 9.2,
+    ("a2c", "gaussian"): 4.0, ("a2c", "student_t"): 36.3,
+    ("b1c", "gaussian"): 3.2, ("b1c", "student_t"): 35.9,
+    ("b2c", None): 7.0, ("c1c", None): 7.9,
+    ("c2c", "gaussian"): 9.6, ("c2c", "student_t"): 10.0,
+    ("d1", "gaussian"): 5.4, ("d1", "student_t"): 5.7,
+    ("d2", "gaussian"): 5.2, ("d2", "student_t"): 5.5,
+    ("d3", None): 11.7,
+    ("d1c", "gaussian"): 9.9, ("d1c", "student_t"): 12.7,
+    ("d2c", "gaussian"): 13.0, ("d2c", "student_t"): 15.3,
+    ("d3c", None): 21.2,
+}
+
+
+def _config_cost(r) -> float:
+    """Estimated task-side µs for one grid row (family, cid, n, v, lag, …).
+
+    Two terms beyond the kernel weight: the MELT+ARROW term (~2.5 µs per
+    output cell; doubled for the D pair families, which emit missing AND
+    complete rows) — task profiling showed a bin of cheap-per-cell a1
+    configs accumulating 359k output rows and stragglering at 1.1 s on
+    serialization alone — and the ~5 ms fixed per-config overhead (kernel
+    dispatch + pandas assembly), which keeps bins from hoarding many tiny
+    configs."""
+    w = _COST_W.get((r[0], r[5]), 8.0)
+    melt = 5.0 if r[0].startswith("d") else 2.5
+    return (w + melt) * r[2] * r[3] + 5000.0
 
 
 def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
@@ -168,32 +229,64 @@ def _sweep(spark: SparkSession, rows, group_fn, out_schema) -> DataFrame:
             return f"CAST({v!r} AS DOUBLE)"
         return repr(v)
 
-    values = ", ".join(
-        f"({lit(f)}, {lit(cid)}, {n}, {v}, {lag}, "
-        f"{lit(noise) if noise is not None else 'CAST(NULL AS STRING)'}, "
-        f"{lit(p1)}, {lit(p2)}, {lit(p3)})"
-        for f, cid, n, v, lag, noise, p1, p2, p3 in rows
-    )
-    grid = spark.sql(
-        f"SELECT * FROM (VALUES {values}) AS grid"
-        "(family, config_id, n, n_vars, max_lag, noise, p1, p2, p3)"
-    )
-    # Round-robin repartition to min(n_configs, defaultParallelism) +
-    # mapInPandas. History: the groupBy(key) shape let AQE coalesce the
-    # tiny grid shuffle to ONE partition, serializing every kernel
-    # (6.0 s); one-task-per-config (repartition(N)) fixed that (1.7 s) but
-    # paid 196 tasks' worth of Python-runner/Arrow setup for 5-45 ms
-    # kernels — batching ~6 configs per task measured 0.72 s vs 1.88 s.
-    # A user-specified repartition count is AQE-exempt, and round-robin
-    # placement is exactly even by count; with sub-second kernels the
-    # per-task overhead dominates any config-size skew inside a batch.
-    # Tradeoff at cluster scale: batching gives up per-config straggler
-    # isolation — for HEAVY kernels (minutes+), raise the partition count
-    # back toward n_configs so a slow config can't pin its batchmates to
-    # one core; for this grid's millisecond kernels, one wave of
-    # core-count tasks is strictly better.
+    # Cost-aware LPT bin-packing into one wave of core-count tasks.
+    # History: the groupBy(key) shape let AQE coalesce the tiny grid
+    # shuffle to ONE partition, serializing every kernel (6.0 s);
+    # one-task-per-config (repartition(N)) fixed that (1.7 s) but paid 196
+    # tasks' worth of Python-runner/Arrow setup for 5-45 ms kernels —
+    # batching ~6 configs per task measured 0.72 s vs 1.88 s. Round-robin
+    # batching balanced by COUNT only, and Spark's sortBeforeRepartition
+    # byte-sort scrambles any driver-side ordering — several n=5000
+    # configs could share one residue class and straggle their task
+    # (VERDICT r04 item 4). Now the driver bin-packs configs into exactly
+    # `width` bins by greedy LPT on a MEASURED cost model, each bin
+    # becomes ONE packed VALUES row (array of structs), repartition(width)
+    # gives every bin its own task (round-robin assigns distinct
+    # partitions to distinct rows regardless of order), and inline()
+    # restores per-config rows WITHOUT an exchange — placement is exact
+    # and deterministic, no sampling, no hash collisions. Tradeoff at
+    # cluster scale: batching gives up per-config straggler isolation —
+    # for HEAVY kernels (minutes+), raise width toward n_configs so a
+    # slow config can't pin its batchmates to one core; for this grid's
+    # millisecond kernels, one balanced wave is strictly better.
+    import heapq
+
     width = min(len(rows), spark.sparkContext.defaultParallelism)
-    return grid.repartition(width).mapInPandas(group_fn, out_schema)
+    bins: list[list] = [[] for _ in range(width)]
+    heap = [(0.0, b) for b in range(width)]
+    for r in sorted(rows, key=lambda r: -_config_cost(r)):
+        load, b = heapq.heappop(heap)
+        bins[b].append(r)
+        heapq.heappush(heap, (load + _config_cost(r), b))
+
+    def struct_lit(r):
+        f, cid, n, v, lag, noise, p1, p2, p3 = r
+        return (
+            f"NAMED_STRUCT('family', {lit(f)}, 'config_id', {lit(cid)}, "
+            f"'n', {n}, 'n_vars', {v}, 'max_lag', {lag}, "
+            f"'noise', {lit(noise) if noise is not None else 'CAST(NULL AS STRING)'}, "
+            f"'p1', {lit(p1)}, 'p2', {lit(p2)}, 'p3', {lit(p3)})"
+        )
+
+    values = ", ".join(
+        "(ARRAY(" + ", ".join(struct_lit(r) for r in b) + "))"
+        for b in bins
+        if b
+    )
+    packed = spark.sql(f"SELECT * FROM (VALUES {values}) AS packed(cfgs)")
+    # NO repartition: LocalTableScan parallelizes its rows into
+    # min(n_rows, defaultParallelism) slices — with one packed row per bin
+    # and width ≤ defaultParallelism that is exactly one bin per task
+    # already. An explicit repartition(width) is not only redundant here,
+    # it BREAKS the placement: round-robin assignment starts at a random
+    # offset per input slice, so the 32 single-row slices birthday-collide
+    # onto shared reduce tasks (profiling caught one task holding 3 bins /
+    # 257k rows while other tasks idled), and a coalesce(1) guard gets
+    # collapsed into the repartition by CollapseRepartition. inline() is a
+    # map-side Generate: per-config rows appear in place, no exchange
+    # anywhere in the sweep.
+    grid = packed.selectExpr("inline(cfgs)")
+    return grid.mapInPandas(group_fn, out_schema)
 
 
 def _rows(fam, combos):

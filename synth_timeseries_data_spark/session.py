@@ -57,3 +57,77 @@ def get_session(app_name: str = "synth_timeseries_data_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Input-stat session tuning (cost-based DOP selection).
+# ---------------------------------------------------------------------------
+
+# Below this input footprint the whole workload fits one executor wave, and
+# AQE's per-exchange stage materialization (~0.15-0.2 s/wave measured,
+# FLOOR.md) plus 32-way task scheduling dominate runtime; a plain 8-task DAG
+# with no runtime re-planning is strictly better. Above it, AQE's skew-join
+# splitting and runtime coalescing ARE the scale story, so the session's
+# configured posture (AQE on) stands untouched. 64 MB keeps the gate/bench
+# fixtures (0.5-17.5 MB) in the small regime and the sf1/sf10 scale-ladder
+# tiers (171 MB/1.7 GB) in cluster posture. Measured at sf0.1: the 2-4-wave
+# floor-band queries drop 15-30% (corpus_filter 0.72->0.53 s, decontam
+# 0.85->0.60 s, asof_lag 1.12->0.65 s) with no data-proportional regression.
+_SMALL_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_INPUT", str(64 * 1024 * 1024))
+)
+_SMALL_SHUFFLE = "8"
+
+_dir_bytes: dict[str, int] = {}
+_applied: dict[int, bool] = {}  # session id -> small posture currently set?
+_session_posture: dict[int, tuple[str, str]] = {}
+
+
+def _input_bytes(sf_dir: str) -> int:
+    b = _dir_bytes.get(sf_dir)
+    if b is None:
+        try:
+            b = sum(
+                e.stat().st_size
+                for e in os.scandir(sf_dir)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+        except OSError:
+            b = _SMALL_INPUT_BYTES  # unknown input: keep cluster posture
+        _dir_bytes[sf_dir] = b
+    return b
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
+    """Size shuffle DOP + AQE to the input footprint (driver-side stat).
+
+    Called by the query registry before each build; the dir footprint is
+    memoized per sf_dir and conf writes happen only on posture CHANGE, so
+    repeat builds cost two dict hits. An explicit SPARK_GRAFT_AQE /
+    SPARK_GRAFT_SHUFFLE wins over the heuristic for its own knob, and
+    SPARK_GRAFT_AUTOTUNE=off disables it entirely. Both branches set their
+    knobs explicitly (restoring the session's original posture in the
+    large branch) so one session can serve mixed input scales — e.g. the
+    sf0.001 gate then the sf10 ladder."""
+    if os.environ.get("SPARK_GRAFT_AUTOTUNE", "on") == "off":
+        return
+    sid = id(spark)
+    small = _input_bytes(sf_dir) < _SMALL_INPUT_BYTES
+    if _applied.get(sid) == small:
+        return
+    if sid not in _session_posture:
+        _session_posture[sid] = (
+            spark.conf.get("spark.sql.adaptive.enabled", "true"),
+            spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        )
+    orig_aqe, orig_shuffle = _session_posture[sid]
+    if os.environ.get("SPARK_GRAFT_AQE") is None:
+        spark.conf.set(
+            "spark.sql.adaptive.enabled", "false" if small else orig_aqe
+        )
+    if os.environ.get("SPARK_GRAFT_SHUFFLE") is None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _SMALL_SHUFFLE if small else orig_shuffle,
+        )
+    _applied[sid] = small
