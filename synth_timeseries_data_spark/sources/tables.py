@@ -9,6 +9,7 @@ get predicate pushdown + column pruning from Catalyst for free; callers should
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,28 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+# Resolved-relation cache (the engine's catalog): `spark.read.parquet` costs
+# ~50 ms of driver work per call (file listing, footer/schema read, py4j
+# round-trips) — pure metadata, re-done identically on every query over the
+# same immutable fixture. A real engine resolves a table once per catalog
+# entry; DuckDB's oracle likewise creates its views once per connection. The
+# cache key includes the file's (mtime, size) so a rewritten dataset is
+# re-resolved, and the stat() costs microseconds. DataFrames are immutable
+# logical plans, so sharing one across queries is safe by construction.
+# Keyed WEAKLY on the session object (not id(), which the allocator reuses
+# after gc) so entries die with their session.
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _fingerprint(path: str) -> tuple[float, int]:
+    try:
+        st = os.stat(path)
+        return st.st_mtime, st.st_size
+    except OSError:
+        return 0.0, -1
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,8 +72,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timezone-free arithmetic for NTZ so the result matches DuckDB's
       naive-as-UTC ``epoch_us`` regardless of the session timezone.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name) + _fingerprint(path)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.TimestampNTZType):
@@ -64,6 +93,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000).cast("bigint"))
+    per_session[key] = df
     return df
 
 
