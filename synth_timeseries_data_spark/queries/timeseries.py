@@ -185,79 +185,112 @@ def _asof_sql(tus: str) -> str:
 
 _ASOF_DUCK = _asof_sql("epoch_us(ts)")
 
-# Spark plan: bracket-based exact argmin (see module docstring). For each
-# probe (event, k) the answer is either the last point at-or-below target_t
-# (ties in ts → min rn, matching np.argmin's first-index rule) or the first
-# past point above it (= below group's max rn + 1 in scan order, or rn 1 when
-# nothing lies below). Both candidates are fetched by an equi-join on
-# (user_id, rn) and the winner is min-by (delta, rn).
+# Spark plan: bracket-based exact argmin, JOIN-FREE (see module docstring).
+# For each probe (event, k) the answer is either the last point at-or-below
+# target_t (ties in ts → min rn, matching np.argmin's first-index rule) or
+# the first past point above it. Both candidate PAYLOADS (tus, rn, value,
+# event_id) are carried through the merged points+probes relation by two
+# running-window passes — forward for the below bracket, reverse for the
+# above bracket — so no candidate fetch join and no final re-aggregation
+# exist at all. Because rn order equals tus order, equal-tus tie runs are
+# contiguous, and the run-START payload (the np.argmin winner within an
+# equal-delta run) propagates inside the SAME sorted pass via
+# LAST(... IGNORE NULLS) over a run-boundary flag — no (user, tus) re-sort.
+# mean_gap telescopes to whole-partition window aggregates, eliminating the
+# stats join. Physical plan: two exchanges on user_id (event spine, merged
+# spine), zero joins, zero aggregations — O(n) rows at every stage, and
+# each stage is a hash-partitioned window over the series key, the shape
+# that scales linearly per decade on the weak-scaling ladder.
 _ASOF_SPARK = f"""
     WITH ev AS (
-      SELECT user_id, event_id, value, (ts div 1000) AS tus,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      SELECT user_id, event_id, value, ts, (ts div 1000) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             (CAST(MAX(ts div 1000) OVER (PARTITION BY user_id)
+                   - MIN(ts div 1000) OVER (PARTITION BY user_id) AS DOUBLE))
+               / (COUNT(*) OVER (PARTITION BY user_id) - 1) AS mean_gap
       FROM events
     ),
-    grp AS (
-      SELECT user_id, tus, rn,
-             MIN(rn) OVER (PARTITION BY user_id, tus) AS grp_first_rn,
-             MAX(rn) OVER (PARTITION BY user_id, tus) AS grp_last_rn
+    flagged AS (
+      SELECT *,
+             COALESCE(tus <> LAG(tus) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                      true) AS is_start
       FROM ev
     ),
-    stats AS (
-      SELECT user_id,
-             (MAX(tus) - MIN(tus)) / CAST(COUNT(*) - 1 AS DOUBLE) AS mean_gap
-      FROM ev GROUP BY user_id HAVING COUNT(*) > 1
-    ),
-    probes AS (
-      SELECT e.user_id, e.event_id, e.rn, l.k,
-             e.tus - l.k * s.mean_gap AS target_t
-      FROM ev e
-      JOIN stats s ON s.user_id = e.user_id
-      CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) l
-      WHERE e.rn >= 2
+    evg AS (
+      -- gpay = payload of the FIRST row of this row's equal-tus run
+      SELECT user_id, tus, rn, mean_gap, event_id,
+             LAST(CASE WHEN is_start THEN
+                    STRUCT(CAST(tus AS DOUBLE) AS ctus, rn AS crn,
+                           value AS cval, event_id AS cid) END, true)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gpay
+      FROM flagged
     ),
     merged AS (
-      SELECT user_id, CAST(tus AS DOUBLE) AS key, 0 AS is_probe, rn,
-             grp_first_rn, grp_last_rn,
-             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS INT) AS k,
-             CAST(NULL AS INT) AS probe_rn, CAST(NULL AS DOUBLE) AS target_t
-      FROM grp
-      UNION ALL
-      SELECT user_id, target_t AS key, 1, NULL, NULL, NULL,
-             event_id, k, rn, target_t
-      FROM probes
+      -- ONE window pass feeds both row kinds: each event row explodes into
+      -- its point row plus its k ∈ {1,2} probe rows (a union of a second
+      -- ev-window subtree would recompute the rank/gap windows over the
+      -- whole fact table a second time — measured 2× the stage cost at the
+      -- sf10 ladder tier)
+      SELECT user_id, r.key, r.is_probe, r.rn, r.gpay,
+             r.event_id, r.k, r.probe_rn, r.target_t
+      FROM evg
+      LATERAL VIEW EXPLODE(CASE WHEN rn >= 2 THEN ARRAY(
+        STRUCT(CAST(tus AS DOUBLE) AS key, 0 AS is_probe, rn AS rn,
+               gpay AS gpay, CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS INT) AS k, CAST(NULL AS INT) AS probe_rn,
+               CAST(NULL AS DOUBLE) AS target_t),
+        STRUCT(tus - mean_gap AS key, 1 AS is_probe, CAST(NULL AS INT) AS rn,
+               NULL AS gpay, event_id AS event_id, 1 AS k, rn AS probe_rn,
+               tus - mean_gap AS target_t),
+        STRUCT(tus - 2 * mean_gap AS key, 1 AS is_probe,
+               CAST(NULL AS INT) AS rn, NULL AS gpay, event_id AS event_id,
+               2 AS k, rn AS probe_rn, tus - 2 * mean_gap AS target_t)
+      ) ELSE ARRAY(
+        STRUCT(CAST(tus AS DOUBLE) AS key, 0 AS is_probe, rn AS rn,
+               gpay AS gpay, CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS INT) AS k, CAST(NULL AS INT) AS probe_rn,
+               CAST(NULL AS DOUBLE) AS target_t)
+      ) END) x AS r
     ),
     bracketed AS (
-      SELECT user_id, event_id, k, probe_rn, target_t,
-             LAST(CASE WHEN is_probe = 0 THEN grp_first_rn END, true)
+      SELECT user_id, event_id, k, probe_rn, target_t, is_probe,
+             -- below: last event run at key ≤ target (events sort before
+             -- probes at an equal key, so at-or-below includes exact hits);
+             -- the carried gpay is that run's FIRST row — the argmin
+             -- tie-break winner
+             LAST(CASE WHEN is_probe = 0 THEN gpay END, true)
                OVER (PARTITION BY user_id ORDER BY key, is_probe, rn
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_first,
-             LAST(CASE WHEN is_probe = 0 THEN grp_last_rn END, true)
-               OVER (PARTITION BY user_id ORDER BY key, is_probe, rn
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_last,
-             is_probe
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below,
+             -- above: first event run at key > target, found by the reverse
+             -- scan (probes sort before events at an equal key here, so
+             -- exact hits are excluded); scanning rn DESC ends each run on
+             -- its FIRST row, whose gpay is itself — so the same carried
+             -- gpay is again the run's argmin tie-break winner
+             LAST(CASE WHEN is_probe = 0 THEN gpay END, true)
+               OVER (PARTITION BY user_id ORDER BY key DESC, is_probe DESC, rn DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS above
       FROM merged
     ),
-    cands AS (
-      SELECT user_id, event_id, k, probe_rn, target_t, cand_rn
-      FROM bracketed
-      LATERAL VIEW EXPLODE(ARRAY(below_first,
-                                 COALESCE(below_last + 1, 1))) c AS cand_rn
-      WHERE is_probe = 1 AND cand_rn IS NOT NULL AND cand_rn <= probe_rn - 1
-    ),
-    joined AS (
-      SELECT c.user_id, c.event_id, c.k,
-             STRUCT(ABS(g.tus - c.target_t) AS delta, c.cand_rn AS rn,
-                    g.value AS lag_value, g.event_id AS lag_event_id) AS s
-      FROM cands c
-      JOIN ev g ON g.user_id = c.user_id AND g.rn = c.cand_rn
+    scored AS (
+      SELECT user_id, event_id, k,
+             CASE WHEN below.crn <= probe_rn - 1
+                  THEN STRUCT(ABS(below.ctus - target_t) AS delta,
+                              below.crn AS rn, below.cval AS lag_value,
+                              below.cid AS lag_event_id) END AS b,
+             CASE WHEN above.crn <= probe_rn - 1
+                  THEN STRUCT(ABS(above.ctus - target_t) AS delta,
+                              above.crn AS rn, above.cval AS lag_value,
+                              above.cid AS lag_event_id) END AS a
+      FROM bracketed WHERE is_probe = 1
     )
     SELECT user_id, event_id, k,
-           MIN(s).lag_value AS lag_value,
-           MIN(s).lag_event_id AS lag_event_id,
-           MIN(s).delta / 1000000.0 AS delta_sec
-    FROM joined
-    GROUP BY user_id, event_id, k
+           LEAST(b, a).lag_value AS lag_value,
+           LEAST(b, a).lag_event_id AS lag_event_id,
+           LEAST(b, a).delta / 1000000.0 AS delta_sec
+    FROM scored
+    WHERE b IS NOT NULL OR a IS NOT NULL
     """
 
 

@@ -61,21 +61,16 @@ def test_window_queries_one_shuffle(spark, oracle_sf_dir, name):
 
 
 def test_asof_no_candidate_blowup(spark, oracle_sf_dir):
-    """The bracket-based as-of must not contain the banded range self-join
-    (cartesian-within-band candidate blowup): every join in the plan is a
-    hash or sort-merge EQUI join keyed on (user_id, rn) — no
-    BroadcastNestedLoopJoin, and no band predicate pushed into a join
-    condition."""
+    """The bracket-based as-of is JOIN-FREE: candidate payloads are carried
+    by running windows over the merged points+probes relation, so the plan
+    must contain no join operator of any kind (the old candidate-fetch
+    equi-join and stats join are gone) and no candidate blowup is even
+    expressible. Exchanges are bounded: the event spine and the merged
+    spine, both hash-partitioned on the series key."""
     plan = _plan(spark, "asof_lag", oracle_sf_dir)
-    # the only nested-loop join is the 2-row lag-constant cross join
-    # (broadcast both ways); a data-sized nested loop would be the band scan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
-    assert "CartesianProduct" not in plan
-    # the old plan's band filter appeared as a join range condition
-    assert "rn#" in plan  # still rank-based
-    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
-        "BroadcastHashJoin"
-    ) >= 2  # probes⨝stats and cands⨝ev are both equi joins
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "rn#" in plan  # still rank-based bracket discovery
+    assert plan.count("Exchange") <= 2
 
 
 def test_edge_tensor_broadcasts_edges(spark, oracle_sf_dir):
