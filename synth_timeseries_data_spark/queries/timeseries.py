@@ -205,9 +205,15 @@ _ASOF_SPARK = f"""
     WITH ev AS (
       SELECT user_id, event_id, value, ts, (ts div 1000) AS tus,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-             (CAST(MAX(ts div 1000) OVER (PARTITION BY user_id)
-                   - MIN(ts div 1000) OVER (PARTITION BY user_id) AS DOUBLE))
-               / (COUNT(*) OVER (PARTITION BY user_id) - 1) AS mean_gap
+             -- Guard: a singleton series has COUNT(*)-1 = 0; under Spark 4's
+             -- default ANSI mode a bare division would throw DIVIDE_BY_ZERO.
+             -- Singleton rows take the rn >= 2 ELSE branch below (rn = 1), so
+             -- a NULL mean_gap is never consumed.
+             CASE WHEN COUNT(*) OVER (PARTITION BY user_id) > 1 THEN
+               (CAST(MAX(ts div 1000) OVER (PARTITION BY user_id)
+                     - MIN(ts div 1000) OVER (PARTITION BY user_id) AS DOUBLE))
+                 / (COUNT(*) OVER (PARTITION BY user_id) - 1)
+             END AS mean_gap
       FROM events
     ),
     flagged AS (

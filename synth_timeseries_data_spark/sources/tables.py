@@ -46,11 +46,25 @@ _LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _fingerprint(path: str) -> tuple[float, int]:
+    """(mtime, size) cache key component. For a directory dataset (a
+    Spark-written parquet dir) rewriting part files in place may leave the
+    directory's own mtime/size unchanged, so fold in the newest direct
+    entry's mtime and the entry count as well."""
     try:
         st = os.stat(path)
-        return st.st_mtime, st.st_size
     except OSError:
         return 0.0, -1
+    mtime, size = st.st_mtime, st.st_size
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                entries = [e.stat().st_mtime for e in it]
+            if entries:
+                mtime = max(mtime, *entries)
+                size += len(entries)
+        except OSError:
+            pass
+    return mtime, size
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,12 +87,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       naive-as-UTC ``epoch_us`` regardless of the session timezone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Set the conf unconditionally (before the cache check): callers may rely
+    # on load() (re)setting it as a session side effect, and cache hits must
+    # not skip it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     per_session = _LOAD_CACHE.setdefault(spark, {})
     key = (sf_dir, name) + _fingerprint(path)
     cached = per_session.get(key)
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType

@@ -16,9 +16,34 @@ from __future__ import annotations
 
 import duckdb
 
-from synth_timeseries_data_spark.queries.timeseries import _asof_sql
+from synth_timeseries_data_spark.queries.timeseries import _ASOF_SPARK, _asof_sql
 
 _BAND_PRED = "p.rn >= c.rn - (SELECT b FROM band) AND "
+
+
+def _adversarial_rows() -> list[tuple[int, int, int, float]]:
+    """(event_id, tus, user_id, value): regular spine → dense burst →
+    40-row tie-run → post-burst probes, plus a SINGLETON user (99) whose
+    series must be dropped identically by both engines (the Spark plan's
+    ANSI-safe NULL mean_gap vs the oracle's HAVING COUNT(*) > 1)."""
+    rows = []
+    eid = 0
+    for i in range(50):
+        rows.append((eid, i * 1_000_000, 7, 0.1 * i))
+        eid += 1
+    t0 = 50 * 1_000_000
+    for i in range(260):
+        rows.append((eid, t0 + i * 7_700, 7, 1.0 + 0.01 * i))
+        eid += 1
+    tie_t = t0 + 2_000_000
+    for i in range(40):
+        rows.append((eid, tie_t, 7, 2.0 + 0.01 * i))
+        eid += 1
+    for i in range(10):
+        rows.append((eid, tie_t + (i + 1) * 1_000_000, 7, 3.0 + 0.1 * i))
+        eid += 1
+    rows.append((eid, 123_456, 99, 42.0))  # singleton series
+    return rows
 
 
 def _cmp(con) -> None:
@@ -45,37 +70,66 @@ def test_banded_asof_equals_unbounded(duck):
     _cmp(duck)
 
 
+def _adversarial_duck():
+    # Register via pandas, not SQL literals: DuckDB parses float VALUES
+    # literals as DECIMAL and its decimal→double conversion is off by one
+    # ulp for values like 0.1*17 — the frame transfer is bit-exact.
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        _adversarial_rows(), columns=["event_id", "tus", "uid", "val"]
+    )
+    con.register("events_raw", df)
+    con.execute(
+        "CREATE VIEW events AS "
+        "SELECT event_id, make_timestamp(tus) AS ts, uid AS user_id, val AS value "
+        "FROM events_raw"
+    )
+    return con
+
+
 def test_banded_asof_equals_unbounded_adversarial_burst():
     """300 rows packed inside ~2 mean gaps (with 40 exact-tie timestamps),
     after a long regular run — the nearest-abs winner for post-burst probes
     sits hundreds of rn behind, so a fixed 100-row band would answer
     wrongly; the derived band must stretch automatically."""
-    rows = []
-    eid = 0
-    # regular spine: 50 events, 1s apart
-    for i in range(50):
-        rows.append((eid, i * 1_000_000, 0.1 * i))
-        eid += 1
-    t0 = 50 * 1_000_000
-    # burst: 260 events within 2s, then a 40-row tie-run at one timestamp
-    for i in range(260):
-        rows.append((eid, t0 + i * 7_700, 1.0 + 0.01 * i))
-        eid += 1
-    tie_t = t0 + 2_000_000
-    for i in range(40):
-        rows.append((eid, tie_t, 2.0 + 0.01 * i))
-        eid += 1
-    # post-burst probes: their k·mean_gap targets land inside/before the burst
-    for i in range(10):
-        rows.append((eid, tie_t + (i + 1) * 1_000_000, 3.0 + 0.1 * i))
-        eid += 1
-
-    con = duckdb.connect()
-    values = ", ".join(f"({e}, {t}, {v})" for e, t, v in rows)
-    con.execute(
-        "CREATE VIEW events AS "
-        f"SELECT event_id, make_timestamp(tus) AS ts, 7 AS user_id, val AS value "
-        f"FROM (VALUES {values}) t(event_id, tus, val)"
-    )
+    con = _adversarial_duck()
     _cmp(con)
     con.close()
+
+
+def test_spark_asof_matches_oracle_on_adversarial_fixture(spark):
+    """The rewritten join-free Spark bracket plan (is_start flag, gpay
+    carry, reverse-scan run-start selection) vs the DuckDB banded oracle on
+    the SAME burst/tie-run/singleton fixture — exact row and value
+    equality. Also proves the singleton series neither crashes (ANSI
+    DIVIDE_BY_ZERO, ADVICE r5) nor emits rows in either engine."""
+    rows = _adversarial_rows()
+    sdf = spark.createDataFrame(
+        [(e, t * 1000, u, v) for e, t, u, v in rows],
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE",
+    )
+    sdf.createOrReplaceTempView("events")
+    try:
+        got = (
+            spark.sql(_ASOF_SPARK)
+            .toPandas()
+            .sort_values(["user_id", "event_id", "k"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView("events")
+    con = _adversarial_duck()
+    want = (
+        con.execute(_asof_sql("epoch_us(ts)"))
+        .df()
+        .sort_values(["user_id", "event_id", "k"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) > 0
+    assert 99 not in set(got["user_id"])
+    got = got[want.columns.tolist()]
+    got = got.astype({c: want[c].dtype for c in want.columns})
+    assert got.equals(want)
