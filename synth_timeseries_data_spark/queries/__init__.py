@@ -111,48 +111,56 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # bpe_pairs (81st) demotes rolling_stats: driver-green in r03; its frame-
 # window machinery is shared with rolling_median (in-window) and replayed
 # by tests/test_oracle.py every session.
-# Round 5 rotates the whole tail (VERDICT r04 item 3): the 31 entries demoted
-# through round 4 — all r03-driver-green and locally replayed — return to the
-# window so they regain a CURRENT driver-green row, and 31 of the 50
-# r04-green entries take their place in the tail. The 19 r04 entries KEPT
-# in-window are exactly the ones round 5 touches (roundtrip oracles made
+# Round 5 rotated the whole tail (VERDICT r04 item 3): the 31 entries demoted
+# through round 4 — all r03-driver-green and locally replayed — returned to
+# the window so they regained a CURRENT driver-green row, and 31 of the 50
+# r04-green entries took their place in the tail. The 19 r04 entries KEPT
+# in-window were exactly the ones round 5 touched (roundtrip oracles made
 # like-for-like, revenue_by_nation broadcast cache, bpe_pairs rewrite,
 # asof_lag scale fix, char_entropy normalization) plus the data-proportional
 # flagships (dedup/ANN/corpus set) whose plans the judge audits each round.
-# Every demoted entry remains bit-exactly replayed every session by
-# tests/test_oracle.py and scripts/driver_gate.py.
+# Round 6 alternates again (VERDICT r05 item 4): the r04-attested tail above
+# returns to the window, and 31 of the 50 r05-green entries rotate out. The
+# 19 r05 entries KEPT in-window are the ones round 6 touches — asof_lag
+# (singleton-series ANSI fix), the >2× perf-tail set (csv/jsonl/partitioned
+# roundtrips, bpe_pairs, unigram_xent, corpus_filter, decontam_ngram) — plus
+# the data-proportional flagships (minhash/cluster/survivor/embed/semdedup/
+# substring dedup, vec_topk_pq, tfidf_topterms, quality_score, char_entropy,
+# token_count). With this rotation no oracle query's last driver-green row is
+# older than one round. Every demoted entry remains bit-exactly replayed
+# every session by tests/test_oracle.py and scripts/driver_gate.py.
 _DEMOTED = (
-    "contamination_check",
-    "dedup_firstseen",
-    "doc_chunks",
-    "doc_fingerprint",
-    "docs_by_lang",
-    "domain_mix",
-    "edge_tensor",
-    "hash_split",
-    "lag_features",
-    "lang_id",
-    "length_percentiles",
-    "multimodal_features",
-    "multimodal_framesample",
-    "ngram_jaccard",
-    "noise_mixture",
-    "pack_sequences",
-    "parse_edges",
-    "pii_redact",
-    "repetition_ratio",
-    "retention_cohorts",
-    "session_agg",
-    "simhash",
-    "sliding_agg",
-    "stratified_sample",
-    "text_stats",
-    "topk_value",
-    "ts_diff",
-    "tumbling_agg",
-    "vec_topk",
-    "vec_topk_ivf",
-    "vec_topk_lsh",
+    "block_mask",
+    "config_grid",
+    "corr_matrix",
+    "decode_edges",
+    "edge_confusion",
+    "edge_scores",
+    "encode_links",
+    "funnel",
+    "irregular_ts",
+    "lagged_matrix",
+    "mcar_mask",
+    "metrics_rollup",
+    "missing_pattern",
+    "missing_profile",
+    "nonlinear_proj",
+    "order_set_ops",
+    "parse_lagged_names",
+    "pretty_edges",
+    "props_parse",
+    "revenue_by_nation",
+    "rolling_median",
+    "rolling_stats",
+    "sampling_hist",
+    "shd_reversal",
+    "shd_xor",
+    "summary_stats",
+    "tcdf_edges",
+    "tetrad_edges",
+    "trend_fit",
+    "trend_season",
+    "validate_links",
 )
 
 
