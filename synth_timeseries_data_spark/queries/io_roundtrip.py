@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import fast_commit
 from ..sources import load
 from . import register
 
@@ -51,6 +52,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME write+read+aggregate via COPY/read_csv, so the timing ratio is
     like-for-like; value equality proves both sink/source pairs are
     lossless for doubles, strings, and BIGINTs."""
+    fast_commit(spark)
     out = os.path.join(
         tempfile.gettempdir(), f"csv_roundtrip_{os.path.basename(sf_dir)}"
     )
@@ -107,6 +109,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     via COPY (FORMAT JSON)/read_json; value equality proves both
     sink/source pairs are lossless for unicode text, BIGINTs, and string
     categories."""
+    fast_commit(spark)
     out = os.path.join(
         tempfile.gettempdir(), f"jsonl_roundtrip_{os.path.basename(sf_dir)}"
     )
@@ -154,6 +157,7 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus and all of it. The oracle runs the same
     partitioned-write + hive-partitioned readback via COPY (PARTITION_BY)/
     read_parquet(hive_partitioning=1), pruning the same two directories."""
+    fast_commit(spark)
     out = os.path.join(
         tempfile.gettempdir(), f"part_roundtrip_{os.path.basename(sf_dir)}"
     )

@@ -47,16 +47,18 @@ def tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
-    # Two-level rollup: partial-aggregate per 15-min slide bucket FIRST
-    # (one pass over events, no row expansion), then each 1-h window is the
-    # combine of its 4 consecutive bucket partials. An event in quarter q
-    # belongs to exactly the windows starting at q-3..q, so expanding the
-    # tiny per-bucket partials by k=0..3 reproduces the window assignment
-    # the earlier explode-events-by-4 form computed — but the shuffle
-    # carries #buckets×types partial rows instead of 4×|events| raw rows
-    # (the difference between O(n) and O(4n) shuffle volume at 100 TB;
-    # measured 0.81 s → ~0.3 s at sf0.1). The earlier form's containment
-    # WHERE was provably always-true, so the results are identical.
+    # Single-aggregation form: each event in quarter q belongs to exactly
+    # the windows starting at q-3..q, so explode by k=0..3 and aggregate
+    # once on (win_start_qtr, event_type). The 4× row inflation happens on
+    # the MAP side only — Spark's hash aggregate partial-aggregates before
+    # the exchange, so shuffle volume is O(#windows × #types × #tasks)
+    # partial rows, never O(4n). This replaces the round-4 two-level
+    # rollup (partial per slide bucket, explode partials, re-aggregate):
+    # that form's shuffle volume is the same asymptotically, but it pays
+    # a SECOND exchange/stage barrier for the re-combine — one more AQE
+    # wave locally (0.39 vs 0.34 s at sf0.1) and one more stage on a
+    # cluster. One exchange, map-side combine, is the window(1h, 15m)
+    # plan Structured Streaming itself runs.
     expand = (
         "LATERAL VIEW explode(sequence(0, 3)) ks AS k"
         if spark_dialect
@@ -64,22 +66,17 @@ def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
     )
     return f"""
     WITH e AS (SELECT {tus} AS tus, event_type, value FROM events),
-    part AS (
-      SELECT CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) AS qtr, event_type,
-             COUNT(*) AS n,
-             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sv
-      FROM e
-      GROUP BY CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT), event_type
-    ),
     assigned AS (
-      SELECT qtr - k AS win_start_qtr, event_type, n, sv
-      FROM part
+      SELECT CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) - k AS win_start_qtr,
+             event_type, value
+      FROM e
       {expand}
     )
     SELECT CAST(win_start_qtr AS DOUBLE) AS win_start_qtr,
            event_type,
-           CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(SUM(sv) AS DOUBLE) / 1000000.0 AS sum_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS sum_value
     FROM assigned
     GROUP BY win_start_qtr, event_type
     """
@@ -88,8 +85,8 @@ def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
 @register("sliding_agg", _sliding_sql("epoch_us(ts)"))
 def sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 min — the `window(ts, '1h', '15m')`
-    analog as a two-level bucket rollup (partial per slide bucket, combine
-    per window), the shape whose shuffle stays O(buckets) at 100 TB."""
+    analog as ONE hash aggregation over the k=0..3 window explode; map-side
+    partial aggregation keeps the shuffle O(buckets) at 100 TB."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_sliding_sql("(ts div 1000)", spark_dialect=True))
 
