@@ -15,12 +15,13 @@ Two scale notes baked into the plan:
   one of the two rows BRACKETING the target time: the last row at-or-below
   it (max ts ≤ target, min rn on ties) or the first past row above it. The
   Spark plan finds the bracket with a merge-style union (points + probes
-  sorted on the time key, `last(..) ignore nulls` carries the below-row
-  rank forward), fetches both candidates with one equi-join, and picks
-  min-by (delta, rn) — exact argmin semantics, O(n) rows, no candidate
-  blowup. The DuckDB oracle keeps the direct banded scan; the band is
-  proven equal to the unbounded prefix in tests/test_asof.py, so both
-  forms compute the same argmin by construction.
+  sorted on the time key) and carries both candidates' full PAYLOADS in
+  the same relation via two running `last(..) ignore nulls` window passes
+  (forward for below, reverse for above), then picks min-by (delta, rn) —
+  exact argmin semantics, O(n) rows, zero joins, zero aggregations. The
+  DuckDB oracle keeps the direct banded scan; the band is proven equal to
+  the unbounded prefix in tests/test_asof.py, so both forms compute the
+  same argmin by construction.
 """
 
 from __future__ import annotations
@@ -306,9 +307,10 @@ def asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     past rows, k ∈ {1,2}, mean_gap = whole-series mean(diff) computed as
     (max−min)/(n−1) (a2.py:162-167, 220-223; quirk Q5 — nearest wins even if
     farther below, and the mean gap look-ahead is deliberate). Ties break to
-    the earlier row exactly like np.argmin. Spark plan is the bracket-based
-    exact argmin (module docstring): sorted-merge bracket discovery + one
-    equi-join — O(n) rows end-to-end, no per-probe candidate scan."""
+    the earlier row exactly like np.argmin. Spark plan is the join-free
+    bracket-based exact argmin (see the _ASOF_SPARK comment): two window
+    passes carry both bracket payloads — zero joins, zero aggregations,
+    O(n) rows end-to-end, no per-probe candidate scan."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ASOF_SPARK)
 
