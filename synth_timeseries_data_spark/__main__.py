@@ -106,6 +106,18 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_plot_bundle(args) -> int:
+    from .session import get_session
+    from .sinks import write_plot_bundle
+
+    spark = get_session()
+    summary = write_plot_bundle(spark, args.sf_dir, args.out)
+    for row in summary.collect():
+        print(f"wrote frame={row['frame']} ({row['n_rows']} rows)")
+    print(f"bundle -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="synth_timeseries_data_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -128,8 +140,24 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.add_argument("--format", choices=("csv", "parquet"), default="csv")
 
+    p = sub.add_parser(
+        "plot-bundle",
+        help="write the G19 plot-data bundle (decomposition / sampling "
+        "hist / missing pattern) as one partitioned dataset",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
-    return {"list": cmd_list, "query": cmd_query, "generate": cmd_generate}[args.cmd](args)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "generate": cmd_generate,
+        "plot-bundle": cmd_plot_bundle,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -239,3 +239,24 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational join/COUNT-DISTINCT form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RETENTION_SPARK)
+
+
+@register("plot_bundle", None)
+def plot_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19 end-to-end workflow: materialize the three plot-data frames the
+    reference renders per run (decomposition series+trend c1.py:391-411,
+    sampling-interval histogram c2.py:332-341, missing-pattern cells
+    d1.py:327-337) as ONE hive-partitioned dataset (frame=<name>/ dirs)
+    and return the per-frame row-count summary read back from the written
+    parquet footers. Rows-only check: the three constituent frames are
+    each independently oracle-checked (trend_fit, sampling_hist,
+    missing_pattern); this entry checks the bundle WRITE workflow."""
+    import os
+    import tempfile
+
+    from ..sinks import write_plot_bundle
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"plot_bundle_{os.path.basename(sf_dir)}"
+    )
+    return write_plot_bundle(spark, sf_dir, out)

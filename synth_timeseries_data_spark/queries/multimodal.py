@@ -36,19 +36,58 @@ except ImportError:
     _HAS_PIL = False
 
 
-def decode_image(payload: bytes):
-    """Real image decode — requires PIL, which this container does not ship.
+def parse_image_header(payload: bytes) -> tuple[int, int, str]:
+    """(width, height, format) from the container header — pure Python, no
+    codec. This is the dependency-free path real pipelines use for
+    metadata-only passes (dimension filters, aspect bucketing) where a full
+    pixel decode would waste the whole batch budget. Supports the formats
+    whose dimensions live at fixed/walkable offsets: PNG (IHDR), GIF
+    (logical screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOF marker
+    walk). Raises ValueError for anything else."""
+    import struct
 
-    The Spark-side contract (binary in, (H, W, C) array out via a Pandas
-    UDF) is what matters for the pipeline; see _extract_features for the
-    deterministic stand-in used by the oracle-checked query.
-    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, "gif"
+    if payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return w, abs(h), "bmp"
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to the first SOF
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        raise ValueError("jpeg without SOF marker")
+    raise ValueError("unrecognized image container")
+
+
+def decode_image(payload: bytes):
+    """Full pixel decode — PIL-backed; this container does not ship PIL, so
+    without it the call raises NotImplementedError (documented stub). With
+    PIL present it returns the decoded ``PIL.Image`` (callers take
+    ``.size`` / ``numpy.asarray`` from it); the PIL-present test asserts
+    its dimensions agree with :func:`parse_image_header`'s header-only
+    path. The Spark-side contract (binary in, typed features out via an
+    Arrow-batched UDF) is exercised year-round by the oracle-checked
+    deterministic extractor below either way."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode needs PIL; payload plumbing is exercised via the "
             "deterministic extractor instead"
         )
-    raise NotImplementedError("real decode intentionally out of scope")
+    import io
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    img.load()
+    return img
 
 
 _FEATURES_SCHEMA = (

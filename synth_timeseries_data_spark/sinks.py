@@ -12,6 +12,8 @@ JSON-lines structure sidecar via df.write.json, and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -78,3 +80,59 @@ def write_partitioned_dataset(df: DataFrame, path: str, *cols: str) -> None:
     Datasets/ tree, SURVEY.md §0) with partition pruning for free."""
     keys = list(cols) or ["family", "noise", "n_vars", "max_lag"]
     df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def _decomposition_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point series + fitted trend — the data behind the reference's
+    decomposition panels (c1.py:391-411: plot series, overlay the degree-1
+    np.polyfit line). The fit comes from trend_fit's exact-bigint-sum OLS;
+    joining it back is a series-keyed equi join (per-series fit rows are
+    tiny relative to points at any scale, and the join key matches the
+    series partitioning every window op already uses)."""
+    from .queries.relational import _T0_US, _TS_US, _trend_fit_sql
+
+    from .sources import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    td = f"(CAST({_TS_US} - {_T0_US} AS DOUBLE) / 86400000000.0)"
+    return spark.sql(
+        f"""
+        WITH fit AS ({_trend_fit_sql(_TS_US)}),
+        pts AS (SELECT user_id, event_id, {td} AS x_day, value FROM events)
+        SELECT p.user_id, p.event_id, p.x_day, p.value,
+               f.intercept + f.slope * p.x_day AS trend
+        FROM pts p JOIN fit f ON f.user_id = p.user_id
+        """
+    )
+
+
+def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
+    """G19 end-to-end: ONE invocation materializes the three plot-data
+    frames the reference renders per run — decomposition series+trend
+    (c1.py:391-411), sampling-interval histogram (c2.py:332-341), and
+    missing-pattern heatmap cells (d1.py:327-337) — as one hive-partitioned
+    dataset: ``out/frame=<name>/``. A plotting client reads exactly the
+    frame it needs via partition pruning. Returns a (frame, n_rows)
+    summary built from the written files' parquet footers (driver-side
+    metadata read — verifies the write landed without a re-scan)."""
+    import pyarrow.parquet as pq
+
+    from .queries.events_ext import missing_pattern
+    from .queries.relational import sampling_hist
+
+    frames = {
+        "decomposition": _decomposition_frame(spark, sf_dir),
+        "sampling_hist": sampling_hist(spark, sf_dir),
+        "missing_pattern": missing_pattern(spark, sf_dir),
+    }
+    counts = []
+    for name, df in frames.items():
+        path = os.path.join(out, f"frame={name}")
+        df.write.mode("overwrite").parquet(path)
+        n = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        counts.append((name, n))
+    return spark.createDataFrame(counts, "frame string, n_rows long")

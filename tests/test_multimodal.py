@@ -1,0 +1,90 @@
+"""Multimodal decode paths (VERDICT r05 item 6).
+
+The engine's metadata path (`parse_image_header`) is dependency-free and
+always tested; the full pixel decode (`decode_image`) is PIL-backed. The
+test below is green BOTH ways: with PIL present it runs the real decode on
+generated fixture images and asserts the decoded dimensions agree with the
+header-only parse; without PIL it asserts the documented
+NotImplementedError stub fires.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from synth_timeseries_data_spark.queries.multimodal import (
+    _HAS_PIL,
+    decode_image,
+    parse_image_header,
+)
+
+
+def _png(w: int, h: int) -> bytes:
+    """Minimal valid RGB PNG via stdlib only (no PIL needed to WRITE it)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))  # filter-0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    # header + LSD + global 2-color table + one minimal image block
+    lsd = struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    table = bytes(6)
+    img = b"," + struct.pack("<HHHB", 0, 0, w, h) + b"\x02\x02\x44\x01\x00"
+    return b"GIF89a" + lsd + table + img + b";"
+
+
+def _bmp(w: int, h: int) -> bytes:
+    row = (3 * w + 3) // 4 * 4
+    size = 54 + row * h
+    head = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    return head + info + bytes(row * h)
+
+
+FIXTURES = [
+    ("png", _png, 320, 240),
+    ("png", _png, 17, 331),
+    ("gif", _gif, 64, 48),
+    ("bmp", _bmp, 100, 60),
+]
+
+
+@pytest.mark.parametrize("fmt,make,w,h", FIXTURES)
+def test_header_parse_dimensions(fmt, make, w, h):
+    got_w, got_h, got_fmt = parse_image_header(make(w, h))
+    assert (got_w, got_h, got_fmt) == (w, h, fmt)
+
+
+def test_header_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_image_header(b"not an image at all")
+
+
+@pytest.mark.parametrize("fmt,make,w,h", FIXTURES)
+def test_decode_agrees_with_header_or_stubs(fmt, make, w, h):
+    payload = make(w, h)
+    if not _HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(payload)
+        return
+    img = decode_image(payload)
+    assert img.size == (w, h)
+    assert (w, h) == tuple(parse_image_header(payload)[:2])

@@ -76,3 +76,33 @@ def test_series_csv_null_roundtrip(spark, tmpdir_):
     back = sinks.read_series_csv(spark, path, "t int, x1 double")
     rows = {r.t: r.x1 for r in back.collect()}
     assert rows == {0: 1.5, 1: None, 2: -0.25}
+
+
+def test_plot_bundle(spark, tmpdir_, smoke_sf_dir):
+    """G19 end-to-end: one call writes the three plot-data frames as a
+    hive-partitioned bundle; the summary counts must equal each frame's
+    direct query count, and the decomposition trend must equal the OLS fit
+    applied at each point."""
+    out = os.path.join(tmpdir_, "bundle")
+    summary = {
+        r["frame"]: r["n_rows"]
+        for r in sinks.write_plot_bundle(spark, smoke_sf_dir, out).collect()
+    }
+    assert set(summary) == {"decomposition", "sampling_hist", "missing_pattern"}
+
+    from synth_timeseries_data_spark.queries.events_ext import missing_pattern
+    from synth_timeseries_data_spark.queries.relational import sampling_hist
+
+    assert summary["sampling_hist"] == sampling_hist(spark, smoke_sf_dir).count()
+    assert summary["missing_pattern"] == missing_pattern(spark, smoke_sf_dir).count()
+
+    deco = spark.read.parquet(os.path.join(out, "frame=decomposition"))
+    assert summary["decomposition"] == deco.count()
+    assert set(deco.columns) == {"user_id", "event_id", "x_day", "value", "trend"}
+    # trend is the per-series OLS line evaluated at x_day
+    from synth_timeseries_data_spark.queries.relational import trend_fit
+
+    fits = {r["user_id"]: r for r in trend_fit(spark, smoke_sf_dir).collect()}
+    for r in deco.limit(200).collect():
+        f = fits[r["user_id"]]
+        assert r["trend"] == f["intercept"] + f["slope"] * r["x_day"]
