@@ -73,6 +73,22 @@ def test_asof_no_candidate_blowup(spark, oracle_sf_dir):
     assert plan.count("Exchange") <= 2
 
 
+def test_sliding_agg_single_exchange_with_partials(spark, oracle_sf_dir):
+    """The r6 sliding-window form is ONE hash aggregation over the window
+    explode: map-side partial aggregation must precede the single exchange
+    (so shuffle volume is O(windows×types×tasks), never O(kn)) and no
+    second stage barrier may exist."""
+    plan = _plan(spark, "sliding_agg", oracle_sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Generate explode" in plan  # the k=0..3 window assignment
+    # two HashAggregates (partial + final) around exactly one exchange:
+    # top-down print → final agg above the Exchange, partial agg below it
+    assert plan.count("HashAggregate") == 2
+    assert plan.index("HashAggregate") < plan.index("Exchange") < plan.rindex(
+        "HashAggregate"
+    )
+
+
 def test_edge_tensor_broadcasts_edges(spark, oracle_sf_dir):
     """Domain × edges joins stay broadcast at any scale (edge lists are
     dim-sized by construction)."""
