@@ -191,11 +191,19 @@ def _decontam_sql(d) -> str:
         d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)"
     )
     ws = d["split"]("text")
-    # (Hash-function note: h is internal-only here, so Spark COULD use a
-    # different hash than the oracle — but an interleaved min-of-8 A/B at
-    # sf0.1 measured md5-of-joined-run FASTER than xxhash64-of-slice in
-    # this plan (0.58 s vs 0.67 s), unlike substring_dup; keep md5.)
-    run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+    # Hash-function note: h is internal-only here, so each engine uses its
+    # cheapest collision-safe form. Spark: MULTI-ARG xxhash64 over the 8
+    # element_at tokens — no join-string allocation, no slice array;
+    # interleaved A/B at sf0.1 beats md5-of-joined-run by ~10% every pair
+    # (the earlier xxhash64-of-SLICE variant lost because it serialized
+    # the array — 0.67 s vs 0.58 s — while the multi-arg form hashes the
+    # strings in place). 64-bit space keeps expected collisions ~1e-7 at
+    # 1M distinct runs (a collision would merge two runs and fail the
+    # oracle gate visibly). Oracle keeps md5 of the joined run.
+    if d is _SPARK_D:
+        run = f"xxhash64({', '.join(f'element_at(ws, i + {j})' for j in range(_DC_K))})"
+    else:
+        run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
     # `runs_cte` is the only engine split in the head: Spark skips the
     # DISTINCT (the collect_set aggregate below dedups per-doc runs in the
     # same exchange, with map-side partial agg); the oracle keeps the

@@ -1944,10 +1944,13 @@ _SUBDUP_SPARK, _SUBDUP_DUCK = _dual(_substring_dup_sql)
 # ≥2-docs filter fold into the same HAVING; pairs explode from the
 # in-bucket set (bounded by the cap, so never corpus-quadratic). One
 # explode pipeline, one h exchange, one pair-agg exchange. (Hash note:
-# h is internal-only, so Spark could use a cheaper hash than the oracle's
-# md5 — but interleaved min-of-8 A/Bs at sf0.1 measured md5-of-joined-run
-# FASTER than xxhash64-of-slice in both this plan and decontam_ngram's,
-# 0.62 s vs 0.67 s here; md5 it stays.) Extreme-skew caveat: collect_set
+# h is internal-only, so Spark uses MULTI-ARG xxhash64 over the 10
+# element_at tokens — hashes the strings in place, no join-string
+# allocation, no slice-array serialization; interleaved A/Bs beat
+# md5-of-joined-run ~10% here and in decontam_ngram. The earlier
+# xxhash64-of-SLICE variant lost to md5 — 0.67 s vs 0.62 s — because it
+# serialized the array first. 64-bit space keeps collisions negligible
+# and the oracle keeps md5.) Extreme-skew caveat: collect_set
 # materializes a hot bucket's full doc set before HAVING can drop it; if
 # a boilerplate run could span ~billions of docs, pre-cap with the
 # two-phase COUNT + anti-join form instead (O(1) agg state) — at the
@@ -1957,7 +1960,8 @@ _SUBDUP_SPARK_1PASS = f"""
     WITH w AS (SELECT doc_id, ws FROM
                (SELECT doc_id, split(text, ' ') AS ws FROM documents_par) t
                WHERE size(ws) >= 10),
-    pos AS (SELECT doc_id, md5(array_join(slice(ws, i, 10), ' ')) AS h
+    pos AS (SELECT doc_id,
+                   xxhash64({", ".join(f"element_at(ws, i + {j})" for j in range(10))}) AS h
             FROM w LATERAL VIEW explode(sequence(1, size(ws) - 9)) x AS i),
     b AS (SELECT h, collect_set(doc_id) AS ds
           FROM pos GROUP BY h
