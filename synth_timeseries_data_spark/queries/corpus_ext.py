@@ -371,7 +371,10 @@ def _sd_tail(d, assign: str) -> str:
     v AS (SELECT vec_id, e, SQRT({_sd_dot(d, 'e', 'e')}) AS nrm FROM v0),
     pairs AS (
       SELECT b.vec_id AS vec_id, a.vec_id AS lo,
-             ROUND({_sd_dot(d, 'va.e', 'vb.e')} / (va.nrm * vb.nrm), 6) AS rcos
+             -- NULLIF: Spark 4 ANSI throws DIVIDE_BY_ZERO even on double
+             -- division, so a zero vector would crash; NULL compares false
+             -- against the keep threshold in both engines identically
+             ROUND({_sd_dot(d, 'va.e', 'vb.e')} / NULLIF(va.nrm * vb.nrm, 0.0), 6) AS rcos
       FROM {assign} a
       JOIN {assign} b ON b.c = a.c AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id

@@ -1123,10 +1123,10 @@ _VEC_SPARK = """
       SELECT v.vec_id, v.label,
              aggregate(zip_with(v.e, q.qe, (x, y) -> x * y),
                        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-             / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE),
-                               (acc, x) -> acc + x * x))
-                * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE),
-                                 (acc, x) -> acc + x * x))) AS cos_sim
+             / NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE),
+                                     (acc, x) -> acc + x * x))
+                      * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE),
+                                       (acc, x) -> acc + x * x)), 0.0) AS cos_sim
       FROM v CROSS JOIN q
       WHERE v.vec_id != 0
     )
@@ -1143,8 +1143,8 @@ _VEC_DUCK = """
     sims AS (
       SELECT v.vec_id, v.label,
              list_dot_product(v.e, q.qe)
-             / (SQRT(list_dot_product(v.e, v.e))
-                * SQRT(list_dot_product(q.qe, q.qe))) AS cos_sim
+             / NULLIF(SQRT(list_dot_product(v.e, v.e))
+                      * SQRT(list_dot_product(q.qe, q.qe)), 0.0) AS cos_sim
       FROM v CROSS JOIN q
       WHERE v.vec_id != 0
     )
@@ -1207,9 +1207,9 @@ def _ann_tail(d, sigs: str) -> str:
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     sims AS (
       SELECT /*+ BROADCAST(cand) */ v.vec_id, v.label,
-             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
+             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)'
               if d is _SPARK_D else
-              'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
+              'list_dot_product(v.e, q.qe) / NULLIF(SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)), 0.0)'} AS cos_sim
       FROM v JOIN cand ON cand.vec_id = v.vec_id CROSS JOIN q
     )
     SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim
@@ -1324,9 +1324,9 @@ def _ivf_tail(d, ranked: str) -> str:
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     sims AS (
       SELECT /*+ BROADCAST(cand) */ v.vec_id, v.label,
-             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))'
+             {'aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)'
               if d is _SPARK_D else
-              'list_dot_product(v.e, q.qe) / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)))'} AS cos_sim
+              'list_dot_product(v.e, q.qe) / NULLIF(SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe)), 0.0)'} AS cos_sim
       FROM v JOIN cand ON cand.vec_id = v.vec_id CROSS JOIN q
     )
     SELECT vec_id, label, ROUND(cos_sim, 6) + 0.0 AS cos_sim
@@ -1666,7 +1666,7 @@ def _nd_tail(
       SELECT {hint}c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
              {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)'
               if d is _SPARK_D else
-              'list_dot_product(va.e, vb.e)'} / (va.nrm * vb.nrm) AS cos_sim
+              'list_dot_product(va.e, vb.e)'} / NULLIF(va.nrm * vb.nrm, 0.0) AS cos_sim
       FROM cand c
       JOIN {v} va ON va.vec_id = c.vec_a
       JOIN {v} vb ON vb.vec_id = c.vec_b

@@ -166,9 +166,17 @@ _SUMMARY_SQL = f"""
            CAST(s_q AS DOUBLE) / 1000000.0 / n AS avg_qty,
            min_qty,
            max_qty,
-           SQRT((CAST(n AS DOUBLE) * (CAST(s_qq AS DOUBLE) / 1000000.0)
-                 - (CAST(s_q AS DOUBLE) / 1000000.0) * (CAST(s_q AS DOUBLE) / 1000000.0))
-                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty
+           -- Degenerate-input guards: NULLIF — a single-row group has
+           -- n·(n−1) = 0, and Spark 4's ANSI mode throws DIVIDE_BY_ZERO
+           -- even for double division (DuckDB yields inf/nan); NULL is the
+           -- one degenerate value both engines produce identically (sample
+           -- std of 1 row is undefined anyway). GREATEST — the FLOOR-micro
+           -- variance numerator can land epsilon-negative for a constant
+           -- column, and DuckDB ERRORS on sqrt(negative) where Spark
+           -- returns NaN; clamping at 0 gives std 0 in both.
+           SQRT(GREATEST(CAST(n AS DOUBLE) * (CAST(s_qq AS DOUBLE) / 1000000.0)
+                 - (CAST(s_q AS DOUBLE) / 1000000.0) * (CAST(s_q AS DOUBLE) / 1000000.0), 0.0)
+                / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std_qty
     FROM s
     """
 
@@ -207,9 +215,18 @@ def _corr_pair(x: str, y: str) -> str:
     sxy = f"(CAST(s_{x}_{y} AS DOUBLE) / 1000000.0)"
     sxx = f"(CAST(s_{x}_{x} AS DOUBLE) / 1000000.0)"
     syy = f"(CAST(s_{y}_{y} AS DOUBLE) / 1000000.0)"
+    # Degenerate-input guards (identical text both engines): GREATEST
+    # clamps the variance terms at 0 — mathematically they are ≥0 but the
+    # FLOOR-micro sums can land epsilon-NEGATIVE for a constant column,
+    # and DuckDB ERRORS on sqrt(negative) where Spark returns NaN. NULLIF
+    # then turns the zero-variance denominator into NULL — Spark 4's ANSI
+    # mode throws DIVIDE_BY_ZERO even for double division (DuckDB yields
+    # inf/nan); NULL is the identical-in-both-engines degenerate value and
+    # matches the statistical convention (correlation undefined).
     return (
         f"(({n} * {sxy} - {sx} * {sy}) / "
-        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})))"
+        f"NULLIF(SQRT(GREATEST({n} * {sxx} - {sx} * {sx}, 0.0))"
+        f" * SQRT(GREATEST({n} * {syy} - {sy} * {sy}, 0.0)), 0.0))"
     )
 
 
@@ -285,8 +302,12 @@ def _trend_fit_sql(tus: str) -> str:
       FROM s
     )
     SELECT user_id,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           -- NULLIF: a singleton or constant-time series has zero x-variance
+           -- and Spark 4's ANSI mode throws DIVIDE_BY_ZERO even for double
+           -- division (DuckDB yields inf/nan); NULL slope/intercept is the
+           -- identical-in-both-engines degenerate value (OLS undefined).
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx) / n AS intercept,
            CAST(n AS BIGINT) AS n_points
     FROM d
     """

@@ -1,0 +1,142 @@
+"""Degenerate-input crash class (round 6).
+
+Spark 4's default ANSI mode throws DIVIDE_BY_ZERO for division by zero —
+including DOUBLE division, where DuckDB yields inf/nan — so any statistic
+whose denominator can reach exactly 0 on legal input (singleton series,
+constant column, zero vector) would crash in Spark while the oracle
+returns rows. Round 6 guards every such site with NULLIF: NULL is the one
+degenerate value both engines produce identically. These tests pin the
+contract engine-vs-engine on constructed degenerate fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from synth_timeseries_data_spark.queries.relational import (
+    _CORR_SQL,
+    _SUMMARY_SQL,
+    _TS_US,
+    _trend_fit_sql,
+)
+
+
+def _run_both(spark, sdf, view, spark_sql, duck_sql, sort_cols):
+    sdf.createOrReplaceTempView(view)
+    try:
+        got = (
+            spark.sql(spark_sql)
+            .toPandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+    con = duckdb.connect()
+    con.register(f"{view}_raw", sdf.toPandas())
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM {view}_raw")
+    want = (
+        con.execute(duck_sql).df().sort_values(sort_cols).reset_index(drop=True)
+    )
+    con.close()
+    return got, want
+
+
+def test_trend_fit_singleton_and_constant_time_series(spark):
+    """user 1: one event (zero x-variance); user 2: two events at the SAME
+    timestamp (zero x-variance); user 3: healthy. No crash, NULL fit for
+    the degenerate series, identical frames across engines.
+
+    Timestamps sit exactly on the micro grid (x = whole days from the T0
+    origin) so the FLOOR-micro sums make the denominator EXACTLY 0 — the
+    input class that crashed the unguarded form under ANSI (off-grid
+    degenerate series produce a deterministic-but-meaningless fit in both
+    engines instead; only the exact-zero case divides by zero)."""
+    from synth_timeseries_data_spark.queries.relational import _T0_US
+
+    t0 = _T0_US * 1000  # ns
+    day = 86_400_000_000_000
+    rows = [
+        (0, t0, 1, 5.0),
+        (1, t0 + day, 2, 1.0),
+        (2, t0 + day, 2, 2.0),
+        (3, t0, 3, 1.0),
+        (4, t0 + 2 * day, 3, 4.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE"
+    )
+    # DuckDB side gets the SAME bigint-ns ts; reuse the Spark dialect's
+    # (ts div 1000) conversion so both engines run identical arithmetic.
+    got, want = _run_both(
+        spark, sdf, "events",
+        _trend_fit_sql(_TS_US), _trend_fit_sql("(ts // 1000)"),
+        ["user_id"],
+    )
+    assert got["slope"].isna().tolist() == [True, True, False]
+    assert got["intercept"].isna().tolist() == [True, True, False]
+    got = got.astype({c: want[c].dtype for c in want.columns})
+    assert got.equals(want)
+
+
+def test_summary_stats_single_row_group(spark):
+    """A (returnflag, linestatus) group with ONE row: sample std is
+    undefined → NULL in both engines, not a Spark ANSI crash."""
+    rows = [
+        ("A", "F", 10.0, 100.0, 0.1),
+        ("N", "O", 1.0, 50.0, 0.0),
+        ("N", "O", 3.0, 60.0, 0.2),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "l_returnflag STRING, l_linestatus STRING, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE",
+    )
+    got, want = _run_both(
+        spark, sdf, "lineitem", _SUMMARY_SQL, _SUMMARY_SQL,
+        ["l_returnflag", "l_linestatus"],
+    )
+    by_flag = {r["l_returnflag"]: r for _, r in got.iterrows()}
+    assert pd.isna(by_flag["A"]["std_qty"])  # singleton group
+    assert not pd.isna(by_flag["N"]["std_qty"])
+    got = got.astype({c: want[c].dtype for c in want.columns})
+    assert got.equals(want)
+
+
+def test_corr_matrix_constant_column(spark):
+    """A constant column has zero variance: correlation undefined → NULL
+    in both engines (DuckDB's raw formula would give nan via 0/0)."""
+    # realistic price magnitudes: the template scales price by 1e-5, so
+    # tiny values would floor every second moment to 0 and null the
+    # healthy pair as well
+    rows = [(5.0, 10000.0, 0.1), (5.0, 20000.0, 0.3), (5.0, 15000.0, 0.2)]
+    sdf = spark.createDataFrame(
+        rows, "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE"
+    )
+    got, want = _run_both(
+        spark, sdf, "lineitem", _CORR_SQL, _CORR_SQL, ["corr_price_disc"]
+    )
+    assert pd.isna(got.loc[0, "corr_qty_price"])  # constant qty
+    assert pd.isna(got.loc[0, "corr_qty_disc"])
+    assert not pd.isna(got.loc[0, "corr_price_disc"])
+    assert got.isna().equals(want.isna())
+
+
+def test_zero_vector_cosine_does_not_crash(spark):
+    """The guarded cosine form: a zero vector yields NULL similarity (not
+    an ANSI crash), which threshold predicates filter identically in both
+    engines."""
+    expr = (
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+        " / NULLIF(SQRT(aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+        " * SQRT(aggregate(b, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
+    )
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.selectExpr(f"{expr} AS cos_sim").collect()
+    assert rows[0].cos_sim is None
+    assert rows[1].cos_sim == 1.0
