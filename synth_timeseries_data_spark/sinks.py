@@ -119,7 +119,9 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
 
     from .queries.events_ext import missing_pattern
     from .queries.relational import sampling_hist
+    from .session import fast_commit
 
+    fast_commit(spark)
     frames = {
         "decomposition": _decomposition_frame(spark, sf_dir),
         "sampling_hist": sampling_hist(spark, sf_dir),
