@@ -63,10 +63,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# The driver checks the first ~50 registry entries; with 64 oracle-checkable
-# queries, 14 sit outside the window each round. The demoted tail ROTATES
-# round-over-round so every query accumulates a driver-green row in some
-# CORRECTNESS_r{N}.json: round ≤3 demoted the redundant-surface set
+# The driver checks the first ~50 registry entries; with 81 oracle-checkable
+# queries (round 6), 31 sit outside the window each round. The demoted tail
+# ROTATES round-over-round so every query accumulates a driver-green row in
+# some CORRECTNESS_r{N}.json — history of each rotation below.
+# Round ≤3 demoted the redundant-surface set
 # (ts_diff, docs_by_lang, topk_value, tumbling_agg, vec_topk, ngram_jaccard,
 # text_stats, doc_fingerprint, lang_id, repetition_ratio, char_entropy,
 # rolling_median, funnel, retention_cohorts — all judge-gate-verified green
