@@ -8,10 +8,17 @@ the driver sorts columns by name before value-hashing, so every computed
 column is aliased identically on both sides.
 
 Cross-engine determinism rules (see functions/numeric.py, functions/detrand.py):
-- sums/averages of doubles go through exact DECIMAL accumulation;
+- sums/averages of doubles accumulate as FLOOR-micro BIGINTs (exact,
+  order-independent; decimal accumulators were retired — Spark's >18-digit
+  decimals run on the BigDecimal slow path);
 - time scalars are microsecond-epoch BIGINTs;
-- libm-dependent results (sin/cos/ln/corr/stddev/regr_*) are ROUND(.,6);
-- every window/top-k ordering carries a unique-key tiebreak.
+- libm-dependent results (sin/cos/ln and stats built FROM the exact sums)
+  are ROUND(.,6) where a final rounding is safe, raw IEEE where identical
+  arithmetic already guarantees bit equality;
+- every window/top-k ordering carries a unique-key tiebreak;
+- divisions/sqrt that can hit zero on degenerate input carry
+  NULLIF/GREATEST guards (Spark ANSI throws where DuckDB yields inf/nan —
+  NULL is the one value both engines produce identically).
 """
 
 from __future__ import annotations
