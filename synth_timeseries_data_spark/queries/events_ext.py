@@ -17,8 +17,12 @@ from . import register
 
 _PROPS_ORACLE = """
     WITH parsed AS (
+      -- TRY_CAST twice: DuckDB's json_extract ERRORS on malformed JSON
+      -- (Spark's get_json_object yields NULL) and CAST errors on a
+      -- non-numeric k (as Spark's ANSI cast would) — the try forms give
+      -- both engines the identical NULL-and-skip profiling semantic.
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS INT) AS k
+             TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT) AS k
       FROM events
     )
     SELECT event_type,
@@ -35,11 +39,15 @@ _PROPS_ORACLE = """
 @register("props_parse", _PROPS_ORACLE)
 def props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse events.props JSON and profile the extracted key per event type
-    — get_json_object stays inside whole-stage codegen; one shuffle."""
+    — get_json_object stays inside whole-stage codegen; one shuffle.
+    try_cast (both engines): props is arbitrary JSON, and a non-numeric k
+    would otherwise throw in BOTH engines (Spark ANSI cast, DuckDB
+    conversion error) — NULL-and-skip is the profiling semantic, and
+    COUNT(k) already counts only parseable keys."""
     ev = load(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

@@ -140,3 +140,42 @@ def test_zero_vector_cosine_does_not_crash(spark):
     rows = df.selectExpr(f"{expr} AS cos_sim").collect()
     assert rows[0].cos_sim is None
     assert rows[1].cos_sim == 1.0
+
+
+def test_props_parse_tolerates_malformed_json(spark):
+    """props is arbitrary JSON: non-numeric k, missing k, and non-JSON
+    strings must all profile as NULL (COUNT(k) skips them) in BOTH engines
+    — not an ANSI cast crash (Spark) or conversion error (DuckDB)."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    rows = [
+        (0, 1_000, 1, "view", 1.0, '{"k": 7}'),
+        (1, 2_000, 1, "view", 1.0, '{"k": "abc"}'),
+        (2, 3_000, 1, "view", 1.0, '{"other": 1}'),
+        (3, 4_000, 1, "view", 1.0, "not json at all"),
+        (4, 5_000, 1, "view", 1.0, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    q = all_queries()["props_parse"]
+    sdf.createOrReplaceTempView("events")
+    from pyspark.sql import functions as F
+
+    parsed = sdf.select(
+        "event_type",
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
+    )
+    got = parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.count("k").alias("n_with_k")
+    ).collect()[0]
+    assert (got.n_events, got.n_with_k) == (5, 1)
+
+    con = duckdb.connect()
+    con.register("events_raw", sdf.toPandas())
+    con.execute("CREATE VIEW events AS SELECT * FROM events_raw")
+    want = con.execute(q.oracle).df()
+    con.close()
+    assert want.loc[0, "n_events"] == 5 and want.loc[0, "n_with_k"] == 1
