@@ -9,6 +9,7 @@ plans declaratively so Catalyst can push filters/prune columns.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -100,8 +101,17 @@ _SMALL_INPUT_BYTES = int(
 _SMALL_SHUFFLE = "8"
 
 _dir_bytes: dict[str, int] = {}
-_applied: dict[int, bool] = {}  # session id -> small posture currently set?
-_session_posture: dict[int, tuple[str, str]] = {}
+# Keyed WEAKLY on the session object, not id(): the allocator reuses
+# addresses after gc, so an id-keyed entry from a dead session could make
+# tune_for_input skip conf writes (or restore a stale posture) on a brand-new
+# session that happens to share the address — same hazard sources/tables.py's
+# catalog cache guards against.
+_applied: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+_session_posture: "weakref.WeakKeyDictionary[SparkSession, tuple[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _input_bytes(sf_dir: str) -> int:
@@ -132,16 +142,15 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     sf0.001 gate then the sf10 ladder."""
     if os.environ.get("SPARK_GRAFT_AUTOTUNE", "on") == "off":
         return
-    sid = id(spark)
     small = _input_bytes(sf_dir) < _SMALL_INPUT_BYTES
-    if _applied.get(sid) == small:
+    if _applied.get(spark) == small:
         return
-    if sid not in _session_posture:
-        _session_posture[sid] = (
+    if spark not in _session_posture:
+        _session_posture[spark] = (
             spark.conf.get("spark.sql.adaptive.enabled", "true"),
             spark.conf.get("spark.sql.shuffle.partitions", "200"),
         )
-    orig_aqe, orig_shuffle = _session_posture[sid]
+    orig_aqe, orig_shuffle = _session_posture[spark]
     if os.environ.get("SPARK_GRAFT_AQE") is None:
         spark.conf.set(
             "spark.sql.adaptive.enabled", "false" if small else orig_aqe
@@ -151,4 +160,4 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
             "spark.sql.shuffle.partitions",
             _SMALL_SHUFFLE if small else orig_shuffle,
         )
-    _applied[sid] = small
+    _applied[spark] = small
