@@ -1,0 +1,88 @@
+"""rolling_stats / rolling_median vs a direct numpy reimplementation.
+
+Independent W4 semantics check (same pattern as the asof numpy test): the
+last-10 rolling frame per series, mean over micro-floored values, and
+linear-interpolated quantiles (np.percentile's q·(n−1) rule — the same
+position formula the engine's codegen'd lerp replicates from Spark's
+Percentile aggregate). Exact for mean/min/max/count; quantiles compared to
+1e-12 relative (numpy composes the lerp as lo + frac·(hi−lo) vs the
+engine's symmetric form, an ulp-level difference in op order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from synth_timeseries_data_spark.queries import all_queries
+
+
+def _fixture(seed: int):
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    for uid in range(1, 4):
+        n = int(rng.integers(3, 60))  # includes series shorter than the frame
+        tus = np.cumsum(rng.integers(1, 4, size=n)) * 1_000_000
+        for t in tus:
+            rows.append((eid, int(t), uid, round(float(rng.normal() * 5), 3)))
+            eid += 1
+    rows.append((eid, 500_000, 9, 2.5))  # singleton series
+    return rows
+
+
+def _numpy_rolling(rows):
+    by_user = {}
+    for eid, tus, uid, val in rows:
+        by_user.setdefault(uid, []).append((tus, eid, val))
+    stats, medians = {}, {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        vals = [e[2] for e in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = np.array(vals[max(0, i - 9) : i + 1])
+            micro = np.floor(frame * 1e6).astype(np.int64)
+            mean = round(float(micro.sum()) / 1e6 / len(frame), 6) + 0.0
+            stats[(uid, eid)] = (mean, frame.min(), frame.max(), len(frame))
+            medians[(uid, eid)] = (
+                float(np.percentile(frame, 50)),
+                float(np.percentile(frame, 90)),
+            )
+    return stats, medians
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_rolling_matches_numpy_reference(spark, seed, tmp_path):
+    rows = _fixture(seed)
+    want_stats, want_median = _numpy_rolling(rows)
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(e, t * 1000, u, "view", v, None) for e, t, u, v in rows],
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+    qs = all_queries()
+    got_stats = {
+        (r.user_id, r.event_id): (r.roll_mean, r.roll_min, r.roll_max, r.roll_n)
+        for r in qs["rolling_stats"].build(spark, sf_dir).collect()
+    }
+    assert set(got_stats) == set(want_stats)
+    for k, (mean, mn, mx, n) in want_stats.items():
+        g = got_stats[k]
+        assert g[0] == mean and g[1] == mn and g[2] == mx and g[3] == n, (k, g)
+
+    got_median = {
+        (r.user_id, r.event_id): (r.roll_median, r.roll_p90)
+        for r in qs["rolling_median"].build(spark, sf_dir).collect()
+    }
+    assert set(got_median) == set(want_median)
+    for k, (p50, p90) in want_median.items():
+        g = got_median[k]
+        assert g[0] == pytest.approx(p50, rel=1e-12, abs=1e-12), (k, g, p50)
+        assert g[1] == pytest.approx(p90, rel=1e-12, abs=1e-12), (k, g, p90)
