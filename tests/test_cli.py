@@ -59,3 +59,17 @@ def test_cli_generate_unknown_family_fails(spark):
         assert main(["generate", "--families", "zz9", "--out", out]) == 2
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_plot_bundle_writes_partitioned_frames(spark, smoke_sf_dir, capsys):
+    out = tempfile.mkdtemp(prefix="cli_pb_")
+    try:
+        assert main(["plot-bundle", "--sf-dir", smoke_sf_dir, "--out", out]) == 0
+        printed = capsys.readouterr().out
+        for frame in ("decomposition", "sampling_hist", "missing_pattern"):
+            assert os.path.isdir(os.path.join(out, f"frame={frame}"))
+            assert f"frame={frame}" in printed
+        deco = spark.read.parquet(os.path.join(out, "frame=decomposition"))
+        assert deco.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
