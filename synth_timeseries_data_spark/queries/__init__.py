@@ -137,8 +137,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # token_count). With this rotation no oracle query's last driver-green row is
 # older than one round. Every demoted entry remains bit-exactly replayed
 # every session by tests/test_oracle.py and scripts/driver_gate.py.
+# gopher_rules (82nd oracle entry, round 6) demotes token_count: r05-green,
+# and its whitespace/regex token counts are embedded in several in-window
+# corpus queries; replayed bit-exactly every session by tests/test_oracle.py.
 _DEMOTED = (
     "block_mask",
+    "token_count",
     "config_grid",
     "corr_matrix",
     "decode_edges",

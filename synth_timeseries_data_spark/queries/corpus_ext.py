@@ -675,3 +675,90 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the shuffle is vocabulary²-bounded (distinct pairs), not
     token-bounded, and the top-k never materializes a global sort."""
     return _spark_docs(spark, sf_dir, _BPE_SPARK)
+
+
+# --------------------------------------------------------------------------
+# gopher_rules: the published Gopher document-quality gates (Rae et al.
+# 2021, Appendix A) as per-document boolean flags + overall keep.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+
+
+def _gopher_sql(d) -> str:
+    spark = d is _SPARK_D
+    ws = d["split"]("text")
+    lines = (
+        "split(text, '\\n')" if spark else "str_split(text, chr(10))"
+    )
+    sw = (lambda x, p: f"startswith({x}, '{p}')") if spark else (
+        lambda x, p: f"starts_with({x}, '{p}')"
+    )
+    ew = (lambda x, p: f"endswith({x}, '{p}')") if spark else (
+        lambda x, p: f"ends_with({x}, '{p}')"
+    )
+    alpha = "w -> w rlike '[A-Za-z]'" if spark else (
+        "w -> regexp_matches(w, '[A-Za-z]')"
+    )
+    bullets = f"x -> {sw('x', '- ')} OR {sw('x', '* ')}"
+    ell_line = f"x -> {ew('x', '...')}"
+    intersect = "array_intersect" if spark else "list_intersect"
+    distinct = d["distinct"]
+    ln = d["len"]
+    filt = d["filter"]
+    stops = f"array{_GOPHER_STOPS}" if spark else f"[{_GOPHER_STOPS[1:-1]}]"
+    # Every ratio below is a quotient of exact integers (raw doubles, no
+    # ROUND — bit-identical across engines); denominators are ≥ 1 by
+    # construction (split always yields at least one token/line).
+    return f"""
+    WITH m AS (
+      SELECT doc_id, source, lang,
+             {ln(ws)} AS n_words,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / {ln(ws)} AS mean_word_len,
+             (CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS DOUBLE)
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3)
+               / {ln(ws)} AS symbol_ratio,
+             CAST({ln(filt(lines, bullets))} AS DOUBLE)
+               / {ln(lines)} AS bullet_frac,
+             CAST({ln(filt(lines, ell_line))} AS DOUBLE)
+               / {ln(lines)} AS ellipsis_frac,
+             CAST({ln(filt(ws, alpha))} AS DOUBLE)
+               / {ln(ws)} AS alpha_word_frac,
+             {ln(f"{intersect}({distinct(ws)}, {stops})")} AS stop_hits
+      FROM {d['pdocs']}
+    )
+    SELECT doc_id, source, lang, n_words, mean_word_len,
+           symbol_ratio, bullet_frac, ellipsis_frac, alpha_word_frac,
+           CAST(stop_hits AS INT) AS stop_hits,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+           symbol_ratio < 0.1 AS ok_symbol_ratio,
+           bullet_frac < 0.9 AS ok_bullets,
+           ellipsis_frac < 0.3 AS ok_ellipsis,
+           alpha_word_frac >= 0.8 AS ok_alpha_words,
+           stop_hits >= 2 AS ok_stop_words,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+             AND ellipsis_frac < 0.3 AND alpha_word_frac >= 0.8
+             AND stop_hits >= 2 AS keep
+    FROM m
+    """
+
+
+_GOPHER_SPARK, _GOPHER_DUCK = _dual(_gopher_sql)
+
+
+@register("gopher_rules", _GOPHER_DUCK)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality gates (Rae et al. 2021, Appendix A) as
+    per-document boolean flags + overall keep: word-count bounds, mean
+    word length, symbol-to-word ratio (# and ellipses), bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, and the
+    ≥2-distinct-stop-words check. Pure projection over one corpus scan —
+    zero shuffles (plan-asserted), every ratio an exact-integer quotient
+    so both engines emit bit-identical doubles. The standard first gate
+    of a training-data curation funnel, composable with corpus_filter's
+    dedup stage downstream."""
+    return _spark_docs(spark, sf_dir, _GOPHER_SPARK)

@@ -366,3 +366,38 @@ def test_char_entropy_fixture_is_codepoint_split_safe():
                 assert unicodedata.category(ch) not in ("Mn", "Mc", "Me"), (
                     f"combining mark U+{ord(ch):04X} in fixture"
                 )
+
+
+def test_gopher_rules_flag_semantics(spark, tmp_path):
+    """Crafted docs exercise every rule branch: too short, bullet-heavy,
+    ellipsis-heavy, symbol-heavy, non-alpha, stopword-free, and a healthy
+    doc that passes all gates."""
+    import os
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    healthy = ("the cat and the dog went to the house of friends with joy "
+               * 6).strip()  # 72 words, all alpha, plenty of stops
+    docs = [
+        (0, healthy, "en", "web", len(healthy)),
+        (1, "the cat and dog with toys", "en", "web", 25),       # <50 words
+        (2, "\n".join(f"- {w}" for w in ["the and of to with that be have"] * 60), "en", "web", 10),  # bullets
+        (3, " ".join(["w###d the and"] * 30), "en", "web", 10),  # symbols
+        (4, " ".join(["123 456 789 the and"] * 20), "en", "web", 10),  # non-alpha
+        (5, " ".join(["zig zag flip flop bip bop"] * 12), "en", "web", 10),  # no stops
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.doc_id: r for r in all_queries()["gopher_rules"].build(spark, sf).collect()}
+    assert got[0].keep and all(
+        got[0][f] for f in ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                            "ok_bullets", "ok_ellipsis", "ok_alpha_words", "ok_stop_words")
+    )
+    assert not got[1].ok_word_count and not got[1].keep
+    assert not got[2].ok_bullets
+    assert not got[3].ok_symbol_ratio
+    assert not got[4].ok_alpha_words
+    assert not got[5].ok_stop_words

@@ -313,3 +313,12 @@ def test_neardup_survivors_broadcast_apply(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_zero_shuffle_projection(spark, oracle_sf_dir):
+    """The Gopher gates are per-document projections — besides the spread
+    view's input repartition, the plan must contain no exchange, no join,
+    and no aggregation."""
+    plan = _plan(spark, "gopher_rules", oracle_sf_dir)
+    assert plan.count("Exchange") <= 1  # only the spread-view repartition
+    assert "Join" not in plan and "HashAggregate" not in plan
