@@ -115,6 +115,8 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
     frame it needs via partition pruning. Returns a (frame, n_rows)
     summary built from the written files' parquet footers (driver-side
     metadata read — verifies the write landed without a re-scan)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     from .queries.events_ext import missing_pattern
@@ -127,8 +129,13 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
         "sampling_hist": sampling_hist(spark, sf_dir),
         "missing_pattern": missing_pattern(spark, sf_dir),
     }
-    counts = []
-    for name, df in frames.items():
+
+    def _write(item):
+        # Spark job submission is thread-safe; the three writes are
+        # independent jobs, so submitting them concurrently lets the
+        # scheduler interleave their stages instead of serializing three
+        # write-job latencies (bundle wall time ≈ the slowest frame).
+        name, df = item
         path = os.path.join(out, f"frame={name}")
         df.write.mode("overwrite").parquet(path)
         n = sum(
@@ -136,5 +143,8 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
             for f in os.listdir(path)
             if f.endswith(".parquet")
         )
-        counts.append((name, n))
+        return name, n
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        counts = list(pool.map(_write, frames.items()))
     return spark.createDataFrame(counts, "frame string, n_rows long")
