@@ -80,3 +80,29 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+# Hinted-broadcast safety cap. An explicit broadcast hint is OBEYED regardless
+# of relation size: the build side is collected to the driver (bounded by
+# spark.driver.maxResultSize, 1 GiB default) and the hashmap replicated to
+# every executor. 384 MiB of ESTIMATED row payload leaves ~2-3x headroom under
+# both limits after serialization overhead. Callers estimate with
+# rows x bytes-per-row from parquet footer counts (sources.tables.table_rows).
+BROADCAST_CAP_BYTES = 384 << 20
+
+
+def broadcast_if_small(df: DataFrame, est_bytes: int,
+                       cap: int = BROADCAST_CAP_BYTES) -> DataFrame:
+    """Broadcast hint, size-gated: hint only when the estimated build-side
+    payload is safely driver-collectable; otherwise return ``df`` unhinted so
+    Catalyst plans a shuffle join (and AQE may still broadcast at runtime
+    from observed stats — the gate removes only the unsafe FORCED path).
+
+    Found the hard way on the sf100 ladder: an unconditional
+    ``F.broadcast(bridge)`` on a one-row-per-order relation worked through
+    sf10 (~240 MB) and died at sf100 (~2.4 GB > spark.driver.maxResultSize).
+    Every broadcast of a relation whose cardinality grows with a FACT table
+    must come through this gate; fixed-cardinality dims (nation, region,
+    equation registry) may hint directly.
+    """
+    return F.broadcast(df) if est_bytes < cap else df

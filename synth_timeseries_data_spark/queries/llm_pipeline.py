@@ -998,8 +998,19 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup-proportional, tiny next to the corpus — so applying the
     dedup is ONE broadcast left join against the documents scan plus a
     per-source rollup; no corpus-sized shuffle anywhere. All-integer
-    output: cross-engine bit-exactness is structural."""
+    output: cross-engine bit-exactness is structural.
+
+    The broadcast hint is size-gated on the corpus footer row count
+    (drops ⊆ documents, ~32 B/row of id+flag): at fixture scales the hint
+    always fires, but at a billion-document corpus a worst-case drop set
+    is itself fact-proportional and force-broadcasting it would blow the
+    driver — past the gate the plan falls back to a shuffle join keyed on
+    doc_id (same class of fix as revenue_by_nation's order bridge, caught
+    on the sf100 ladder)."""
     import pyspark.sql.functions as F
+
+    from ..functions.scale import broadcast_if_small
+    from ..sources import table_rows
 
     clusters = dedup_clusters(spark, sf_dir)
     drops = (
@@ -1008,7 +1019,11 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_drop", F.lit(1))
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    flagged = docs.join(F.broadcast(drops), "doc_id", "left")
+    flagged = docs.join(
+        broadcast_if_small(drops, table_rows(sf_dir, "documents") * 32),
+        "doc_id",
+        "left",
+    )
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.coalesce(F.col("is_drop"), F.lit(0))).cast("bigint").alias("n_dropped"),

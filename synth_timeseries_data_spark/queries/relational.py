@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from ..functions.detrand import lcg_uniform_sql
 from ..functions.materialize import persisted
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
-from ..sources import load
+from ..functions.scale import broadcast_if_small
+from ..sources import load, table_rows
 from . import register
 
 # Shared deterministic-uniform snippet: the Spark expression and the DuckDB
@@ -350,17 +351,29 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 2-int-column relation every execution, and rebuilding its
     broadcast input from parquet each run measured 0.16 s of the query's
     0.6 s floor — the session dimension cache cuts steady-state to ~0.44 s.
-    The bridge join carries an explicit broadcast hint at dimension size;
-    past broadcastability the cluster-scale form is the same bridge
+
+    The bridge is FACT-proportional (one row per order), so its broadcast
+    hint is SIZE-GATED on the orders footer row count (~16 B/row for an
+    int pair): through sf10 (15M orders, ~240 MB) the broadcast wins; at
+    sf100 (150M orders, ~2.4 GB) the unconditional hint blew
+    spark.driver.maxResultSize — caught by the 4th-decade ladder — and the
+    gate now yields a sort-merge join on l_orderkey there. The customer
+    side of the bridge build gets the same gate (one row per customer).
+    Past broadcastability the cluster-scale form is the same bridge
     write_bucketed on o_orderkey and a co-located shuffle join — either
-    way the fact side never shuffles before the 25-group aggregate."""
+    way the fact side still aggregates on the int key before any string
+    dim appears."""
     li = load(spark, sf_dir, "lineitem")
+    # rows x 16 B: both relations are projected to an int pair
+    bridge_bytes = table_rows(sf_dir, "orders") * 16
+    cust_bytes = table_rows(sf_dir, "customer") * 16
 
     def _bridge() -> DataFrame:
         orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         return orders.join(
-            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            broadcast_if_small(cust, cust_bytes),
+            F.col("o_custkey") == F.col("c_custkey"),
         ).select("o_orderkey", "c_nationkey")
 
     def _dim() -> DataFrame:
@@ -377,7 +390,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
         li.select("l_orderkey", rev.alias("rev"))
-        .join(F.broadcast(bridge), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast_if_small(bridge, bridge_bytes),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_items"), dsum("rev", "revenue"))
     )

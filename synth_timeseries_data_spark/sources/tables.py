@@ -67,6 +67,49 @@ def _fingerprint(path: str) -> tuple[float, int]:
     return mtime, size
 
 
+# Footer row-count memo: file metadata, not session state, so a plain module
+# dict keyed by (path, fingerprint) is correct — a rewritten dataset gets a
+# new fingerprint and re-reads its footers.
+_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    a pure driver-side stat (<100 ms even for a 17 GB multi-part dataset,
+    memoized after the first call), no Spark job.
+
+    Used to size-gate broadcast hints: a hint like ``F.broadcast(bridge)``
+    is unconditional — Spark obeys it regardless of actual size — so a
+    derived relation that is FACT-proportional (one row per order, one row
+    per document) must check the fact table's cardinality before hinting.
+    The sf100 ladder caught exactly this: a 150M-row order bridge serialized
+    past ``spark.driver.maxResultSize`` (1 GiB) and killed the job.
+
+    Unknown/unreadable footers return ``2**62`` (treat as huge): the safe
+    failure mode is *no hint* — the plan stays correct and AQE can still
+    broadcast at runtime from observed shuffle stats.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path,) + _fingerprint(path)
+    n = _ROWS_CACHE.get(key)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                n = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            n = 2**62
+        _ROWS_CACHE[key] = n
+    return n
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 

@@ -1,0 +1,80 @@
+"""Size-gated broadcast hints (functions/scale.py::broadcast_if_small).
+
+The sf100 ladder caught a forced ``F.broadcast`` on a fact-proportional
+relation (revenue_by_nation's one-row-per-order bridge, ~2.4 GB at 150M
+orders) blowing ``spark.driver.maxResultSize``. These tests pin the gate:
+under the cap the hint fires (BroadcastHashJoin even with auto-broadcast
+off); over the cap the hint is absent and Catalyst plans a shuffle join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from synth_timeseries_data_spark.functions.scale import (
+    BROADCAST_CAP_BYTES,
+    broadcast_if_small,
+)
+from synth_timeseries_data_spark.queries import all_queries
+from synth_timeseries_data_spark.sources import load, table_rows
+
+
+@contextlib.contextmanager
+def _conf(spark, key, value):
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_table_rows_exact_counts(oracle_sf_dir):
+    # footer metadata, no Spark job; sf0.01 fixture cardinalities
+    assert table_rows(oracle_sf_dir, "nation") == 25
+    assert table_rows(oracle_sf_dir, "region") == 5
+    assert table_rows(oracle_sf_dir, "orders") > 1000
+
+
+def test_table_rows_unknown_is_huge(tmp_path):
+    # unreadable footer => treat as huge => never force a broadcast
+    assert table_rows(str(tmp_path), "nope") >= 2**62
+
+
+def test_gate_hints_under_cap(spark, oracle_sf_dir):
+    orders = load(spark, oracle_sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, oracle_sf_dir, "customer").select("c_custkey", "c_nationkey")
+    est = table_rows(oracle_sf_dir, "customer") * 16
+    assert est < BROADCAST_CAP_BYTES
+    # auto-broadcast off isolates the HINT as the only broadcast source
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        j = orders.join(
+            broadcast_if_small(cust, est),
+            orders.o_custkey == cust.c_custkey,
+        )
+        assert "BroadcastHashJoin" in _physical(j)
+
+
+def test_gate_withholds_hint_over_cap(spark, oracle_sf_dir):
+    orders = load(spark, oracle_sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, oracle_sf_dir, "customer").select("c_custkey", "c_nationkey")
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        j = orders.join(
+            broadcast_if_small(cust, BROADCAST_CAP_BYTES + 1),
+            orders.o_custkey == cust.c_custkey,
+        )
+        plan = _physical(j)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_revenue_by_nation_still_broadcasts_at_fixture_scale(
+    spark, oracle_sf_dir
+):
+    # the gate must not cost the small-SF plan its broadcasts
+    plan = _physical(all_queries()["revenue_by_nation"].build(spark, oracle_sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
