@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.detrand import lcg_uniform_sql
 from ..functions.materialize import persisted
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
-from ..functions.scale import broadcast_if_small
+from ..functions.scale import BROADCAST_CAP_BYTES, broadcast_if_small
 from ..sources import load, table_rows
 from . import register
 
@@ -359,10 +359,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.driver.maxResultSize — caught by the 4th-decade ladder — and the
     gate now yields a sort-merge join on l_orderkey there. The customer
     side of the bridge build gets the same gate (one row per customer).
-    Past broadcastability the cluster-scale form is the same bridge
-    write_bucketed on o_orderkey and a co-located shuffle join — either
-    way the fact side still aggregates on the int key before any string
-    dim appears."""
+
+    In the NON-broadcast branch the fact side pre-aggregates per
+    l_orderkey BEFORE the join: the map-side partial combine then shrinks
+    the lineitem shuffle from one row per item (~4/order) to one row per
+    order, and the SMJ sorts the reduced set (sf100: 114 s → measured
+    faster with the pre-agg; 600M → 150M shuffled rows). Exactness is
+    free — the micro-bigint sums are associative, so per-order partials
+    re-summed per nation are bit-identical to the one-level sum. At
+    broadcast scale the pre-agg would ADD an exchange (the broadcast join
+    needs none), so it engages only past the gate. Past even that, the
+    cluster-scale form is the bridge write_bucketed on o_orderkey and a
+    co-located shuffle join — the fact side still aggregates on the int
+    key before any string dim appears."""
     li = load(spark, sf_dir, "lineitem")
     # rows x 16 B: both relations are projected to an int pair
     bridge_bytes = table_rows(sf_dir, "orders") * 16
@@ -388,15 +397,31 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge = persisted(spark, f"rev_bridge|{sf_dir}", _bridge)
     dim = persisted(spark, f"rev_dim|{sf_dir}", _dim)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    agg = (
-        li.select("l_orderkey", rev.alias("rev"))
-        .join(
-            broadcast_if_small(bridge, bridge_bytes),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    fact = li.select("l_orderkey", rev.alias("rev"))
+    if bridge_bytes < BROADCAST_CAP_BYTES:
+        agg = (
+            fact.join(
+                F.broadcast(bridge), F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_items"), dsum("rev", "revenue"))
         )
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_items"), dsum("rev", "revenue"))
-    )
+    else:
+        # scale branch: per-order partials ride the join shuffle
+        per_order = fact.groupBy("l_orderkey").agg(
+            F.count("*").alias("n_part"),
+            F.sum(F.floor(F.col("rev") * 1000000.0).cast("bigint")).alias("rev_u"),
+        )
+        agg = (
+            per_order.join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("n_part").alias("n_items"),
+                (F.sum("rev_u").cast("double") / F.lit(1000000.0)).alias(
+                    "revenue"
+                ),
+            )
+        )
     return (
         agg.join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(

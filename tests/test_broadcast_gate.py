@@ -78,3 +78,26 @@ def test_revenue_by_nation_still_broadcasts_at_fixture_scale(
     # the gate must not cost the small-SF plan its broadcasts
     plan = _physical(all_queries()["revenue_by_nation"].build(spark, oracle_sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_revenue_scale_branch_bit_identical(spark, oracle_sf_dir, monkeypatch):
+    """The non-broadcast branch (per-order pre-agg + shuffle join) must give
+    byte-identical results: micro-bigint partial sums are associative, so
+    re-summing per-order partials per nation equals the one-level sum."""
+    import synth_timeseries_data_spark.queries.relational as rel
+
+    build = all_queries()["revenue_by_nation"].build
+    base = {tuple(r) for r in build(spark, oracle_sf_dir).collect()}
+
+    monkeypatch.setattr(rel, "BROADCAST_CAP_BYTES", 0)
+    # auto-broadcast off: at fixture scale Catalyst would still broadcast the
+    # tiny unhinted bridge on stats — hide that to see the at-scale shape
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        scaled_df = build(spark, oracle_sf_dir)
+        plan = _physical(scaled_df)
+        # the order bridge must NOT be broadcast in this branch
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # per-order pre-agg present: partial+final around the orderkey
+        # exchange, then partial+final for the nation rollup
+        assert plan.count("HashAggregate") >= 4
+        assert {tuple(r) for r in scaled_df.collect()} == base
