@@ -100,6 +100,21 @@ _SMALL_INPUT_BYTES = int(
 )
 _SMALL_SHUFFLE = "8"
 
+# Above the small gate, shuffle DOP must GROW with the input or per-task
+# sorts spill: the sf100 ladder (17 GB) at the session's fixed 32 partitions
+# put ~1 GB of merged window rows in each sort task — asof_lag 118 s,
+# revenue_by_nation 88 s, rolling_median 29 s, all dominated by external-sort
+# spill. Re-run at 256 partitions: 19 s / 37 s / 9.5 s. One shuffle partition
+# per ~64 MB of on-disk input (compressed parquet widens ~2-4x in flight, so
+# this lands near the classic 128-256 MB in-memory target) restores the
+# sub-linear decade trend; AQE coalesces the count back down for queries that
+# touch only a slice of the directory. This is exactly the knob a cluster job
+# sizes first — the ladder just proved the local harness needs the same rule.
+_TARGET_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PARTITION_BYTES", str(64 * 1024 * 1024))
+)
+_MAX_SHUFFLE = 4096
+
 _dir_bytes: dict[str, int] = {}
 # Keyed WEAKLY on the session object, not id(): the allocator reuses
 # addresses after gc, so an id-keyed entry from a dead session could make
@@ -118,11 +133,23 @@ def _input_bytes(sf_dir: str) -> int:
     b = _dir_bytes.get(sf_dir)
     if b is None:
         try:
-            b = sum(
-                e.stat().st_size
-                for e in os.scandir(sf_dir)
-                if e.is_file() and e.name.endswith(".parquet")
-            )
+            b = 0
+            for e in os.scandir(sf_dir):
+                if not e.name.endswith(".parquet"):
+                    continue
+                if e.is_file():
+                    b += e.stat().st_size
+                elif e.is_dir():
+                    # Spark-written dataset DIRECTORY (part-*.parquet inside).
+                    # Counting only flat files made a 17 GB directory fixture
+                    # read as ~0 bytes -> small posture (8 partitions, AQE
+                    # off) -> asof_lag 158 s instead of 19 s at sf100.
+                    with os.scandir(e.path) as it:
+                        b += sum(
+                            p.stat().st_size
+                            for p in it
+                            if p.is_file() and p.name.endswith(".parquet")
+                        )
         except OSError:
             b = _SMALL_INPUT_BYTES  # unknown input: keep cluster posture
         _dir_bytes[sf_dir] = b
@@ -142,22 +169,29 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     sf0.001 gate then the sf10 ladder."""
     if os.environ.get("SPARK_GRAFT_AUTOTUNE", "on") == "off":
         return
-    small = _input_bytes(sf_dir) < _SMALL_INPUT_BYTES
-    if _applied.get(spark) == small:
-        return
+    nbytes = _input_bytes(sf_dir)
+    small = nbytes < _SMALL_INPUT_BYTES
     if spark not in _session_posture:
         _session_posture[spark] = (
             spark.conf.get("spark.sql.adaptive.enabled", "true"),
             spark.conf.get("spark.sql.shuffle.partitions", "200"),
         )
     orig_aqe, orig_shuffle = _session_posture[spark]
+    if small:
+        shuffle = _SMALL_SHUFFLE
+    else:
+        # big-input tier: one partition per ~64 MB on disk, never below the
+        # session's configured DOP, capped to keep task counts sane
+        shuffle = str(
+            min(_MAX_SHUFFLE,
+                max(int(orig_shuffle), nbytes // _TARGET_PARTITION_BYTES))
+        )
+    if _applied.get(spark) == (small, shuffle):
+        return
     if os.environ.get("SPARK_GRAFT_AQE") is None:
         spark.conf.set(
             "spark.sql.adaptive.enabled", "false" if small else orig_aqe
         )
     if os.environ.get("SPARK_GRAFT_SHUFFLE") is None:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            _SMALL_SHUFFLE if small else orig_shuffle,
-        )
-    _applied[spark] = small
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    _applied[spark] = (small, shuffle)
