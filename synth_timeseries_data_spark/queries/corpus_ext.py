@@ -375,8 +375,15 @@ def _sd_dot(d, a: str, b: str) -> str:
 # pinned in tests/test_corpus_ext.py). Gate fixtures sit far under the cap
 # (max cluster ~30 at sf0.01), so the oracle-checked path is pure
 # all-pairs there.
-_SD_CLUSTER_CAP = 256
+# The cap equals the neighborhood path's per-member budget (2·_SD_NEIGHBORS
+# ≈ all-pairs in a 33-member cluster), so candidate fan-out is bounded PER
+# MEMBER in every cluster. The original 256 left a cliff — clusters just
+# under it did all-pairs at 127 candidates/member, and at the sf100 tier
+# (2M clustered vectors) near-cap clusters in aggregate explode the same
+# way embed_neardup's near-cap buckets did (measured there: ~10⁹ candidate
+# rows, 59 GB spill, dead job). Same invariant, same constant.
 _SD_NEIGHBORS = 16
+_SD_CLUSTER_CAP = 2 * _SD_NEIGHBORS + 1
 
 
 def _sd_tail(d, assign: str, guard: bool = False) -> str:

@@ -773,6 +773,23 @@ def _mh_sigs_sql(d, docagg: str) -> str:
     return f"SELECT doc_id, unnest([{structs}], recursive := true) FROM {docagg}"
 
 
+# Hot-bucket guard for the LSH bucket join (the _ND_BUCKET_CAP /
+# _SD_CLUSTER_CAP invariant, third instance): a band bucket holds every doc
+# sharing that band signature, and a corpus with K near-identical documents
+# (boilerplate, mirrored pages) puts all K in ONE bucket — all-pairs there
+# is K²/2 candidates regardless of banding. Buckets over the cap switch to
+# sorted-neighborhood pairing by doc_id rank (rank-blocked so the join
+# enumerates O(m·W), not m², rows per bucket): near-identical members stay
+# one connected component for downstream clustering while fan-out is
+# bounded at 2·_MH_NEIGHBORS per member. The cap equals that budget, so
+# there is no near-cap all-pairs cliff. The guard is in the SHARED dialect
+# template — both engines compute identical results at every scale, and
+# gate fixtures (max bucket << 33) never engage it, keeping the oracle
+# path pure all-pairs.
+_MH_NEIGHBORS = 16
+_MH_BUCKET_CAP = 2 * _MH_NEIGHBORS + 1
+
+
 def _minhash_tail(d, docagg: str, sigs: str) -> str:
     """Bucket-join → array-intersect verify over relations ``docagg``
     (doc_id, n_sh, h0..h15, arr) and ``sigs`` (doc_id, band, sig)."""
@@ -781,11 +798,41 @@ def _minhash_tail(d, docagg: str, sigs: str) -> str:
         if d is _SPARK_D
         else "len(list_intersect(da.arr, db.arr))"
     )
+    blk = (
+        f"((rn - 1) DIV {_MH_NEIGHBORS})"
+        if d is _SPARK_D
+        else f"((rn - 1) // {_MH_NEIGHBORS})"
+    )
+    expand_blk = (
+        "explode(array(blk, blk + 1))"
+        if d is _SPARK_D
+        else "unnest([blk, blk + 1])"
+    )
     return f"""
+    bsize AS (SELECT band, sig, COUNT(*) AS m FROM {sigs} GROUP BY band, sig),
+    mem AS (
+      SELECT s.doc_id, s.band, s.sig, z.m
+      FROM {sigs} s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+    ),
+    dense0 AS (
+      SELECT doc_id, band, sig,
+             ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+      FROM mem WHERE m > {_MH_BUCKET_CAP}
+    ),
+    dense AS (SELECT *, {blk} AS blk FROM dense0),
+    probe AS (SELECT *, {expand_blk} AS jblk FROM dense),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM {sigs} a JOIN {sigs} b ON a.band = b.band AND a.sig = b.sig
-                                 AND a.doc_id < b.doc_id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mem a JOIN mem b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+        WHERE a.m <= {_MH_BUCKET_CAP}
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM probe a JOIN dense b
+          ON b.band = a.band AND b.sig = a.sig AND b.blk = a.jblk
+         AND b.rn > a.rn AND b.rn <= a.rn + {_MH_NEIGHBORS}
+      ) u
     ),
     -- BROADCAST(c): the candidate-pair set is tiny (bucket collisions
     -- only) but derived, so the static planner can't see its size; the
@@ -1623,11 +1670,21 @@ def _nd_v_sql(d) -> str:
 # deterministic; cosine-close vectors have close projections) and paired
 # only with their _ND_NEIGHBORS successors — candidates linear in bucket
 # size. Recall inside over-cap buckets is approximate by design (each of
-# the 4 bands retries with a different projection); gate fixtures never
-# exceed the cap (max bucket 105 at sf0.1), so the oracle path is
+# the 4 bands retries with a different projection); gate fixtures run the
+# 8-bit tier where the guard never engages, so the oracle path is
 # bit-identical all-pairs.
-_ND_BUCKET_CAP = 256
+#
+# The cap equals the per-member budget the neighborhood path spends
+# (2·_ND_NEIGHBORS successors+predecessors ≈ all-pairs in a 33-bucket), so
+# candidate fan-out is O(_ND_NEIGHBORS) PER MEMBER in every bucket — the
+# only invariant that survives scale. The original cap of 256 left a
+# cliff: buckets just under it did all-pairs (127 candidates/member), and
+# at sf100 (2M clustered vectors) thousands of near-cap buckets summed to
+# ~10⁹ candidate rows whose dedup shuffle filled 59 GB of disk and killed
+# the job — the 4th real scale bug the ladder caught. Total candidates are
+# now ≤ 4 bands × 2·_ND_NEIGHBORS × n by construction.
 _ND_NEIGHBORS = 16
+_ND_BUCKET_CAP = 2 * _ND_NEIGHBORS + 1
 
 
 def _nd_tail(

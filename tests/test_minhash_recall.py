@@ -107,3 +107,60 @@ def test_banded_minhash_recall(spark, neardup_view):
     )
     all_true = {(r.doc_a, r.doc_b) for r in spark.sql(emitted_truth_sql).collect()}
     assert got <= all_true, f"emitted non-near-dup pairs: {sorted(got - all_true)[:5]}"
+
+
+def test_minhash_hot_bucket_guard_keeps_blob_connected(spark):
+    """Hot-bucket guard property (the embed_neardup/semdedup invariant, LSH
+    instance): a blob of IDENTICAL documents larger than _MH_BUCKET_CAP
+    shares every band signature, landing all members in the same 8 buckets.
+    All-pairs there would be m²/2 candidates; the guard must instead emit a
+    bounded, CONNECTED pair set (downstream clustering still collapses the
+    blob to one representative) and leave unrelated docs un-paired."""
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _MH_BUCKET_CAP,
+        _MH_NEIGHBORS,
+        _SPARK_D,
+        _mh_docagg_sql,
+        _mh_sigs_sql,
+        _minhash_tail,
+        _shingles_raw_cte,
+    )
+
+    m = _MH_BUCKET_CAP * 3  # decisively over-cap
+    blob_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, blob_text) for i in range(m)]
+    # background: distinct docs, no shared shingles with the blob or each other
+    rows += [
+        (m + i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    df.createOrReplaceTempView("documents_par")
+    try:
+        sql = (
+            _shingles_raw_cte(_SPARK_D)
+            + f", docagg AS ({_mh_docagg_sql(_SPARK_D)})"
+            + f", sigs AS ({_mh_sigs_sql(_SPARK_D, 'docagg')}),"
+            + _minhash_tail(_SPARK_D, "docagg", "sigs")
+        )
+        pairs = [(r.doc_a, r.doc_b) for r in spark.sql(sql).collect()]
+
+        parent = list(range(m + 20))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        assert len({find(i) for i in range(m)}) == 1, "blob disconnected"
+        assert not any(v >= m for p in pairs for v in p), "background paired"
+        # fan-out stayed bounded: identical docs give identical chains in
+        # every band, so DISTINCT collapses to ~_MH_NEIGHBORS per member
+        assert len(pairs) <= m * _MH_NEIGHBORS, len(pairs)
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("documents_par")
