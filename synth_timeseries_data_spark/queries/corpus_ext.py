@@ -444,17 +444,22 @@ def _sd_tail(d, assign: str, guard: bool = False) -> str:
                  CAST(FLOOR({d['el']('e', '1')} * 1000000.0) AS BIGINT) AS proj
           FROM v0),
     csize AS (SELECT c, COUNT(*) AS m FROM {assign} GROUP BY c),
-    -- candidate generation stays NARROW (vec_id/c/rank only — arrays are
-    -- fetched once per surviving candidate at the very end, so no join or
-    -- sort ever carries a 64-double payload it does not need)
-    memn AS (
-      SELECT s.vec_id, s.c, z.m FROM {assign} s JOIN csize z ON z.c = s.c
+    -- vectors attach once per MEMBER (one row per vector, ~n·0.5 KB),
+    -- and the cosine computes INSIDE the c-co-partitioned self-join where
+    -- wide rows are pipelined, never exchanged. The superseded shape kept
+    -- candidates narrow but then joined both arrays back PER PAIR — with
+    -- a per-member budget of 2·W that verify shuffle is ~n·W KB (tens of
+    -- GB at the sf100 tier), the same disk-filling pattern that killed
+    -- embed_neardup's separate-verify plan there.
+    mem AS (
+      SELECT s.vec_id, s.c, z.m, v.e, v.nrm, v.proj
+      FROM {assign} s JOIN csize z ON z.c = s.c
+      JOIN v ON v.vec_id = s.vec_id
     ),
+    small AS (SELECT * FROM mem WHERE m <= {_SD_CLUSTER_CAP}),
     dense0 AS (
-      SELECT n.vec_id, n.c,
-             ROW_NUMBER() OVER (PARTITION BY n.c ORDER BY v.proj, n.vec_id) AS rn
-      FROM memn n JOIN v ON v.vec_id = n.vec_id
-      WHERE n.m > {_SD_CLUSTER_CAP}
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY proj, vec_id) AS rn
+      FROM mem WHERE m > {_SD_CLUSTER_CAP}
     ),
     -- rank-block the neighborhood join: a bare c-equality join would
     -- enumerate every within-cluster pair (m² rows per cluster — the
@@ -466,27 +471,21 @@ def _sd_tail(d, assign: str, guard: bool = False) -> str:
     dense AS (SELECT *, {_blk} AS blk FROM dense0),
     probe AS (SELECT *, {_expand_blk} AS jblk FROM dense),
     -- a vector lives in exactly one cluster and the two branches cover
-    -- disjoint clusters, so no candidate pair can repeat — no DISTINCT
-    cand AS (
-      SELECT a.vec_id AS lo, b.vec_id AS hi
-      FROM memn a JOIN memn b ON b.c = a.c AND a.vec_id < b.vec_id
-      WHERE a.m <= {_SD_CLUSTER_CAP}
+    -- disjoint clusters, so no pair can repeat — no DISTINCT.
+    -- NULLIF: Spark 4 ANSI throws DIVIDE_BY_ZERO even on double division,
+    -- so a zero vector would crash; NULL compares false against the keep
+    -- threshold in both engines.
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS lo,
+             ROUND({_sd_dot(d, 'a.e', 'b.e')} / NULLIF(a.nrm * b.nrm, 0.0), 6) AS rcos
+      FROM small a JOIN small b ON b.c = a.c AND a.vec_id < b.vec_id
       UNION ALL
-      SELECT LEAST(a.vec_id, b.vec_id) AS lo,
-             GREATEST(a.vec_id, b.vec_id) AS hi
+      SELECT GREATEST(a.vec_id, b.vec_id) AS vec_id,
+             LEAST(a.vec_id, b.vec_id) AS lo,
+             ROUND({_sd_dot(d, 'a.e', 'b.e')} / NULLIF(a.nrm * b.nrm, 0.0), 6) AS rcos
       FROM probe a JOIN dense b
         ON b.c = a.c AND b.blk = a.jblk
        AND b.rn > a.rn AND b.rn <= a.rn + {_SD_NEIGHBORS}
-    ),
-    pairs AS (
-      SELECT c.hi AS vec_id, c.lo AS lo,
-             -- NULLIF: Spark 4 ANSI throws DIVIDE_BY_ZERO even on double
-             -- division, so a zero vector would crash; NULL compares
-             -- false against the keep threshold in both engines
-             ROUND({_sd_dot(d, 'va.e', 'vb.e')} / NULLIF(va.nrm * vb.nrm, 0.0), 6) AS rcos
-      FROM cand c
-      JOIN v va ON va.vec_id = c.lo
-      JOIN v vb ON vb.vec_id = c.hi
     ),
     dup AS (
       SELECT vec_id, MIN(lo) AS dup_of, MAX(rcos) + 0.0 AS max_cos

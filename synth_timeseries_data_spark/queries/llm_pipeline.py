@@ -1690,63 +1690,105 @@ _ND_BUCKET_CAP = 2 * _ND_NEIGHBORS + 1
 def _nd_tail(
     d, sigs: str, v: str, broadcast_cand: bool = True, dense_guard: bool = False
 ) -> str:
-    """Candidate generation + exact-cosine verify over relations ``sigs``
-    and ``v``. ``broadcast_cand`` should be False for large corpora where
-    the candidate set outgrows a broadcast build; ``dense_guard`` switches
-    over-cap buckets to sorted-neighborhood pairing (engaged only past the
-    8-bit gate tier — below it no fixture bucket approaches the cap and
-    the bucket-count join would be pure overhead)."""
-    hint = "/*+ BROADCAST(c) */ " if broadcast_cand and d is _SPARK_D else ""
+    """FUSED bucket-join + exact-cosine verify over relations ``sigs`` and
+    ``v``. ``dense_guard`` switches over-cap buckets to rank-blocked
+    sorted-neighborhood pairing (engaged only past the 8-bit gate tier —
+    below it no fixture bucket approaches the cap and the bucket-count
+    join would be pure overhead). ``broadcast_cand`` is retained for call
+    compatibility and ignored — there is no candidate relation to
+    broadcast anymore.
+
+    Why fused: the previous shape built a narrow DISTINCT candidate set,
+    then joined the two 64-double vectors back PER PAIR — so the verify
+    shuffle carried ~1 KB per candidate, and at sf100 (2M clustered
+    vectors, ~10⁸ in-budget candidates) that is ~100 GB of sort-merge
+    spill; the job filled the disk and died inside the verify stage, with
+    candidate generation already linear. Here the vectors attach once per
+    MEMBER band-row (4n rows, ~4 GB at sf100), the cosine computes inside
+    the co-partitioned (band, sig) self-join where wide rows are pipelined
+    and never hit an exchange, and only SURVIVING pairs — narrow rows —
+    flow to the cross-band DISTINCT. Same output set: cos is identical
+    IEEE arithmetic per pair in every band, so post-filter DISTINCT over
+    (ids, labels, rounded cos) equals the old pre-verify candidate dedup.
+    The dense branch is additionally rank-BLOCKED ((band, sig, blk)
+    equality keys) — the previous bare bucket join enumerated m² rows
+    before its rn-window filter could drop them."""
+    del broadcast_cand
+
+    def dot(a: str, b: str) -> str:
+        if d is _SPARK_D:
+            return (
+                f"aggregate(zip_with({a}.e, {b}.e, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        return f"list_dot_product({a}.e, {b}.e)"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / NULLIF({a}.nrm * {b}.nrm, 0.0)"
+
     if dense_guard:
-        cand = f"""
+        blk = (
+            f"((rn - 1) DIV {_ND_NEIGHBORS})"
+            if d is _SPARK_D
+            else f"((rn - 1) // {_ND_NEIGHBORS})"
+        )
+        expand_blk = (
+            "explode(array(blk, blk + 1))"
+            if d is _SPARK_D
+            else "unnest([blk, blk + 1])"
+        )
+        hits = f"""
     bsize AS (
       SELECT band, sig, COUNT(*) AS c FROM {sigs} GROUP BY band, sig
     ),
     members AS (
-      SELECT s.vec_id, s.band, s.sig, s.proj, z.c
-      FROM {sigs} s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+      SELECT s.vec_id, s.band, s.sig, s.proj, z.c, v.label, v.e, v.nrm
+      FROM {sigs} s
+      JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+      JOIN {v} v ON v.vec_id = s.vec_id
     ),
+    small AS (SELECT * FROM members WHERE c <= {_ND_BUCKET_CAP}),
     ranked AS (
-      SELECT vec_id, band, sig,
-             ROW_NUMBER() OVER (PARTITION BY band, sig
-                                ORDER BY proj, vec_id) AS rn
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band, sig
+                                   ORDER BY proj, vec_id) AS rn
       FROM members WHERE c > {_ND_BUCKET_CAP}
     ),
-    cand AS (
-      SELECT DISTINCT vec_a, vec_b FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM members a JOIN members b
-          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-        WHERE a.c <= {_ND_BUCKET_CAP}
-        UNION ALL
-        SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
-               GREATEST(a.vec_id, b.vec_id) AS vec_b
-        FROM ranked a JOIN ranked b
-          ON a.band = b.band AND a.sig = b.sig
-         AND b.rn > a.rn AND b.rn <= a.rn + {_ND_NEIGHBORS}
-      ) u
+    dense AS (SELECT *, {blk} AS blk FROM ranked),
+    probe AS (SELECT *, {expand_blk} AS jblk FROM dense),
+    hits AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.label AS label_a, b.label AS label_b,
+             {cos('a', 'b')} AS cs
+      FROM small a JOIN small b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      UNION ALL
+      SELECT CASE WHEN a.vec_id < b.vec_id THEN a.vec_id ELSE b.vec_id END,
+             CASE WHEN a.vec_id < b.vec_id THEN b.vec_id ELSE a.vec_id END,
+             CASE WHEN a.vec_id < b.vec_id THEN a.label ELSE b.label END,
+             CASE WHEN a.vec_id < b.vec_id THEN b.label ELSE a.label END,
+             {cos('a', 'b')} AS cs
+      FROM probe a JOIN dense b
+        ON b.band = a.band AND b.sig = a.sig AND b.blk = a.jblk
+       AND b.rn > a.rn AND b.rn <= a.rn + {_ND_NEIGHBORS}
     )"""
     else:
-        cand = f"""
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM {sigs} a JOIN {sigs} b ON a.band = b.band AND a.sig = b.sig
-                                 AND a.vec_id < b.vec_id
+        hits = f"""
+    members AS (
+      SELECT s.vec_id, s.band, s.sig, v.label, v.e, v.nrm
+      FROM {sigs} s JOIN {v} v ON v.vec_id = s.vec_id
+    ),
+    hits AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.label AS label_a, b.label AS label_b,
+             {cos('a', 'b')} AS cs
+      FROM members a JOIN members b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     )"""
-    return f"""{cand},
-    sims AS (
-      SELECT {hint}c.vec_a, c.vec_b, va.label AS label_a, vb.label AS label_b,
-             {'aggregate(zip_with(va.e, vb.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)'
-              if d is _SPARK_D else
-              'list_dot_product(va.e, vb.e)'} / NULLIF(va.nrm * vb.nrm, 0.0) AS cos_sim
-      FROM cand c
-      JOIN {v} va ON va.vec_id = c.vec_a
-      JOIN {v} vb ON vb.vec_id = c.vec_b
-    )
-    SELECT vec_a, vec_b, label_a, label_b,
-           ROUND(cos_sim, 6) + 0.0 AS cos_sim
-    FROM sims
-    WHERE ROUND(cos_sim, 6) >= {_ND_THRESHOLD}
+    return f"""{hits}
+    SELECT DISTINCT vec_a, vec_b, label_a, label_b,
+           ROUND(cs, 6) + 0.0 AS cos_sim
+    FROM hits
+    WHERE ROUND(cs, 6) >= {_ND_THRESHOLD}
     """
 
 
