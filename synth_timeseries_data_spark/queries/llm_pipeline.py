@@ -493,6 +493,34 @@ def _repetition_sql(d) -> str:
     # dup_ratio emitted as a RAW double (no ROUND): it is a ratio of exact
     # integers, so the division is bit-identical in both engines, while
     # ROUND of a rational can land on a .5 tie the engines break differently.
+    #
+    # The Spark side is a ZERO-SHUFFLE projection: doc_id is the grouping
+    # key AND every shingle of a doc comes from that doc's single input
+    # row, so COUNT(*)/COUNT(DISTINCT) over exploded shingle rows collapse
+    # to size()/size(array_distinct()) on the per-row shingle array — no
+    # explode, no exchange, no distinct aggregate. The explode form
+    # shuffled every (doc_id, shingle-string) pair for the two-phase
+    # distinct: ~10⁹ string rows at the sf100 ladder tier (59 s steady;
+    # the projection is scan-bound). The oracle keeps the independent
+    # explode+GROUP BY form as the semantics check.
+    if d is _SPARK_D:
+        return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    sh AS (
+      SELECT doc_id,
+             {d['transform'](
+                 d['seq']('1', d['len']('ws') + ' - 2'),
+                 "i -> CONCAT(element_at(ws, i), ' ', element_at(ws, i + 1),"
+                 " ' ', element_at(ws, i + 2))")} AS s
+      FROM w WHERE {d['len']('ws')} >= 3
+    )
+    SELECT doc_id,
+           CAST({d['len']('s')} AS BIGINT) AS n_shingles,
+           CAST({d['len'](d['distinct']('s'))} AS BIGINT) AS n_distinct,
+           1.0 - CAST({d['len'](d['distinct']('s'))} AS DOUBLE)
+             / {d['len']('s')} AS dup_ratio
+    FROM sh
+    """
     return (
         _shingles_raw_cte(d)
         + """

@@ -58,7 +58,12 @@ def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
     # a SECOND exchange/stage barrier for the re-combine — one more AQE
     # wave locally (0.39 vs 0.34 s at sf0.1) and one more stage on a
     # cluster. One exchange, map-side combine, is the window(1h, 15m)
-    # plan Structured Streaming itself runs.
+    # plan Structured Streaming itself runs. PAST the small-input tier the
+    # balance flips (see _sliding_rollup_sql): the 4× Generate feeds every
+    # fact row through the hash aggregate four times, and at the sf100
+    # ladder tier (100M events) that map-side CPU is 42 s vs 13.5 s for the
+    # rollup — so sliding_agg size-gates between the two forms on the
+    # parquet footer row count (no job), the _nd_bits/_sd_k precedent.
     expand = (
         "LATERAL VIEW explode(sequence(0, 3)) ks AS k"
         if spark_dialect
@@ -82,12 +87,58 @@ def _sliding_sql(tus: str, spark_dialect: bool = False) -> str:
     """
 
 
+def _sliding_rollup_sql(tus: str) -> str:
+    # Two-level rollup for the large-input tier: aggregate per quarter
+    # bucket FIRST (tumbling-sized — each fact row passes the hash
+    # aggregate exactly once), then explode the per-quarter PARTIALS by
+    # k=0..3 and re-combine. The explode now runs over O(#quarters×#types)
+    # rows instead of O(n) fact rows, so the 4× inflation costs nothing;
+    # the price is a second (partial-sized) exchange. Gated in by
+    # _SLIDING_ROLLUP_ROWS.
+    return f"""
+    WITH e AS (SELECT {tus} AS tus, event_type, value FROM events),
+    partials AS (
+      SELECT CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT) AS qtr, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sv
+      FROM e
+      GROUP BY CAST(FLOOR(tus / {_QTR_US}.0) AS BIGINT), event_type
+    ),
+    assigned AS (
+      SELECT qtr - k AS win_start_qtr, event_type, n, sv
+      FROM partials LATERAL VIEW explode(sequence(0, 3)) ks AS k
+    )
+    SELECT CAST(win_start_qtr AS DOUBLE) AS win_start_qtr,
+           event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) / 1000000.0 AS sum_value
+    FROM assigned
+    GROUP BY win_start_qtr, event_type
+    """
+
+
+# Above this many event rows the two-level rollup wins: the fixed extra
+# stage wave (~50 ms locally) is repaid by not feeding every fact row
+# through the hash aggregate 4×. Measured steady, quiet box: sf100 (100M
+# events) 42 s one-level vs 13.5 s rollup; sf10 (10M) 1.8 s rollup; sf1
+# (1M) 0.63 s one-level. The gate sits at 2M so driver/bench fixtures
+# (≤100k) keep the one-exchange plan that wins at that tier.
+_SLIDING_ROLLUP_ROWS = 2_000_000
+
+
 @register("sliding_agg", _sliding_sql("epoch_us(ts)"))
 def sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 min — the `window(ts, '1h', '15m')`
     analog as ONE hash aggregation over the k=0..3 window explode; map-side
-    partial aggregation keeps the shuffle O(buckets) at 100 TB."""
+    partial aggregation keeps the shuffle O(buckets) at 100 TB. Past
+    _SLIDING_ROLLUP_ROWS events (parquet footer count, no job) it switches
+    to the two-level rollup, which aggregates per quarter before the 4×
+    window explode — same result, map CPU linear in n instead of 4n."""
+    from ..sources.tables import table_rows
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    if table_rows(sf_dir, "events") > _SLIDING_ROLLUP_ROWS:
+        return spark.sql(_sliding_rollup_sql("(ts div 1000)"))
     return spark.sql(_sliding_sql("(ts div 1000)", spark_dialect=True))
 
 

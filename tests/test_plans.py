@@ -322,3 +322,15 @@ def test_gopher_rules_zero_shuffle_projection(spark, oracle_sf_dir):
     plan = _plan(spark, "gopher_rules", oracle_sf_dir)
     assert plan.count("Exchange") <= 1  # only the spread-view repartition
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_repetition_ratio_zero_shuffle_projection(spark, oracle_sf_dir):
+    """The duplicate-3-gram ratio collapses to size()/size(array_distinct())
+    on the per-row shingle array: besides the spread view's input
+    repartition, the plan must contain no exchange, no explode, no join,
+    and no aggregation — the explode+COUNT(DISTINCT) form shuffled every
+    (doc_id, shingle) string pair."""
+    plan = _plan(spark, "repetition_ratio", oracle_sf_dir)
+    assert plan.count("Exchange") <= 1  # only the spread-view repartition
+    assert "Generate" not in plan, plan[:2000]
+    assert "Join" not in plan and "HashAggregate" not in plan

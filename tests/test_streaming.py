@@ -500,3 +500,22 @@ def test_docdedup_stream_matches_batch_firstseen(spark, smoke_sf_dir):
         assert got == expected and len(expected) > 0
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_sliding_rollup_form_equals_one_level_form(spark, oracle_sf_dir):
+    """The size-gated two-level rollup (partial per quarter → explode
+    partials → re-combine) must produce exactly the one-exchange form's
+    result — the gate may only ever change the plan, never the answer."""
+    from synth_timeseries_data_spark.queries.streaming_analog import (
+        _sliding_rollup_sql,
+        _sliding_sql,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    load(spark, oracle_sf_dir, "events").createOrReplaceTempView("events")
+    one = spark.sql(_sliding_sql("(ts div 1000)", spark_dialect=True))
+    two = spark.sql(_sliding_rollup_sql("(ts div 1000)"))
+    key = lambda r: (r["win_start_qtr"], r["event_type"])  # noqa: E731
+    a = sorted(one.collect(), key=key)
+    b = sorted(two.collect(), key=key)
+    assert a == b and len(a) > 0
