@@ -1949,14 +1949,15 @@ _TFIDF_DUCK = _tfidf_sql(_DUCK_D)
 # form drops both full-relation exchanges — 0.64 s vs 0.89 s interleaved
 # min-of-8 at sf0.1, and the structurally right shape at 100 TB (same
 # device as unigram_xent).
-_TFIDF_SPARK = """
+def _tfidf_spark(hint: str) -> str:
+    return f"""
     WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents_par),
     toks AS (SELECT doc_id, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
     dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
     n AS (SELECT COUNT(*) AS n FROM documents),
     ranked AS (
-      SELECT /*+ BROADCAST(dfr) */ tf.doc_id, tf.term, tf.tf, dfr.df,
+      SELECT {hint} tf.doc_id, tf.term, tf.tf, dfr.df,
              ROUND(tf.tf * ln((SELECT CAST(n AS DOUBLE) FROM n) / dfr.df), 6) + 0.0 AS score
       FROM tf JOIN dfr ON dfr.term = tf.term
     ),
@@ -1969,6 +1970,41 @@ _TFIDF_SPARK = """
     """
 
 
+_TFIDF_SPARK = _tfidf_spark("/*+ BROADCAST(dfr) */")
+_TFIDF_SPARK_SHUFFLE = _tfidf_spark("")
+
+
+# Vocab-relation broadcast gate: dfr/vocab (one row per distinct term) is
+# CORPUS-proportional — Heaps-law sub-linear in practice, but unbounded in
+# principle (a 100 TB corpus can carry 10⁹+ distinct terms), the same
+# hazard class as the fact-proportional revenue bridge. The hint is
+# therefore gated on the documents table's on-disk footprint (the cheap
+# upper-bound proxy for vocab volume): under the cap, broadcast skips both
+# full-relation exchanges; over it, the hint is dropped and Catalyst plans
+# a term-keyed shuffle join of the two already-aggregated relations — the
+# shape that cannot OOM an executor at any vocab size. Measured at the
+# sf100 ladder tier (934 MB docs, ~5M-term vocab): broadcast still wins
+# on this box (tfidf 56 s vs 66 s, xent 36 s vs 41 s), so the gate sits
+# at 1 GiB — just past the largest tier we can measure, before the
+# vocab relation's driver-collect approaches maxResultSize. The shuffle
+# variant is pinned result-equal at gate scale in tests.
+_VOCAB_BCAST_DOCS_BYTES = 1 << 30
+
+
+def _docs_disk_bytes(sf_dir: str) -> int:
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(p)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+        return os.stat(p).st_size
+    except OSError:
+        return 1 << 62  # unknown: treat as huge, keep the shuffle-safe plan
+
+
 @register("tfidf_topterms", _TFIDF_DUCK)
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the standard corpus keyword /
@@ -1976,8 +2012,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle keeps the equivalent relational tf⋈df form. Scores are
     ROUND(.,6)+0.0 per the libm (ln) discipline and ranked on the ROUNDED
     value with the term string as tiebreak, so ordering is
-    engine-independent."""
-    return _spark_docs(spark, sf_dir, _TFIDF_SPARK)
+    engine-independent. The dfr broadcast is size-gated (see
+    _VOCAB_BCAST_DOCS_BYTES)."""
+    sql = (
+        _TFIDF_SPARK
+        if _docs_disk_bytes(sf_dir) < _VOCAB_BCAST_DOCS_BYTES
+        else _TFIDF_SPARK_SHUFFLE
+    )
+    return _spark_docs(spark, sf_dir, sql)
 
 
 # --------------------------------------------------------------------------
@@ -2264,6 +2306,11 @@ def _xent_sql(d) -> str:
 
 
 _XENT_SPARK, _XENT_DUCK = _dual(_xent_sql)
+# Over the vocab-broadcast gate the hint is stripped: the two aggregated
+# relations (tf, vocab) shuffle-join on term instead — see the
+# _VOCAB_BCAST_DOCS_BYTES rationale at tfidf_topterms.
+_XENT_SPARK_SHUFFLE = _XENT_SPARK.replace("/*+ BROADCAST(vocab) */ ", "")
+assert _XENT_SPARK_SHUFFLE != _XENT_SPARK
 
 
 @register("unigram_xent", _XENT_DUCK)
@@ -2274,5 +2321,11 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term-window count, same single-pass device as tfidf_topterms); the
     oracle keeps the relational vocab-join form. Token ln-probabilities are
     snapped to integer micro-nats and summed exactly, so the mean is
-    order-independent and engine-identical."""
-    return _spark_docs(spark, sf_dir, _XENT_SPARK)
+    order-independent and engine-identical. The vocab broadcast is
+    size-gated (see _VOCAB_BCAST_DOCS_BYTES)."""
+    sql = (
+        _XENT_SPARK
+        if _docs_disk_bytes(sf_dir) < _VOCAB_BCAST_DOCS_BYTES
+        else _XENT_SPARK_SHUFFLE
+    )
+    return _spark_docs(spark, sf_dir, sql)

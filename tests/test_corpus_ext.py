@@ -439,3 +439,27 @@ def test_semdedup_dense_cluster_guard_keeps_one_survivor(spark):
     dropped = [r for r in out if r.is_kept == 0]
     assert len(dropped) == m - 1
     assert all(r.max_cos == 1.0 and r.dup_of < r.vec_id for r in dropped)
+
+
+def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
+    """The size-gated no-hint (shuffle-join) variants of tfidf_topterms and
+    unigram_xent must produce exactly the broadcast forms' results — the
+    gate may only ever change the join strategy, never the answer. This
+    exercises the over-the-gate branch that no test fixture is large
+    enough to trigger through the gate itself."""
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _TFIDF_SPARK,
+        _TFIDF_SPARK_SHUFFLE,
+        _XENT_SPARK,
+        _XENT_SPARK_SHUFFLE,
+        _spark_docs,
+    )
+
+    for hinted, unhinted, keycols in (
+        (_TFIDF_SPARK, _TFIDF_SPARK_SHUFFLE, ("doc_id", "rk")),
+        (_XENT_SPARK, _XENT_SPARK_SHUFFLE, ("doc_id",)),
+    ):
+        a = _spark_docs(spark, oracle_sf_dir, hinted).collect()
+        b = _spark_docs(spark, oracle_sf_dir, unhinted).collect()
+        key = lambda r: tuple(r[c] for c in keycols)  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
