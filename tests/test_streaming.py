@@ -519,3 +519,68 @@ def test_sliding_rollup_form_equals_one_level_form(spark, oracle_sf_dir):
     a = sorted(one.collect(), key=key)
     b = sorted(two.collect(), key=key)
     assert a == b and len(a) > 0
+
+
+def test_dedup_exactly_once_across_checkpoint_restart(spark, tmp_path):
+    """Restart-from-checkpoint must not re-emit already-emitted keys: run 1
+    processes a batch of unique events; run 2 resumes the SAME checkpoint
+    and feeds duplicates of run-1 keys (inside the watermark horizon) plus
+    new keys. The parquet sink must hold every key exactly once."""
+    import glob
+    import shutil as sh
+
+    import pyspark.sql.functions as F
+
+    from synth_timeseries_data_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    minute_ns = 60_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            streaming_dedup(stream)
+            .select("event_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # Run 1: 10 unique events a minute apart.
+    batch1 = [(i, i * minute_ns, 1, "a", 1.0, None) for i in range(1, 11)]
+    write_file(batch1, "batch1")
+    run_once()
+
+    # Run 2 (resumed checkpoint): exact duplicates of keys 8..10 — well
+    # inside the 1 h watermark horizon, so only dedup STATE can drop them —
+    # plus new keys 11..13.
+    batch2 = [(i, i * minute_ns, 1, "a", 1.0, None) for i in range(8, 14)]
+    write_file(batch2, "batch2")
+    run_once()
+
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(1, 14)), ids  # every key exactly once
