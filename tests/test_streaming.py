@@ -584,3 +584,66 @@ def test_dedup_exactly_once_across_checkpoint_restart(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(1, 14)), ids  # every key exactly once
+
+
+def test_lagged_stream_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState state must round-trip through the checkpoint:
+    after run 1 processes values 1.0 and 2.0 for a user, a resumed run 2
+    event must see value_lag1=2.0 / value_lag2=1.0 from the RESTORED state,
+    not start cold."""
+    import glob
+    import shutil as sh
+
+    import pyspark.sql.functions as F
+
+    from synth_timeseries_data_spark.streaming import lagged_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    minute_ns = 60_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            lagged_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_file(
+        [(1, 1 * minute_ns, 7, "a", 1.0, None),
+         (2, 2 * minute_ns, 7, "a", 2.0, None)],
+        "batch1",
+    )
+    run_once()
+    write_file([(3, 3 * minute_ns, 7, "a", 5.0, None)], "batch2")
+    run_once()
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[3]["value_lag1"] == 2.0
+    assert rows[3]["value_lag2"] == 1.0
+    assert rows[3]["value_diff1"] == 3.0
