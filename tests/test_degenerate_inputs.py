@@ -179,3 +179,30 @@ def test_props_parse_tolerates_malformed_json(spark):
     want = con.execute(q.oracle).df()
     con.close()
     assert want.loc[0, "n_events"] == 5 and want.loc[0, "n_with_k"] == 1
+
+
+def test_results_identical_with_ansi_disabled(spark, oracle_sf_dir):
+    """A caller-owned session may run with spark.sql.ansi.enabled=false
+    (the pre-Spark-4 default). The engine's degenerate-input guards
+    (CASE/NULLIF/try-free arithmetic, bounds-safe element_at) are written
+    to be MODE-INDEPENDENT — representative queries across the surface
+    must return bit-identical rows either way."""
+    names = [
+        "asof_lag",          # the guarded mean_gap divisor + element_at brackets
+        "trend_fit",         # NULLIF zero-variance OLS
+        "repetition_ratio",  # array projection with sequence/element_at
+        "sliding_agg",
+        "unigram_xent",      # ln + division pipeline
+        "summary_stats",
+    ]
+    from synth_timeseries_data_spark.queries import all_queries
+
+    qs = all_queries()
+    before = {n: qs[n].build(spark, oracle_sf_dir).collect() for n in names}
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        after = {n: qs[n].build(spark, oracle_sf_dir).collect() for n in names}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    for n in names:
+        assert sorted(map(tuple, before[n])) == sorted(map(tuple, after[n])), n
