@@ -102,3 +102,28 @@ def test_stream_events_handles_both_encodings(spark, tmpdir, unit):
         assert [r.ts for r in rows] == [u * 1000 for u in _US]
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("tz", ["Pacific/Kiritimati", "America/New_York"])
+@pytest.mark.parametrize("ntz_infer", ["true", "false"])
+def test_epoch_values_invariant_to_session_timezone(spark, tmpdir, tz, ntz_infer):
+    """A caller-owned session may run in any timezone, with or without
+    TIMESTAMP_NTZ inference. The normalized epoch-ns values must be
+    IDENTICAL in every combination (naive-as-UTC, matching the DuckDB
+    oracle's epoch_us) — a tz-dependent load would shift every event
+    query's windows by the session offset."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_ntz = spark.conf.get(
+        "spark.sql.parquet.inferTimestampNTZEnabled", "true"
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZEnabled", ntz_infer)
+        d = _write_events(
+            os.path.join(tmpdir, f"tz_{tz.replace('/', '_')}_{ntz_infer}"),
+            pa.array(_US, pa.timestamp("us")),
+        )
+        assert _ts_values(spark, d) == [u * 1000 for u in _US]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZEnabled", prev_ntz)
