@@ -206,3 +206,21 @@ def test_results_identical_with_ansi_disabled(spark, oracle_sf_dir):
         spark.conf.set("spark.sql.ansi.enabled", "true")
     for n in names:
         assert sorted(map(tuple, before[n])) == sorted(map(tuple, after[n])), n
+
+
+def test_queries_build_under_case_sensitive_resolution(spark, oracle_sf_dir):
+    """A caller session may set spark.sql.caseSensitive=true; every column
+    reference in the engine's SQL must already match its source case
+    exactly. (Full-registry probe passed at round 6 — this pins a diverse
+    subset so new queries keep the invariant.)"""
+    names = ["asof_lag", "revenue_by_nation", "tfidf_topterms",
+             "minhash_dedup", "funnel", "multimodal_features"]
+    from synth_timeseries_data_spark.queries import all_queries
+
+    qs = all_queries()
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        for n in names:
+            assert qs[n].build(spark, oracle_sf_dir).limit(1).collect() is not None, n
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
