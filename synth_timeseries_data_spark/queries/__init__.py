@@ -140,8 +140,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # gopher_rules (82nd oracle entry, round 6) demotes token_count: r05-green,
 # and its whitespace/regex token counts are embedded in several in-window
 # corpus queries; replayed bit-exactly every session by tests/test_oracle.py.
+# dsir_weights (83rd oracle entry, round 6) demotes docs_by_lang: r05-green,
+# and its lang/source group-by shape is embedded in the in-window
+# domain_mix and lang_id; replayed bit-exactly every session by
+# tests/test_oracle.py.
 _DEMOTED = (
     "block_mask",
+    "docs_by_lang",
     "token_count",
     "config_grid",
     "corr_matrix",

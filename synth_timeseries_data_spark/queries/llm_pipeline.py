@@ -2329,3 +2329,133 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         else _XENT_SPARK_SHUFFLE
     )
     return _spark_docs(spark, sf_dir, sql)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights — data selection toward a target domain
+# (Xie et al. 2023, "Data Selection via Importance Resampling", with the
+# standard unigram simplification of the hashed-ngram features).
+# --------------------------------------------------------------------------
+
+# The target domain whose distribution selection steers toward. In a real
+# pipeline this is the high-quality slice (e.g. an encyclopedia crawl); the
+# fixture's `source` column plays that role.
+_DSIR_TARGET = "src0"
+
+
+def _dsir_sql(d) -> str:
+    # Per-doc log importance weight under add-1-smoothed unigram LMs:
+    #   logw(doc) = Σ_tokens [ ln p_tgt(w) − ln p_raw(w) ]
+    #   p_tgt(w) = (c_tgt(w)+1)/(T_tgt+V),  p_raw(w) = (c_raw(w)+1)/(T_raw+V)
+    # which splits into a per-TERM part, ln(c_tgt+1) − ln(c_raw+1), and a
+    # per-TOKEN normalizer, ln(T_raw+V) − ln(T_tgt+V). Each ln is libm →
+    # snapped to integer micro-nats (ROUND(.*1e6), xent's device) so the
+    # per-doc sum Σ tf·lr_part is exact BIGINT arithmetic —
+    # order-independent and bit-identical across engines; the emitted nats
+    # carry the usual ROUND(.,6)+0.0. `more_target_like` compares the raw
+    # integer sum to zero, so the boolean can never diverge on a rounding
+    # boundary. The normalizer is FOLDED INTO lr_part via whole-relation
+    # window totals over the vocab-sized relation: referencing vocab from a
+    # separate scalar subquery would re-inline (re-explode) the corpus CTE
+    # a third time under Spark — a whole extra corpus pass at scale — while
+    # the window costs one single-partition exchange of ~vocab rows.
+    unnest_toks = (
+        "SELECT doc_id, source, tok AS term FROM w"
+        " LATERAL VIEW explode(ws) x AS tok"
+        if d is _SPARK_D
+        else "SELECT doc_id, source, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    is_tgt = f"source = '{_DSIR_TARGET}'"
+    if d is _SPARK_D:
+        # unigram_xent's broadcast-vocab shape: tf aggregates exchange-free
+        # on the spread view's doc clustering and NEVER moves; the vocab
+        # branch re-runs the cheap scan→split→explode (scheduled
+        # concurrently) and partial-aggregates to per-partition-distinct
+        # terms before its only exchange; the per-term log-ratio relation
+        # (vocab-sized) broadcast-joins back onto the doc-clustered tf.
+        counted = f"""
+    toks AS ({unnest_toks}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    vocab AS (SELECT term, COUNT(*) AS c_raw,
+                     SUM(CASE WHEN {is_tgt} THEN 1 ELSE 0 END) AS c_tgt
+              FROM toks GROUP BY term),
+    lr AS (SELECT term,
+                  CAST(ROUND(ln(c_tgt + 1) * 1000000.0, 0) AS BIGINT)
+                - CAST(ROUND(ln(c_raw + 1) * 1000000.0, 0) AS BIGINT)
+                + CAST(ROUND(ln(SUM(c_raw) OVER () + COUNT(*) OVER ())
+                             * 1000000.0, 0) AS BIGINT)
+                - CAST(ROUND(ln(SUM(c_tgt) OVER () + COUNT(*) OVER ())
+                             * 1000000.0, 0) AS BIGINT) AS lr_part
+           FROM vocab),
+    counted AS (SELECT /*+ BROADCAST(lr) */ tf.doc_id, tf.tf, lr.lr_part
+                FROM tf JOIN lr ON lr.term = tf.term)"""
+    else:
+        counted = f"""
+    toks AS ({unnest_toks}),
+    tfd AS (SELECT doc_id, source, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, source, term),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_raw,
+                     CAST(SUM(CASE WHEN {is_tgt} THEN tf ELSE 0 END)
+                          AS BIGINT) AS c_tgt
+              FROM tfd GROUP BY term),
+    lr AS (SELECT term,
+                  CAST(ROUND(ln(c_tgt + 1) * 1000000.0, 0) AS BIGINT)
+                - CAST(ROUND(ln(c_raw + 1) * 1000000.0, 0) AS BIGINT)
+                + CAST(ROUND(ln(SUM(c_raw) OVER () + COUNT(*) OVER ())
+                             * 1000000.0, 0) AS BIGINT)
+                - CAST(ROUND(ln(SUM(c_tgt) OVER () + COUNT(*) OVER ())
+                             * 1000000.0, 0) AS BIGINT) AS lr_part
+           FROM vocab),
+    counted AS (SELECT tfd.doc_id, tfd.tf, lr.lr_part
+                FROM tfd JOIN lr ON lr.term = tfd.term)"""
+    return f"""
+    WITH w AS (SELECT doc_id, source, {d['split']('text')} AS ws
+               FROM {d['pdocs']}),
+    {counted}
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(tf * lr_part) AS DOUBLE) / 1000000.0, 6)
+             + 0.0 AS logw_nats,
+           ROUND(CAST(SUM(tf * lr_part) AS DOUBLE) / 1000000.0 / SUM(tf), 6)
+             + 0.0 AS avg_logw_nats,
+           SUM(tf * lr_part) > 0 AS more_target_like
+    FROM counted
+    GROUP BY doc_id
+    """
+
+
+_DSIR_SPARK, _DSIR_DUCK = _dual(_dsir_sql)
+# Past the vocab-broadcast gate the hint is stripped: tf and lr shuffle-join
+# on term instead — see the _VOCAB_BCAST_DOCS_BYTES rationale at
+# tfidf_topterms.
+_DSIR_SPARK_SHUFFLE = _DSIR_SPARK.replace("/*+ BROADCAST(lr) */ ", "")
+assert _DSIR_SPARK_SHUFFLE != _DSIR_SPARK
+
+
+@register("dsir_weights", _DSIR_DUCK)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023, unigram
+    features): the log-likelihood ratio of the doc under an add-1-smoothed
+    unigram LM of the TARGET domain (source = 'src0') vs the raw-corpus LM.
+    Docs with positive log-weight look more like the target than the
+    average corpus doc — the resampling stage keeps docs with probability
+    ∝ exp(logw). Emits total and per-token log-weights plus the exact-sign
+    `more_target_like` flag; ranking/resampling composes downstream (e.g.
+    with stratified_sample's deterministic LCG uniform).
+
+    Spark plan is unigram_xent's single-corpus-pass shape: the tf relation
+    aggregates on the spread view's doc clustering and never moves, the
+    per-term log-ratio relation is vocab-sized and broadcasts back
+    (size-gated to a shuffle join past _VOCAB_BCAST_DOCS_BYTES), and the
+    LM normalizers fold into the per-term relation as whole-relation
+    window totals over vocab — not a scalar subquery, which would
+    re-inline (re-explode) the corpus CTE for a third pass. Token
+    ln-probabilities are snapped to integer micro-nats and summed exactly,
+    so every emitted value — including the sign flag — is bit-identical
+    across engines and partitionings."""
+    sql = (
+        _DSIR_SPARK
+        if _docs_disk_bytes(sf_dir) < _VOCAB_BCAST_DOCS_BYTES
+        else _DSIR_SPARK_SHUFFLE
+    )
+    return _spark_docs(spark, sf_dir, sql)

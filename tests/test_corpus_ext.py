@@ -441,6 +441,82 @@ def test_semdedup_dense_cluster_guard_keeps_one_survivor(spark):
     assert all(r.max_cos == 1.0 and r.dup_of < r.vec_id for r in dropped)
 
 
+def test_dsir_weights_match_independent_reimplementation(spark, oracle_sf_dir):
+    """Independent plain-python reimplementation of the DSIR unigram
+    log-likelihood-ratio math (Xie et al. 2023, add-1 smoothing) from the
+    raw fixture text — validates the published semantics itself, not just
+    the DuckDB oracle twin: n_tokens and the sign flag exactly, the
+    emitted nats to the ROUND(.,6) grain."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{oracle_sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    docs = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("source").to_pylist(),
+        )
+    )
+    c_raw: collections.Counter = collections.Counter()
+    c_tgt: collections.Counter = collections.Counter()
+    for _, text, src in docs:
+        toks = text.split(" ")
+        c_raw.update(toks)
+        if src == "src0":
+            c_tgt.update(toks)
+    v = len(c_raw)
+    t_raw, t_tgt = sum(c_raw.values()), sum(c_tgt.values())
+
+    def snap(x: float) -> int:  # ROUND(ln(x)*1e6, 0), half-up (x > 0 here)
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    norm = snap(t_raw + v) - snap(t_tgt + v)
+    lr = {w: snap(c_tgt[w] + 1) - snap(c_raw[w] + 1) for w in c_raw}
+
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dsir_weights"].build(spark, oracle_sf_dir).collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, text, _ in docs:
+        toks = text.split(" ")
+        micro = sum(lr[t] for t in toks) + len(toks) * norm
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.more_target_like == (micro > 0)
+        assert abs(r.logw_nats - micro / 1e6) <= 1e-6
+        assert abs(r.avg_logw_nats - micro / 1e6 / len(toks)) <= 1e-6
+
+
+def test_dsir_weights_planted_target_skew(spark, tmp_path):
+    """Content drives the weight, not the source label: a non-target-source
+    doc written in the target domain's vocabulary must come out
+    more_target_like, and one written in off-domain vocabulary must not."""
+    import os
+
+    docs = [(i, "alpha beta alpha beta alpha", "en", "src0", 27) for i in range(5)]
+    docs += [(10 + i, "gamma delta gamma delta gamma", "en", "src7", 29)
+             for i in range(5)]
+    docs += [
+        (20, "alpha beta alpha", "en", "src1", 16),   # target-vocab probe
+        (21, "gamma delta gamma", "en", "src1", 17),  # off-domain probe
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.doc_id: r for r in all_queries()["dsir_weights"].build(spark, sf).collect()}
+    assert got[20].more_target_like and got[20].logw_nats > 0
+    assert not got[21].more_target_like and got[21].logw_nats < 0
+    assert got[20].avg_logw_nats > got[21].avg_logw_nats
+
+
 def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
     """The size-gated no-hint (shuffle-join) variants of tfidf_topterms and
     unigram_xent must produce exactly the broadcast forms' results — the
@@ -448,6 +524,8 @@ def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
     exercises the over-the-gate branch that no test fixture is large
     enough to trigger through the gate itself."""
     from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _DSIR_SPARK,
+        _DSIR_SPARK_SHUFFLE,
         _TFIDF_SPARK,
         _TFIDF_SPARK_SHUFFLE,
         _XENT_SPARK,
@@ -458,6 +536,7 @@ def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
     for hinted, unhinted, keycols in (
         (_TFIDF_SPARK, _TFIDF_SPARK_SHUFFLE, ("doc_id", "rk")),
         (_XENT_SPARK, _XENT_SPARK_SHUFFLE, ("doc_id",)),
+        (_DSIR_SPARK, _DSIR_SPARK_SHUFFLE, ("doc_id",)),
     ):
         a = _spark_docs(spark, oracle_sf_dir, hinted).collect()
         b = _spark_docs(spark, oracle_sf_dir, unhinted).collect()

@@ -289,6 +289,20 @@ def test_unigram_xent_broadcast_vocab_tf_unmoved(spark, oracle_sf_dir):
     assert plan.count("Generate") == 2  # tf branch + vocab branch
 
 
+def test_dsir_weights_broadcast_lr_tf_unmoved(spark, oracle_sf_dir):
+    """dsir_weights inherits unigram_xent's single-corpus-pass shape: the
+    per-term log-ratio relation (vocab-sized) joins tf via
+    BroadcastHashJoin, tf's per-doc aggregate rides its doc clustering
+    (no term-and-back exchange of the big relation), and exactly two
+    corpus explodes exist (tf branch + vocab branch) — the LM-normalizer
+    window lives on the vocab-sized side only, so a third corpus pass
+    (the scalar-subquery CTE re-inline) can never sneak back in."""
+    plan = _plan(spark, "dsir_weights", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert plan.count("Generate") == 2  # tf branch + vocab branch
+    assert plan.count("Window") == 1  # normalizer totals over vocab only
+
+
 def test_char_entropy_zero_shuffle_python_stage(spark, oracle_sf_dir):
     """The Arrow-batched histogram is a pure map over the pruned scan:
     no Exchange of any kind, no explode, one scan reading only
