@@ -127,6 +127,64 @@ def _parse_pipeline(spark: SparkSession) -> DataFrame:
     )
 
 
+def parse_edges_udtf(spark: SparkSession) -> DataFrame:
+    """Python-UDTF variant of the G2 parse pipeline (SURVEY §2.2 UDF/UDTF
+    surface): one equation row in, its edge rows out, as a LATERAL
+    table-function join — the idiom for DSL explosion when the grammar
+    outgrows regexp_extract (nested parens, operator precedence). Pinned
+    result-equal to the declarative pipeline in tests/test_dsl_semantics.py;
+    the SQL form stays the production path because it runs JVM-side with
+    zero Python workers — this variant exists to keep the escape hatch
+    tested, not to replace it. Same scale posture: the DSL registry is
+    dim-sized, so either form is a broadcast table at 100 TB."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    coef_re, src_re = re.compile(_COEF_RE), re.compile(_SRC_RE)
+    lag_re, pow_re = re.compile(_LAG_RE), re.compile(_POW_RE)
+
+    @udtf(returnType="target string, source string, lag int,"
+                     " func string, coef double")
+    class ParseEquation:
+        def eval(self, family: str, eq: str):
+            lhs, rhs = eq.split("=", 1)
+            target = "X" + src_re.search(lhs).group(1)
+            for raw in rhs.split("+"):
+                term = raw.strip()
+                if "X" not in term or (family != "c1" and "*" not in term):
+                    continue
+                lag_m = lag_re.search(term)
+                pow_m = pow_re.search(term)
+                if family == "a1":
+                    func = "linear"
+                elif family == "b2":
+                    func = "power" + (pow_m.group(1) if pow_m else "1")
+                elif "cos(" in term:
+                    func = "cos"
+                elif "sin(" in term:
+                    func = "sin"
+                elif pow_m:
+                    func = "power" + pow_m.group(1)
+                else:
+                    func = "linear"
+                yield (
+                    target,
+                    "X" + src_re.search(term).group(1),
+                    int(lag_m.group(1)) if lag_m else 0,
+                    func,
+                    float(coef_re.match(term).group(1)),
+                )
+
+    spark.udtf.register("parse_equation", ParseEquation)
+    return spark.sql(
+        f"""SELECT eqs.family, eqs.n_vars, eqs.max_lag,
+                   t.target, t.source, t.lag, t.func, t.coef
+            FROM {_eqs_values_sql()},
+            LATERAL parse_equation(eqs.family, eqs.eq) t"""
+    )
+
+
 @register("parse_edges", _PARSE_ORACLE)
 def parse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equation DSL → edge list across all three grammars (linear

@@ -108,3 +108,20 @@ def test_registry_matches_reference_registry():
         for v in (4, 6, 8)
         for l in (2, 3, 4)
     )
+
+
+def test_udtf_variant_equals_declarative_pipeline(spark):
+    """The Python-UDTF parse variant (SURVEY §2.2 UDF/UDTF surface) must
+    produce exactly the declarative pipeline's edge rows — same grammar,
+    same Q1/Q3 quirks, bit-equal coefs — so the escape hatch for richer
+    grammars stays verified against the production path."""
+    from synth_timeseries_data_spark.queries.dsl import (
+        _parse_pipeline,
+        parse_edges_udtf,
+    )
+
+    key = lambda r: (r["family"], r["n_vars"], r["max_lag"],  # noqa: E731
+                     r["target"], r["source"], r["lag"], r["func"])
+    a = sorted((r.asDict() for r in _parse_pipeline(spark).collect()), key=key)
+    b = sorted((r.asDict() for r in parse_edges_udtf(spark).collect()), key=key)
+    assert len(a) > 100 and a == b
