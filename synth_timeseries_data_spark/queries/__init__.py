@@ -70,8 +70,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# The driver checks the first ~50 registry entries; with 81 oracle-checkable
-# queries (round 6), 31 sit outside the window each round. The demoted tail
+# The driver checks the first ~50 registry entries; with 83 oracle-checkable
+# queries (round 6 final), 33 sit outside the window each round. The demoted tail
 # ROTATES round-over-round so every query accumulates a driver-green row in
 # some CORRECTNESS_r{N}.json — history of each rotation below.
 # Round ≤3 demoted the redundant-surface set
