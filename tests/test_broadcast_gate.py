@@ -101,3 +101,33 @@ def test_revenue_scale_branch_bit_identical(spark, oracle_sf_dir, monkeypatch):
         # exchange, then partial+final for the nation rollup
         assert plan.count("HashAggregate") >= 4
         assert {tuple(r) for r in scaled_df.collect()} == base
+
+
+def test_vocab_gate_strips_hint_in_plan(spark, oracle_sf_dir, monkeypatch):
+    """The corpus-proportional vocab broadcast in tfidf_topterms /
+    unigram_xent / dsir_weights is size-gated on on-disk documents bytes.
+    Under the cap the term join must be a BroadcastHashJoin; with the cap
+    monkeypatched to 0 (any input is 'over the gate') the hint must be
+    GONE from the physical plan and the term join planned as a shuffle
+    join — pinning that the gate actually changes the plan, not just
+    which SQL string is picked (their result equality is pinned in
+    test_corpus_ext.py::test_vocab_shuffle_variants_equal_broadcast_forms).
+    Auto-broadcast is disabled so only the HINT can produce a
+    BroadcastHashJoin — with it on, Catalyst's own stats would broadcast
+    the fixture-small vocab either way (which is exactly the runtime
+    freedom the gate is meant to hand back)."""
+    from synth_timeseries_data_spark.queries import llm_pipeline as lp
+
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        for name in ("tfidf_topterms", "unigram_xent", "dsir_weights"):
+            build = all_queries()[name].build
+            hinted = _physical(build(spark, oracle_sf_dir))
+            assert "BroadcastHashJoin" in hinted, name
+            monkeypatch.setattr(lp, "_VOCAB_BCAST_DOCS_BYTES", 0)
+            try:
+                gated = _physical(build(spark, oracle_sf_dir))
+            finally:
+                monkeypatch.undo()
+            assert ("SortMergeJoin" in gated) or ("ShuffledHashJoin" in gated), (
+                name, gated[:1500],
+            )
