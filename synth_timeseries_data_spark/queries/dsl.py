@@ -149,31 +149,43 @@ def parse_edges_udtf(spark: SparkSession) -> DataFrame:
     class ParseEquation:
         def eval(self, family: str, eq: str):
             lhs, rhs = eq.split("=", 1)
-            target = "X" + src_re.search(lhs).group(1)
+            # Mirror the declarative pipeline's lenient extraction semantics
+            # exactly (regexp_extract's no-match → ''), so the two variants
+            # stay row-equal on inputs BEYOND the current registry too: a
+            # coefficient-less term yields coef NULL (not a crash), and the
+            # power suffix keys on the '^' CHARACTER with an ''-suffix
+            # fallback for a non-numeric exponent — both verified
+            # divergence classes from review.
+            lhs_m = src_re.search(lhs)
+            target = "X" + (lhs_m.group(1) if lhs_m else "")
             for raw in rhs.split("+"):
                 term = raw.strip()
                 if "X" not in term or (family != "c1" and "*" not in term):
                     continue
                 lag_m = lag_re.search(term)
                 pow_m = pow_re.search(term)
+                pow_s = pow_m.group(1) if pow_m else ""
+                has_pow = "^" in term
                 if family == "a1":
                     func = "linear"
                 elif family == "b2":
-                    func = "power" + (pow_m.group(1) if pow_m else "1")
+                    func = "power" + (pow_s if has_pow else "1")
                 elif "cos(" in term:
                     func = "cos"
                 elif "sin(" in term:
                     func = "sin"
-                elif pow_m:
-                    func = "power" + pow_m.group(1)
+                elif has_pow:
+                    func = "power" + pow_s
                 else:
                     func = "linear"
+                src_m = src_re.search(term)
+                coef_m = coef_re.match(term)
                 yield (
                     target,
-                    "X" + src_re.search(term).group(1),
+                    "X" + (src_m.group(1) if src_m else ""),
                     int(lag_m.group(1)) if lag_m else 0,
                     func,
-                    float(coef_re.match(term).group(1)),
+                    float(coef_m.group(1)) if coef_m else None,
                 )
 
     spark.udtf.register("parse_equation", ParseEquation)
