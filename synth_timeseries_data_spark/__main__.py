@@ -118,6 +118,18 @@ def cmd_plot_bundle(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .session import get_session
+    from .sinks import write_curated_corpus
+
+    spark = get_session()
+    summary = write_curated_corpus(spark, args.sf_dir, args.out)
+    for row in summary.collect():
+        print(f"{row['stage']:24s} {row['n']}")
+    print(f"curated corpus -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="synth_timeseries_data_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -151,12 +163,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "curate",
+        help="run the end-to-end curation pipeline (Gopher gates + MinHash "
+        "dedup + DSIR weights) and write decisions/ + corpus/",
+    )
+    c.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    c.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
     return {
         "list": cmd_list,
         "query": cmd_query,
         "generate": cmd_generate,
         "plot-bundle": cmd_plot_bundle,
+        "curate": cmd_curate,
     }[args.cmd](args)
 
 

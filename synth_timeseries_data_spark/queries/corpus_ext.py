@@ -875,3 +875,25 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a training-data curation funnel, composable with corpus_filter's
     dedup stage downstream."""
     return _spark_docs(spark, sf_dir, _GOPHER_SPARK)
+
+
+@register("curated_corpus", None)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT end-to-end workflow: run the curation pipeline (Gopher
+    quality gates + MinHash near-dup dedup + DSIR importance weights) and
+    write the decisions audit table plus the kept corpus as partitioned
+    parquet, returning the per-stage count summary verified from the
+    written files' footers. Rows-only check: every constituent signal is
+    independently oracle-checked (gopher_rules, minhash_dedup /
+    dedup_clusters / neardup_survivors, dsir_weights); this entry checks
+    the composed WRITE workflow — the plot_bundle precedent applied to the
+    curation surface."""
+    import os
+    import tempfile
+
+    from ..sinks import write_curated_corpus
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"curated_{os.path.basename(sf_dir)}"
+    )
+    return write_curated_corpus(spark, sf_dir, out)

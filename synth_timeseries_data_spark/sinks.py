@@ -148,3 +148,139 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=len(frames)) as pool:
         counts = list(pool.map(_write, frames.items()))
     return spark.createDataFrame(counts, "frame string, n_rows long")
+
+
+def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
+    """LLM-EXT end-to-end: ONE invocation runs the curation pipeline the
+    individual queries are the evidence trail for — Gopher quality gates
+    (`gopher_rules`), MinHash near-dup dedup (keep-min-doc_id rule from
+    `dedup_clusters`), and DSIR target-domain importance weights
+    (`dsir_weights`) — and ships two datasets:
+
+    - ``out/decisions/``: one row per input document with every gate's
+      verdict (quality flag, dedup-survivor flag, the Gopher rule verdict
+      as a recorded signal, DSIR log-weight + sign) and the final ``keep``
+      — the audit table a curation run must leave behind;
+    - ``out/corpus/``: the kept documents (text included), partitioned by
+      source — the corpus a training run actually reads.
+
+    keep = quality AND dedup-survivor, where the hard quality gate is
+    corpus_filter's per-doc composite (lang allowlist + the quality_score
+    threshold — calibrated for this corpus). The full Gopher verdict is
+    RECORDED, not gated on: its English-stopword rule rejects the entire
+    synthetic fixture (stop_hits < 2 corpus-wide), and a curation run's
+    audit table should show that, not silently ship an empty corpus. The
+    DSIR weight likewise rides along as the sampling signal for the
+    downstream resampler rather than a hard gate (selection pressure is a
+    SAMPLING decision, Xie et al. 2023 §3).
+
+    Scale shape: the three per-doc relations all end doc-clustered (the
+    gopher projection and dsir's final aggregate inherit the spread view's
+    hash(doc_id) partitioning), so the decision joins need no extra
+    full-corpus exchange beyond what the component queries already do; the
+    near-dup drop set is cluster-member-proportional and broadcasts (same
+    size gate as neardup_survivors). Returns a (stage, n) summary frame
+    built from the written files' parquet footers — write verification
+    without a re-scan."""
+    import pyarrow.parquet as pq
+
+    from .functions.scale import broadcast_if_small
+    from .queries.corpus_ext import gopher_rules
+    from .queries.llm_pipeline import dedup_clusters, dsir_weights
+    from .session import fast_commit
+    from .sources import load, table_rows
+
+    fast_commit(spark)
+    gopher = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    reps = dedup_clusters(spark, sf_dir)
+    drops = reps.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    dsir = dsir_weights(spark, sf_dir).select(
+        "doc_id", "n_tokens", "logw_nats", "more_target_like"
+    )
+    docs = load(spark, sf_dir, "documents")
+    # The hard quality gate: corpus_filter's per-doc composite (same
+    # constants — _KEEP_LANGS allowlist, quality_score formula thresholded
+    # at _Q_MIN on the ROUND(.,6) grain), as a projection over the scan.
+    from .queries.llm_pipeline import _KEEP_LANGS, _Q_MIN, _STOPWORDS
+
+    quality = docs.selectExpr(
+        "doc_id",
+        f"""
+        lang IN {_KEEP_LANGS} AND
+        ROUND(LEAST(1.0, size(split(text, ' ')) / 100.0) * 0.5
+              + LEAST(1.0, (CAST(size(filter(split(text, ' '),
+                                             w -> w IN {_STOPWORDS}))
+                                 AS DOUBLE)
+                            / size(split(text, ' '))) * 10.0) * 0.2
+              + (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+                 / size(split(text, ' '))) * 0.3, 6) >= {_Q_MIN}
+        AS keep_quality
+        """,
+    )
+    # Both derived doc-id sets are size-gated before hinting: the drop set
+    # is near-dup-proportional, but the KEPT set is corpus-proportional —
+    # force-broadcasting it at a billion docs is the exact
+    # driver-maxResultSize failure the sf100 ladder caught on
+    # revenue_by_nation's order bridge. ~32 B/row of id+flag.
+    doc_bytes = table_rows(sf_dir, "documents") * 32
+    decisions = (
+        docs.select("doc_id", "source", "lang")
+        .join(quality, "doc_id")
+        .join(gopher, "doc_id")
+        .join(dsir, "doc_id")
+        .join(broadcast_if_small(drops, doc_bytes), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "keep_quality",
+            F.col("is_dup").isNull().alias("keep_dedup"),
+            "gopher_keep",
+            "logw_nats",
+            "more_target_like",
+            (F.col("keep_quality") & F.col("is_dup").isNull()).alias("keep"),
+        )
+    )
+    dec_path = os.path.join(out, "decisions")
+    decisions.write.mode("overwrite").parquet(dec_path)
+    corpus_path = os.path.join(out, "corpus")
+    kept = spark.read.parquet(dec_path).where("keep").select("doc_id")
+    docs.join(broadcast_if_small(kept, doc_bytes), "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(corpus_path)
+
+    def _footer_rows(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                pq.read_metadata(os.path.join(root, f)).num_rows
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    dec = spark.read.parquet(dec_path)
+    agg = dec.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(~F.col("keep_quality"), 1).otherwise(0)).alias("n_fail_quality"),
+        F.sum(F.when(~F.col("keep_dedup"), 1).otherwise(0)).alias("n_dup_dropped"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+    ).collect()[0]
+    rows = [
+        ("docs_in", int(agg["n_docs"])),
+        ("fail_quality", int(agg["n_fail_quality"])),
+        ("dup_dropped", int(agg["n_dup_dropped"])),
+        ("kept", int(agg["n_kept"])),
+        ("tokens_kept", int(agg["n_tokens_kept"])),
+        ("decisions_rows_written", _footer_rows(dec_path)),
+        ("corpus_rows_written", _footer_rows(corpus_path)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")

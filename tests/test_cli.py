@@ -73,3 +73,41 @@ def test_cli_plot_bundle_writes_partitioned_frames(spark, smoke_sf_dir, capsys):
         assert deco.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_curate_pipeline_consistent_with_components(spark, smoke_sf_dir, capsys):
+    """The curate workflow's decisions table must agree row-for-row with
+    the component queries it composes (gopher_rules verdicts, dsir_weights
+    values, dedup_clusters' keep-min rule), and the written corpus must be
+    exactly the keep=true slice."""
+    out = tempfile.mkdtemp(prefix="cli_cur_")
+    try:
+        assert main(["curate", "--sf-dir", smoke_sf_dir, "--out", out]) == 0
+        printed = capsys.readouterr().out
+        assert "kept" in printed and "curated corpus" in printed
+        dec = spark.read.parquet(os.path.join(out, "decisions"))
+        corpus = spark.read.parquet(os.path.join(out, "corpus"))
+        from synth_timeseries_data_spark.queries import all_queries
+        from synth_timeseries_data_spark.sources import load
+
+        qs = all_queries()
+        n_docs = load(spark, smoke_sf_dir, "documents").count()
+        assert dec.count() == n_docs
+        kept_ids = {r.doc_id for r in dec.where("keep").select("doc_id").collect()}
+        assert {r.doc_id for r in corpus.select("doc_id").collect()} == kept_ids
+        assert 0 < len(kept_ids) < n_docs  # both gates actually bite
+
+        gopher = {r.doc_id: r.keep
+                  for r in qs["gopher_rules"].build(spark, smoke_sf_dir).collect()}
+        dsir = {r.doc_id: (r.logw_nats, r.more_target_like)
+                for r in qs["dsir_weights"].build(spark, smoke_sf_dir).collect()}
+        drops = {r.doc_id
+                 for r in qs["dedup_clusters"].build(spark, smoke_sf_dir)
+                 .where("doc_id != cluster_rep").collect()}
+        for r in dec.collect():
+            assert r.gopher_keep == gopher[r.doc_id]
+            assert (r.logw_nats, r.more_target_like) == dsir[r.doc_id]
+            assert r.keep_dedup == (r.doc_id not in drops)
+            assert r.keep == (r.keep_quality and r.keep_dedup)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
