@@ -201,7 +201,14 @@ def main() -> None:
         "sf": sf_val,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH_full.json"), "w") as f:
+    # The durable record is the sf0.1 run (what the driver measures and the
+    # docs cite). Probe runs at other scale factors (e.g. the verify skill's
+    # sf0.001 fast probe) write a suffixed file instead of clobbering it.
+    record = (
+        "BENCH_full.json" if abs(sf_val - 0.1) < 1e-9
+        else f"BENCH_full_sf{sf_val}.json"
+    )
+    with open(os.path.join(repo_dir, record), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     # Stdout: ONE compact JSON line, ordered so a tail-truncation eats the
