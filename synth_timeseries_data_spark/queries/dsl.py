@@ -148,7 +148,11 @@ def parse_edges_udtf(spark: SparkSession) -> DataFrame:
                      " func string, coef double")
     class ParseEquation:
         def eval(self, family: str, eq: str):
-            lhs, rhs = eq.split("=", 1)
+            # element_at(split(eq,'='), 1/2) semantics: segments, not
+            # "rest of string" — a (malformed) multi-'=' input keeps only
+            # the segment between the first two, same as the SQL form.
+            parts = eq.split("=")
+            lhs, rhs = parts[0], parts[1]
             # Mirror the declarative pipeline's lenient extraction semantics
             # exactly (regexp_extract's no-match → ''), so the two variants
             # stay row-equal on inputs BEYOND the current registry too: a

@@ -111,3 +111,37 @@ def test_cli_curate_pipeline_consistent_with_components(spark, smoke_sf_dir, cap
             assert r.keep == (r.keep_quality and r.keep_dedup)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_curate_all_duplicates_keep_one_survivor(spark, tmp_path):
+    """Adversarial composition fixture: ten IDENTICAL high-quality docs
+    (one MinHash cluster) plus three low-quality docs. The pipeline must
+    keep exactly the cluster representative (min doc_id) — quality passes
+    all ten, dedup collapses them to one — and drop every low-quality doc
+    regardless of dedup."""
+    good = " ".join(
+        f"the w{i}" if i % 2 == 0 else f"of v{i}" for i in range(50)
+    )  # 100 words, 50% stopword-adjacent, unique-heavy: composite >= 0.55
+    docs = [(i, good, "en", "srcA", len(good)) for i in range(10)]
+    docs += [(100 + i, "zz yy", "en", "srcB", 5) for i in range(3)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="cli_cur_adv_")
+    try:
+        assert main(["curate", "--sf-dir", sf, "--out", out]) == 0
+        dec = {r.doc_id: r for r in
+               spark.read.parquet(os.path.join(out, "decisions")).collect()}
+        assert len(dec) == 13
+        kept = {d for d, r in dec.items() if r.keep}
+        assert kept == {0}  # the min-doc_id representative, quality-passing
+        for i in range(1, 10):
+            assert dec[i].keep_quality and not dec[i].keep_dedup
+        for i in (100, 101, 102):
+            assert not dec[i].keep_quality
+        corpus = spark.read.parquet(os.path.join(out, "corpus"))
+        assert [r.doc_id for r in corpus.collect()] == [0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

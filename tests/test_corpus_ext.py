@@ -542,3 +542,25 @@ def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
         b = _spark_docs(spark, oracle_sf_dir, unhinted).collect()
         key = lambda r: tuple(r[c] for c in keycols)  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+
+
+def test_dsir_weights_zero_identity_when_corpus_is_target(spark, tmp_path):
+    """When the whole corpus IS the target domain, p_tgt == p_raw term by
+    term, so every snapped component cancels and the log-weight is 0.0
+    EXACTLY for every doc (not approximately — the micro-nat integers are
+    identical on both sides of the subtraction), with more_target_like
+    false (strict > 0)."""
+    import os
+
+    docs = [(i, f"alpha beta gamma{i % 3} delta", "en", "src0", 20)
+            for i in range(12)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    rows = all_queries()["dsir_weights"].build(spark, sf).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.logw_nats == 0.0 and r.avg_logw_nats == 0.0
+        assert not r.more_target_like
