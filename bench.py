@@ -205,7 +205,8 @@ def main() -> None:
     # docs cite). Probe runs at other scale factors (e.g. the verify skill's
     # sf0.001 fast probe) write a suffixed file instead of clobbering it.
     record = (
-        "BENCH_full.json" if abs(sf_val - 0.1) < 1e-9
+        "BENCH_full.json"
+        if isinstance(sf_val, float) and abs(sf_val - 0.1) < 1e-9
         else f"BENCH_full_sf{sf_val}.json"
     )
     with open(os.path.join(repo_dir, record), "w") as f:

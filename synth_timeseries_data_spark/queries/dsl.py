@@ -150,8 +150,13 @@ def parse_edges_udtf(spark: SparkSession) -> DataFrame:
         def eval(self, family: str, eq: str):
             # element_at(split(eq,'='), 1/2) semantics: segments, not
             # "rest of string" — a (malformed) multi-'=' input keeps only
-            # the segment between the first two, same as the SQL form.
+            # the segment between the first two, same as the SQL form; an
+            # '='-less input yields no rows (the ANSI-off declarative
+            # behavior: NULL rhs → explode(NULL) → zero rows) instead of
+            # crashing the worker.
             parts = eq.split("=")
+            if len(parts) < 2:
+                return
             lhs, rhs = parts[0], parts[1]
             # Mirror the declarative pipeline's lenient extraction semantics
             # exactly (regexp_extract's no-match → ''), so the two variants

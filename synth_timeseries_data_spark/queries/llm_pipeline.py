@@ -101,13 +101,17 @@ def _indexed(spark: SparkSession, key: str, sql: str) -> DataFrame:
 
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footer metadata — driver-side, no Spark job.
-    Handles both a single file and a Spark-written dataset directory."""
+    Handles a single file, a flat Spark-written dataset directory, and a
+    hive-partitioned tree (recursive walk) — the one footer-count helper
+    for derived datasets (sources.table_rows stays the fixture-table
+    variant with its fingerprint memo)."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
     return pq.read_metadata(path).num_rows
@@ -2186,27 +2190,36 @@ _KEEP_LANGS = "('en', 'de', 'fr')"
 _Q_MIN = "0.55"
 
 
-def _corpus_filter_sql(d) -> str:
+def _doc_quality_gate_sql(d) -> str:
+    """Per-document hard gate — THE single definition of the curation
+    quality rule (lang allowlist + the quality_score composite thresholded
+    at _Q_MIN on the ROUND(.,6) grain). corpus_filter's funnel builds its
+    `scored` CTE from this, and the curate workflow
+    (sinks.write_curated_corpus) runs the Spark-dialect form directly, so
+    the two gates can never desync."""
     ws = d["split"]("text")
     hits = d["filter"](ws, f"w -> w IN {_STOPWORDS}")
     return f"""
-    WITH f AS (
-      SELECT doc_id, source, lang, text,
-             {d['len'](ws)} AS n_words,
-             CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio,
-             CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
-               / {d['len'](ws)} AS unique_ratio
-      FROM {d['pdocs']}
-    ),
-    scored AS (
       SELECT doc_id, source, lang, text,
              CASE WHEN lang IN {_KEEP_LANGS} THEN 1 ELSE 0 END AS lang_ok,
              CASE WHEN ROUND(LEAST(1.0, n_words / 100.0) * 0.5
                              + LEAST(1.0, stop_ratio * 10.0) * 0.2
                              + unique_ratio * 0.3, 6) >= {_Q_MIN}
                   THEN 1 ELSE 0 END AS q_ok
-      FROM f
-    ),
+      FROM (
+        SELECT doc_id, source, lang, text,
+               {d['len'](ws)} AS n_words,
+               CAST({d['len'](hits)} AS DOUBLE) / {d['len'](ws)} AS stop_ratio,
+               CAST({d['len'](d['distinct'](ws))} AS DOUBLE)
+                 / {d['len'](ws)} AS unique_ratio
+        FROM {d['pdocs']}
+      ) f
+    """
+
+
+def _corpus_filter_sql(d) -> str:
+    return f"""
+    WITH scored AS ({_doc_quality_gate_sql(d)}),
     dd AS (
       SELECT source, lang, lang_ok, q_ok,
              ROW_NUMBER() OVER (

@@ -152,135 +152,138 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
 
 def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
     """LLM-EXT end-to-end: ONE invocation runs the curation pipeline the
-    individual queries are the evidence trail for — Gopher quality gates
-    (`gopher_rules`), MinHash near-dup dedup (keep-min-doc_id rule from
-    `dedup_clusters`), and DSIR target-domain importance weights
-    (`dsir_weights`) — and ships two datasets:
+    individual queries are the evidence trail for — the shared per-doc
+    quality gate (lang allowlist + quality_score composite, the SAME
+    `_doc_quality_gate_sql` corpus_filter's funnel is built from), MinHash
+    near-dup dedup, and the Gopher verdict + DSIR target-domain weight as
+    recorded signals — and ships two datasets:
 
-    - ``out/decisions/``: one row per input document with every gate's
-      verdict (quality flag, dedup-survivor flag, the Gopher rule verdict
-      as a recorded signal, DSIR log-weight + sign) and the final ``keep``
-      — the audit table a curation run must leave behind;
+    - ``out/decisions/``: one row per input document (LEFT joins — a doc
+      with NULL text still gets its audit row, with NULL signals and
+      keep=false) carrying every gate's verdict and the final ``keep``;
     - ``out/corpus/``: the kept documents (text included), partitioned by
       source — the corpus a training run actually reads.
 
-    keep = quality AND dedup-survivor, where the hard quality gate is
-    corpus_filter's per-doc composite (lang allowlist + the quality_score
-    threshold — calibrated for this corpus). The full Gopher verdict is
-    RECORDED, not gated on: its English-stopword rule rejects the entire
-    synthetic fixture (stop_hits < 2 corpus-wide), and a curation run's
-    audit table should show that, not silently ship an empty corpus. The
-    DSIR weight likewise rides along as the sampling signal for the
-    downstream resampler rather than a hard gate (selection pressure is a
-    SAMPLING decision, Xie et al. 2023 §3).
+    keep = quality AND dedup-survivor. The dedup rule is QUALITY-AWARE:
+    the survivor of a near-dup cluster is its min-doc_id quality-PASSING
+    member, so a quality-failing representative can never shadow a
+    keep-worthy duplicate out of the corpus (same composition rule as
+    corpus_filter, whose dedup ranks eligible docs only; a cluster with no
+    passing member keeps the plain min rule for audit readability — every
+    member fails the quality gate anyway). The Gopher verdict is RECORDED,
+    not gated on: its English-stopword rule rejects the entire synthetic
+    fixture, and the audit table should show that, not silently ship an
+    empty corpus. The DSIR weight likewise rides along as the sampling
+    signal for the downstream resampler (selection pressure is a SAMPLING
+    decision, Xie et al. 2023 §3).
 
-    Scale shape: the three per-doc relations all end doc-clustered (the
-    gopher projection and dsir's final aggregate inherit the spread view's
-    hash(doc_id) partitioning), so the decision joins need no extra
-    full-corpus exchange beyond what the component queries already do; the
-    near-dup drop set is cluster-member-proportional and broadcasts (same
-    size gate as neardup_survivors). Returns a (stage, n) summary frame
-    built from the written files' parquet footers — write verification
-    without a re-scan."""
-    import pyarrow.parquet as pq
-
+    Scale shape: the decisions base is ONE corpus scan (the gate is a
+    projection over it); gopher/dsir end doc-clustered on the same spread
+    partitioning, so their joins add no extra full-corpus exchange; the
+    cluster relation is near-dup-proportional and its joins are size-gated
+    broadcasts; the KEPT doc-id set is corpus-proportional, so its join is
+    gated too (force-broadcasting it at a billion docs is the
+    driver-maxResultSize failure the sf100 ladder caught). `docs_in` comes
+    from the source table's parquet footers — the summary row count is
+    checked against the INPUT, not against the table being audited.
+    Returns a (stage, n) summary frame with footer-verified written
+    counts."""
     from .functions.scale import broadcast_if_small
     from .queries.corpus_ext import gopher_rules
-    from .queries.llm_pipeline import dedup_clusters, dsir_weights
+    from .queries.llm_pipeline import (
+        _SPARK_D,
+        _doc_quality_gate_sql,
+        _parquet_rows,
+        _spark_docs,
+        dedup_clusters,
+        dsir_weights,
+    )
     from .session import fast_commit
-    from .sources import load, table_rows
+    from .sources import table_rows
 
     fast_commit(spark)
+    base = _spark_docs(
+        spark,
+        sf_dir,
+        f"""WITH g AS ({_doc_quality_gate_sql(_SPARK_D)})
+            SELECT doc_id, source, lang,
+                   lang_ok = 1 AND q_ok = 1 AS keep_quality
+            FROM g""",
+    )
     gopher = gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gopher_keep")
-    )
-    reps = dedup_clusters(spark, sf_dir)
-    drops = reps.where(F.col("doc_id") != F.col("cluster_rep")).select(
-        "doc_id", F.lit(True).alias("is_dup")
     )
     dsir = dsir_weights(spark, sf_dir).select(
         "doc_id", "n_tokens", "logw_nats", "more_target_like"
     )
-    docs = load(spark, sf_dir, "documents")
-    # The hard quality gate: corpus_filter's per-doc composite (same
-    # constants — _KEEP_LANGS allowlist, quality_score formula thresholded
-    # at _Q_MIN on the ROUND(.,6) grain), as a projection over the scan.
-    from .queries.llm_pipeline import _KEEP_LANGS, _Q_MIN, _STOPWORDS
-
-    quality = docs.selectExpr(
-        "doc_id",
-        f"""
-        lang IN {_KEEP_LANGS} AND
-        ROUND(LEAST(1.0, size(split(text, ' ')) / 100.0) * 0.5
-              + LEAST(1.0, (CAST(size(filter(split(text, ' '),
-                                             w -> w IN {_STOPWORDS}))
-                                 AS DOUBLE)
-                            / size(split(text, ' '))) * 10.0) * 0.2
-              + (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-                 / size(split(text, ' '))) * 0.3, 6) >= {_Q_MIN}
-        AS keep_quality
-        """,
-    )
-    # Both derived doc-id sets are size-gated before hinting: the drop set
-    # is near-dup-proportional, but the KEPT set is corpus-proportional —
-    # force-broadcasting it at a billion docs is the exact
-    # driver-maxResultSize failure the sf100 ladder caught on
-    # revenue_by_nation's order bridge. ~32 B/row of id+flag.
     doc_bytes = table_rows(sf_dir, "documents") * 32
+    # Quality-aware survivor per cluster: min doc_id among quality-passing
+    # members (fallback: the plain cluster_rep when none pass). clusters is
+    # near-dup-proportional — both joins below broadcast under the gate.
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    memberq = clusters.join(
+        base.select("doc_id", "keep_quality"), "doc_id", "left"
+    )
+    qrep = (
+        memberq.where("keep_quality")
+        .groupBy("cluster_rep")
+        .agg(F.min("doc_id").alias("qrep"))
+    )
+    member_flags = (
+        memberq.join(qrep, "cluster_rep", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.coalesce("qrep", "cluster_rep")).alias(
+                "is_dup"
+            ),
+        )
+    )
     decisions = (
-        docs.select("doc_id", "source", "lang")
-        .join(quality, "doc_id")
-        .join(gopher, "doc_id")
-        .join(dsir, "doc_id")
-        .join(broadcast_if_small(drops, doc_bytes), "doc_id", "left")
+        base.join(gopher, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .join(broadcast_if_small(member_flags, doc_bytes), "doc_id", "left")
         .select(
             "doc_id",
             "source",
             "lang",
             "n_tokens",
-            "keep_quality",
-            F.col("is_dup").isNull().alias("keep_dedup"),
+            F.coalesce("keep_quality", F.lit(False)).alias("keep_quality"),
+            (~F.coalesce("is_dup", F.lit(False))).alias("keep_dedup"),
             "gopher_keep",
             "logw_nats",
             "more_target_like",
-            (F.col("keep_quality") & F.col("is_dup").isNull()).alias("keep"),
+            (
+                F.coalesce("keep_quality", F.lit(False))
+                & ~F.coalesce("is_dup", F.lit(False))
+            ).alias("keep"),
         )
     )
     dec_path = os.path.join(out, "decisions")
     decisions.write.mode("overwrite").parquet(dec_path)
     corpus_path = os.path.join(out, "corpus")
     kept = spark.read.parquet(dec_path).where("keep").select("doc_id")
-    docs.join(broadcast_if_small(kept, doc_bytes), "doc_id").write.mode(
-        "overwrite"
-    ).partitionBy("source").parquet(corpus_path)
+    from .sources import load
 
-    def _footer_rows(path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            total += sum(
-                pq.read_metadata(os.path.join(root, f)).num_rows
-                for f in files
-                if f.endswith(".parquet")
-            )
-        return total
+    load(spark, sf_dir, "documents").join(
+        broadcast_if_small(kept, doc_bytes), "doc_id"
+    ).write.mode("overwrite").partitionBy("source").parquet(corpus_path)
 
     dec = spark.read.parquet(dec_path)
     agg = dec.agg(
-        F.count("*").alias("n_docs"),
         F.sum(F.when(~F.col("keep_quality"), 1).otherwise(0)).alias("n_fail_quality"),
         F.sum(F.when(~F.col("keep_dedup"), 1).otherwise(0)).alias("n_dup_dropped"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
-            "n_tokens_kept"
-        ),
+        F.sum(
+            F.when(F.col("keep"), F.coalesce("n_tokens", F.lit(0))).otherwise(0)
+        ).alias("n_tokens_kept"),
     ).collect()[0]
     rows = [
-        ("docs_in", int(agg["n_docs"])),
+        ("docs_in", table_rows(sf_dir, "documents")),
         ("fail_quality", int(agg["n_fail_quality"])),
         ("dup_dropped", int(agg["n_dup_dropped"])),
         ("kept", int(agg["n_kept"])),
         ("tokens_kept", int(agg["n_tokens_kept"])),
-        ("decisions_rows_written", _footer_rows(dec_path)),
-        ("corpus_rows_written", _footer_rows(corpus_path)),
+        ("decisions_rows_written", _parquet_rows(dec_path)),
+        ("corpus_rows_written", _parquet_rows(corpus_path)),
     ]
     return spark.createDataFrame(rows, "stage string, n long")

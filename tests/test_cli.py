@@ -78,8 +78,9 @@ def test_cli_plot_bundle_writes_partitioned_frames(spark, smoke_sf_dir, capsys):
 def test_cli_curate_pipeline_consistent_with_components(spark, smoke_sf_dir, capsys):
     """The curate workflow's decisions table must agree row-for-row with
     the component queries it composes (gopher_rules verdicts, dsir_weights
-    values, dedup_clusters' keep-min rule), and the written corpus must be
-    exactly the keep=true slice."""
+    values, the quality-aware survivor rule recomputed from
+    dedup_clusters + the shared quality gate), and the written corpus must
+    be exactly the keep=true slice."""
     out = tempfile.mkdtemp(prefix="cli_cur_")
     try:
         assert main(["curate", "--sf-dir", smoke_sf_dir, "--out", out]) == 0
@@ -101,9 +102,15 @@ def test_cli_curate_pipeline_consistent_with_components(spark, smoke_sf_dir, cap
                   for r in qs["gopher_rules"].build(spark, smoke_sf_dir).collect()}
         dsir = {r.doc_id: (r.logw_nats, r.more_target_like)
                 for r in qs["dsir_weights"].build(spark, smoke_sf_dir).collect()}
-        drops = {r.doc_id
-                 for r in qs["dedup_clusters"].build(spark, smoke_sf_dir)
-                 .where("doc_id != cluster_rep").collect()}
+        quality = {r.doc_id: r.keep_quality for r in dec.collect()}
+        clusters: dict[int, list[int]] = {}
+        for r in qs["dedup_clusters"].build(spark, smoke_sf_dir).collect():
+            clusters.setdefault(r.cluster_rep, []).append(r.doc_id)
+        drops = set()
+        for rep, members in clusters.items():
+            passing = [d for d in members if quality[d]]
+            survivor = min(passing) if passing else rep
+            drops |= set(members) - {survivor}
         for r in dec.collect():
             assert r.gopher_keep == gopher[r.doc_id]
             assert (r.logw_nats, r.more_target_like) == dsir[r.doc_id]
@@ -114,16 +121,20 @@ def test_cli_curate_pipeline_consistent_with_components(spark, smoke_sf_dir, cap
 
 
 def test_cli_curate_all_duplicates_keep_one_survivor(spark, tmp_path):
-    """Adversarial composition fixture: ten IDENTICAL high-quality docs
-    (one MinHash cluster) plus three low-quality docs. The pipeline must
-    keep exactly the cluster representative (min doc_id) — quality passes
-    all ten, dedup collapses them to one — and drop every low-quality doc
-    regardless of dedup."""
+    """Adversarial composition fixture: ten IDENTICAL docs form one
+    MinHash cluster whose min-doc_id REPRESENTATIVE fails the quality gate
+    (disallowed lang) — the quality-aware survivor rule must keep the
+    min-doc_id PASSING member instead of letting the failing rep shadow
+    the content out of the corpus. Plus three low-quality docs (dropped
+    regardless of dedup) and a NULL-text doc, which must still get its
+    decisions audit row (LEFT-join contract) with keep=false."""
     good = " ".join(
         f"the w{i}" if i % 2 == 0 else f"of v{i}" for i in range(50)
     )  # 100 words, 50% stopword-adjacent, unique-heavy: composite >= 0.55
-    docs = [(i, good, "en", "srcA", len(good)) for i in range(10)]
+    docs = [(0, good, "xx", "srcA", len(good))]  # cluster rep, fails lang gate
+    docs += [(i, good, "en", "srcA", len(good)) for i in range(1, 10)]
     docs += [(100 + i, "zz yy", "en", "srcB", 5) for i in range(3)]
+    docs += [(300, None, "en", "srcB", 0)]  # NULL text
     sf = str(tmp_path / "sf")
     os.makedirs(sf, exist_ok=True)
     spark.createDataFrame(
@@ -134,14 +145,17 @@ def test_cli_curate_all_duplicates_keep_one_survivor(spark, tmp_path):
         assert main(["curate", "--sf-dir", sf, "--out", out]) == 0
         dec = {r.doc_id: r for r in
                spark.read.parquet(os.path.join(out, "decisions")).collect()}
-        assert len(dec) == 13
+        assert len(dec) == 14  # every input doc audited, incl. NULL text
         kept = {d for d, r in dec.items() if r.keep}
-        assert kept == {0}  # the min-doc_id representative, quality-passing
-        for i in range(1, 10):
+        assert kept == {1}  # min quality-PASSING member, not the failing rep
+        assert not dec[0].keep_quality
+        for i in range(2, 10):
             assert dec[i].keep_quality and not dec[i].keep_dedup
         for i in (100, 101, 102):
             assert not dec[i].keep_quality
+        assert not dec[300].keep and not dec[300].keep_quality
+        assert dec[300].logw_nats is None and dec[300].gopher_keep is None
         corpus = spark.read.parquet(os.path.join(out, "corpus"))
-        assert [r.doc_id for r in corpus.collect()] == [0]
+        assert [r.doc_id for r in corpus.collect()] == [1]
     finally:
         shutil.rmtree(out, ignore_errors=True)
