@@ -276,6 +276,14 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
         F.sum(
             F.when(F.col("keep"), F.coalesce("n_tokens", F.lit(0))).otherwise(0)
         ).alias("n_tokens_kept"),
+        # Order-independent fingerprint of the full decision set (XOR of
+        # per-row hashes — commutative, overflow-free, partition-count
+        # invariant): two runs over the same input MUST emit the same
+        # value, and any flipped verdict changes it. The reproducibility
+        # receipt a curation run ships with its corpus.
+        F.expr(
+            "bit_xor(xxhash64(doc_id, keep_quality, keep_dedup, keep))"
+        ).alias("fingerprint"),
     ).collect()[0]
     rows = [
         ("docs_in", table_rows(sf_dir, "documents")),
@@ -285,5 +293,6 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
         ("tokens_kept", int(agg["n_tokens_kept"])),
         ("decisions_rows_written", _parquet_rows(dec_path)),
         ("corpus_rows_written", _parquet_rows(corpus_path)),
+        ("decisions_fingerprint", int(agg["fingerprint"])),
     ]
     return spark.createDataFrame(rows, "stage string, n long")

@@ -159,3 +159,29 @@ def test_cli_curate_all_duplicates_keep_one_survivor(spark, tmp_path):
         assert [r.doc_id for r in corpus.collect()] == [1]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_curate_decisions_fingerprint_reproducible(spark, smoke_sf_dir):
+    """The decision-set fingerprint (XOR of per-row xxhash64) must be
+    identical across two runs over the same input — the reproducibility
+    receipt — and must CHANGE when any verdict flips (simulated by
+    re-hashing with one doc's keep inverted)."""
+    from synth_timeseries_data_spark.sinks import write_curated_corpus
+
+    outs = []
+    for run in range(2):
+        out = tempfile.mkdtemp(prefix=f"cli_cur_fp{run}_")
+        try:
+            summary = {r.stage: r.n for r in
+                       write_curated_corpus(spark, smoke_sf_dir, out).collect()}
+            outs.append(summary["decisions_fingerprint"])
+            if run == 0:
+                dec = spark.read.parquet(os.path.join(out, "decisions"))
+                flipped = dec.selectExpr(
+                    "bit_xor(xxhash64(doc_id, keep_quality, keep_dedup, "
+                    "CASE WHEN doc_id = 0 THEN NOT keep ELSE keep END)) AS fp"
+                ).collect()[0].fp
+                assert flipped != summary["decisions_fingerprint"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    assert outs[0] == outs[1]
