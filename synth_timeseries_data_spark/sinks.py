@@ -117,9 +117,8 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
     metadata read — verifies the write landed without a re-scan)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    import pyarrow.parquet as pq
-
     from .queries.events_ext import missing_pattern
+    from .queries.llm_pipeline import _parquet_rows
     from .queries.relational import sampling_hist
     from .session import fast_commit
 
@@ -138,12 +137,7 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
         name, df = item
         path = os.path.join(out, f"frame={name}")
         df.write.mode("overwrite").parquet(path)
-        n = sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-        return name, n
+        return name, _parquet_rows(path)
 
     with ThreadPoolExecutor(max_workers=len(frames)) as pool:
         counts = list(pool.map(_write, frames.items()))
@@ -177,8 +171,10 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
     signal for the downstream resampler (selection pressure is a SAMPLING
     decision, Xie et al. 2023 §3).
 
-    Scale shape: the decisions base is ONE corpus scan (the gate is a
-    projection over it); gopher/dsir end doc-clustered on the same spread
+    Scale shape: the quality-gate projection runs exactly twice — once to
+    materialize the near-dup member×quality relation (localCheckpoint'ed,
+    so its two consumers don't each re-run the corpus scan) and once as
+    the decisions base; gopher/dsir end doc-clustered on the same spread
     partitioning, so their joins add no extra full-corpus exchange; the
     cluster relation is near-dup-proportional and its joins are size-gated
     broadcasts; the KEPT doc-id set is corpus-proportional, so its join is
@@ -221,9 +217,14 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
     # members (fallback: the plain cluster_rep when none pass). clusters is
     # near-dup-proportional — both joins below broadcast under the gate.
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    # Materialize the (near-dup-sized) member×quality relation once:
+    # qrep and member_flags both read it, and each reference would
+    # otherwise re-execute the corpus-wide quality-gate scan under the
+    # join — two extra full-corpus passes inside the decisions job (the
+    # same localCheckpoint device dedup_clusters uses for its labels).
     memberq = clusters.join(
         base.select("doc_id", "keep_quality"), "doc_id", "left"
-    )
+    ).localCheckpoint()
     qrep = (
         memberq.where("keep_quality")
         .groupBy("cluster_rep")
@@ -279,20 +280,25 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
         # Order-independent fingerprint of the full decision set (XOR of
         # per-row hashes — commutative, overflow-free, partition-count
         # invariant): two runs over the same input MUST emit the same
-        # value, and any flipped verdict changes it. The reproducibility
+        # value, and a change to ANY column of ANY row — hard verdicts
+        # and recorded signals alike — changes it. The reproducibility
         # receipt a curation run ships with its corpus.
         F.expr(
-            "bit_xor(xxhash64(doc_id, keep_quality, keep_dedup, keep))"
+            "bit_xor(xxhash64(doc_id, source, lang, n_tokens,"
+            " keep_quality, keep_dedup, gopher_keep, logw_nats,"
+            " more_target_like, keep))"
         ).alias("fingerprint"),
     ).collect()[0]
     rows = [
+        # `or 0`: every aggregate is NULL over an empty decisions table
+        # (degenerate zero-doc input) — the summary must still come back.
         ("docs_in", table_rows(sf_dir, "documents")),
-        ("fail_quality", int(agg["n_fail_quality"])),
-        ("dup_dropped", int(agg["n_dup_dropped"])),
-        ("kept", int(agg["n_kept"])),
-        ("tokens_kept", int(agg["n_tokens_kept"])),
+        ("fail_quality", int(agg["n_fail_quality"] or 0)),
+        ("dup_dropped", int(agg["n_dup_dropped"] or 0)),
+        ("kept", int(agg["n_kept"] or 0)),
+        ("tokens_kept", int(agg["n_tokens_kept"] or 0)),
         ("decisions_rows_written", _parquet_rows(dec_path)),
         ("corpus_rows_written", _parquet_rows(corpus_path)),
-        ("decisions_fingerprint", int(agg["fingerprint"])),
+        ("decisions_fingerprint", int(agg["fingerprint"] or 0)),
     ]
     return spark.createDataFrame(rows, "stage string, n long")

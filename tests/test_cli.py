@@ -178,8 +178,10 @@ def test_curate_decisions_fingerprint_reproducible(spark, smoke_sf_dir):
             if run == 0:
                 dec = spark.read.parquet(os.path.join(out, "decisions"))
                 flipped = dec.selectExpr(
-                    "bit_xor(xxhash64(doc_id, keep_quality, keep_dedup, "
-                    "CASE WHEN doc_id = 0 THEN NOT keep ELSE keep END)) AS fp"
+                    "bit_xor(xxhash64(doc_id, source, lang, n_tokens,"
+                    " keep_quality, keep_dedup, gopher_keep, logw_nats,"
+                    " more_target_like,"
+                    " CASE WHEN doc_id = 0 THEN NOT keep ELSE keep END)) AS fp"
                 ).collect()[0].fp
                 assert flipped != summary["decisions_fingerprint"]
         finally:
