@@ -187,3 +187,26 @@ def test_curate_decisions_fingerprint_reproducible(spark, smoke_sf_dir):
         finally:
             shutil.rmtree(out, ignore_errors=True)
     assert outs[0] == outs[1]
+
+
+def test_curate_empty_input_returns_zero_summary(spark, tmp_path):
+    """A zero-document input must produce an empty decisions/corpus pair
+    and a zero summary — not a TypeError from NULL aggregates (the
+    empty-relation guard on the summary row)."""
+    from synth_timeseries_data_spark.sinks import write_curated_corpus
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [], "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="cli_cur_empty_")
+    try:
+        summary = {r.stage: r.n for r in
+                   write_curated_corpus(spark, sf, out).collect()}
+        assert summary["docs_in"] == 0 and summary["kept"] == 0
+        assert summary["decisions_rows_written"] == 0
+        assert summary["corpus_rows_written"] == 0
+        assert summary["decisions_fingerprint"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -564,3 +564,47 @@ def test_dsir_weights_zero_identity_when_corpus_is_target(spark, tmp_path):
     for r in rows:
         assert r.logw_nats == 0.0 and r.avg_logw_nats == 0.0
         assert not r.more_target_like
+
+
+def test_gopher_rules_match_independent_reimplementation(spark, oracle_sf_dir):
+    """Independent plain-python reimplementation of the Gopher gates (Rae
+    et al. 2021 App. A, as specified in _gopher_sql) over the raw fixture
+    text — validates the published semantics, not just the DuckDB twin.
+    Ratios are quotients of exact integers, so the comparison is exact
+    IEEE equality, not approximate."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    alpha = re.compile(r"[A-Za-z]")
+    tbl = pq.read_table(f"{oracle_sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    got = {r.doc_id: r
+           for r in all_queries()["gopher_rules"].build(spark, oracle_sf_dir)
+           .collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        ws = text.split(" ")
+        lines = text.split("\n")
+        n, nl = len(ws), len(lines)
+        r = got[doc_id]
+        assert r.n_words == n
+        assert r.mean_word_len == len(text.replace(" ", "")) / n
+        assert r.symbol_ratio == (
+            float(text.count("#")) + (len(text) - len(text.replace("...", ""))) / 3
+        ) / n
+        assert r.bullet_frac == float(
+            sum(1 for x in lines if x.startswith(("- ", "* ")))) / nl
+        assert r.ellipsis_frac == float(
+            sum(1 for x in lines if x.endswith("..."))) / nl
+        assert r.alpha_word_frac == float(
+            sum(1 for w in ws if alpha.search(w))) / n
+        assert r.stop_hits == len(set(ws) & stops)
+        keep = (50 <= n <= 100000 and 3 <= r.mean_word_len <= 10
+                and r.symbol_ratio < 0.1 and r.bullet_frac < 0.9
+                and r.ellipsis_frac < 0.3 and r.alpha_word_frac >= 0.8
+                and r.stop_hits >= 2)
+        assert r.keep == keep, doc_id
