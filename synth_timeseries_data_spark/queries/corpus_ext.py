@@ -368,13 +368,15 @@ def _sd_dot(d, a: str, b: str) -> str:
 # pairing: members ordered by the exact first-dim micro projection
 # (deterministic; cosine-close vectors have close projections) and paired
 # only with their _SD_NEIGHBORS successors — candidates linear in cluster
-# size. The guard lives in the SHARED dialect template, so Spark and the
-# DuckDB oracle compute identical results at every scale; recall inside
-# over-cap clusters is approximate by design (the semantics property — an
-# over-cap blob of near-identical vectors keeps exactly one survivor — is
-# pinned in tests/test_corpus_ext.py). Gate fixtures sit far under the cap
+# size. The guard lives in the dialect-shared template, but only the SPARK
+# side enables it (the REGISTERED oracle composes _sd_tail(_DUCK_D) with
+# guard=False) — past the vocab/K gate the two sides already diverge by
+# design (numpy kernel, corpus-sized K vs the oracle's static K=32), so
+# over-cap results are pinned by the semantics property instead: an
+# over-cap blob of near-identical vectors keeps exactly one survivor
+# (tests/test_corpus_ext.py). Gate fixtures sit far under the cap
 # (max cluster ~30 at sf0.01), so the oracle-checked path is pure
-# all-pairs there.
+# all-pairs there and the engines ARE identical at every checked scale.
 # The cap equals the neighborhood path's per-member budget (2·_SD_NEIGHBORS
 # ≈ all-pairs in a 33-member cluster), so candidate fan-out is bounded PER
 # MEMBER in every cluster. The original 256 left a cliff — clusters just

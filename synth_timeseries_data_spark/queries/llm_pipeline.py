@@ -1995,18 +1995,32 @@ _TFIDF_SPARK_SHUFFLE = _tfidf_spark("")
 _VOCAB_BCAST_DOCS_BYTES = 1 << 30
 
 
+_DOCS_BYTES_CACHE: dict[str, int] = {}
+
+
 def _docs_disk_bytes(sf_dir: str) -> int:
+    """On-disk documents footprint for the vocab-broadcast gate. Memoized
+    per sf_dir (a bench loop builds the three gated queries repeatedly and
+    the fixture is immutable within a session; a rewritten dataset changes
+    the top-level stat rarely enough that the gate — a plan-strategy knob,
+    not a correctness input — doesn't need rewrite invalidation)."""
+    n = _DOCS_BYTES_CACHE.get(sf_dir)
+    if n is not None:
+        return n
     p = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(p):
-            return sum(
+            n = sum(
                 e.stat().st_size
                 for e in os.scandir(p)
                 if e.is_file() and e.name.endswith(".parquet")
             )
-        return os.stat(p).st_size
+        else:
+            n = os.stat(p).st_size
     except OSError:
-        return 1 << 62  # unknown: treat as huge, keep the shuffle-safe plan
+        n = 1 << 62  # unknown: treat as huge, keep the shuffle-safe plan
+    _DOCS_BYTES_CACHE[sf_dir] = n
+    return n
 
 
 @register("tfidf_topterms", _TFIDF_DUCK)

@@ -43,29 +43,39 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str]:
     pixel decode would waste the whole batch budget. Supports the formats
     whose dimensions live at fixed/walkable offsets: PNG (IHDR), GIF
     (logical screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOF marker
-    walk). Raises ValueError for anything else."""
+    walk). Raises ValueError for anything else — including a recognized
+    magic over a TRUNCATED header (struct.error is translated, so callers
+    can catch one exception type as documented)."""
     import struct
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = struct.unpack(">II", payload[16:24])
-        return w, h, "png"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", payload[6:10])
-        return w, h, "gif"
-    if payload[:2] == b"BM":
-        w, h = struct.unpack("<ii", payload[18:26])
-        return w, abs(h), "bmp"
-    if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to the first SOF
-        i = 2
-        while i + 9 < len(payload):
-            if payload[i] != 0xFF:
-                break
-            marker = payload[i + 1]
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return w, h, "jpeg"
-            i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
-        raise ValueError("jpeg without SOF marker")
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", payload[16:24])
+            return w, h, "png"
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return w, h, "gif"
+        if payload[:2] == b"BM":
+            w, h = struct.unpack("<ii", payload[18:26])
+            return w, abs(h), "bmp"
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to the first SOF
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may pad a
+                # marker — skip them, or a spec-valid file would misread the
+                # real marker byte as a length field and walk into garbage.
+                while i + 9 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
+                marker = payload[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return w, h, "jpeg"
+                i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            raise ValueError("jpeg without SOF marker")
+    except struct.error as e:
+        raise ValueError(f"truncated image header: {e}") from e
     raise ValueError("unrecognized image container")
 
 

@@ -68,9 +68,11 @@ def _fingerprint(path: str) -> tuple[float, int]:
 
 
 # Footer row-count memo: file metadata, not session state, so a plain module
-# dict keyed by (path, fingerprint) is correct — a rewritten dataset gets a
-# new fingerprint and re-reads its footers.
-_ROWS_CACHE: dict[tuple, int] = {}
+# dict keyed by PATH, storing (fingerprint, n) — a rewritten dataset gets a
+# new fingerprint and re-reads its footers, REPLACING its entry (keying by
+# (path, fingerprint) would strand one dead entry per rewrite forever in a
+# long generate→query session).
+_ROWS_CACHE: dict[str, tuple[tuple, int]] = {}
 
 
 def table_rows(sf_dir: str, name: str) -> int:
@@ -90,23 +92,24 @@ def table_rows(sf_dir: str, name: str) -> int:
     broadcast at runtime from observed shuffle stats.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (path,) + _fingerprint(path)
-    n = _ROWS_CACHE.get(key)
-    if n is None:
-        try:
-            import pyarrow.parquet as pq
+    fp = _fingerprint(path)
+    hit = _ROWS_CACHE.get(path)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    try:
+        import pyarrow.parquet as pq
 
-            if os.path.isdir(path):
-                n = sum(
-                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                    for f in os.listdir(path)
-                    if f.endswith(".parquet")
-                )
-            else:
-                n = pq.ParquetFile(path).metadata.num_rows
-        except Exception:
-            n = 2**62
-        _ROWS_CACHE[key] = n
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        n = 2**62
+    _ROWS_CACHE[path] = (fp, n)
     return n
 
 

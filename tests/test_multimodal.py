@@ -88,3 +88,26 @@ def test_decode_agrees_with_header_or_stubs(fmt, make, w, h):
     img = decode_image(payload)
     assert img.size == (w, h)
     assert (w, h) == tuple(parse_image_header(payload)[:2])
+
+
+def test_parse_image_header_jpeg_fill_bytes_and_truncation():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — a spec-valid JPEG with padding must still parse; and a
+    recognized magic over a truncated header must raise ValueError (the
+    documented single exception type), not leak struct.error."""
+    import struct
+
+    import pytest
+
+    from synth_timeseries_data_spark.queries.multimodal import parse_image_header
+
+    # minimal JPEG: SOI, APP0 (with a fill byte before it), fill bytes
+    # before SOF0 carrying 33x17
+    app0 = b"\xff\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    sof = b"\xff\xff\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(
+        ">HH", 17, 33
+    )
+    assert parse_image_header(b"\xff\xd8" + app0 + sof) == (33, 17, "jpeg")
+
+    with pytest.raises(ValueError):
+        parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated
