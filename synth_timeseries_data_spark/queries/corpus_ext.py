@@ -895,7 +895,10 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks import write_curated_corpus
 
+    # PID in the path: two concurrent sessions on the same fixture (bench
+    # run + pytest) must not overwrite each other's output mid-read.
     out = os.path.join(
-        tempfile.gettempdir(), f"curated_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"curated_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     return write_curated_corpus(spark, sf_dir, out)

@@ -264,7 +264,10 @@ def plot_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks import write_plot_bundle
 
+    # PID in the path: two concurrent sessions on the same fixture (bench
+    # run + pytest) must not overwrite each other's output mid-read.
     out = os.path.join(
-        tempfile.gettempdir(), f"plot_bundle_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"plot_bundle_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     return write_plot_bundle(spark, sf_dir, out)

@@ -2010,11 +2010,18 @@ def _docs_disk_bytes(sf_dir: str) -> int:
     p = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(p):
+            # Recurse: hive-partitioned layouts nest part files, and a
+            # flat scandir would sum 0 bytes — read as "tiny corpus" and
+            # keeping the broadcast-vocab plan at any real size. A dataset
+            # dir with zero visible part files is UNKNOWN, not empty.
             n = sum(
-                e.stat().st_size
-                for e in os.scandir(p)
-                if e.is_file() and e.name.endswith(".parquet")
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
             )
+            if n == 0:
+                n = 1 << 62
         else:
             n = os.stat(p).st_size
     except OSError:

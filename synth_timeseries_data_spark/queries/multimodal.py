@@ -72,6 +72,16 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str]:
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                     return w, h, "jpeg"
+                # ITU T.81 B.1.1.4: TEM (0x01) and RSTn/SOI/EOI (0xD0-0xD9)
+                # are STANDALONE markers with no length field — reading
+                # their payload bytes as a length would walk into garbage.
+                # None can precede SOF in a well-formed header (RSTs live
+                # inside scan data), so an unwalkable file raises the
+                # documented ValueError instead.
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    raise ValueError(
+                        f"standalone marker 0x{marker:02x} before SOF"
+                    )
                 i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
             raise ValueError("jpeg without SOF marker")
     except struct.error as e:

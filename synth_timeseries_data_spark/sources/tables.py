@@ -100,11 +100,23 @@ def table_rows(sf_dir: str, name: str) -> int:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            n = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
+            # Walk RECURSIVELY: hive-partitioned datasets nest part files
+            # under key=value subdirectories, and a top-level-only listing
+            # would report 0 rows — which downstream size gates read as
+            # "tiny, safe to broadcast", the exact failure the 2**62
+            # fail-safe exists to prevent.
+            parts = [
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
-            )
+            ]
+            if not parts:
+                # A dataset directory with zero readable footers is
+                # UNKNOWN, not empty: keep the no-broadcast fail-safe.
+                n = 2**62
+            else:
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
         else:
             n = pq.ParquetFile(path).metadata.num_rows
     except Exception:

@@ -131,3 +131,41 @@ def test_vocab_gate_strips_hint_in_plan(spark, oracle_sf_dir, monkeypatch):
             assert ("SortMergeJoin" in gated) or ("ShuffledHashJoin" in gated), (
                 name, gated[:1500],
             )
+
+
+def test_table_rows_nested_dataset_and_empty_dir(tmp_path, oracle_sf_dir):
+    """Hive-partitioned layouts nest part files under key=value dirs; the
+    footer count must WALK the tree (a flat listing returned 0 — which the
+    size gates read as 'tiny, force the broadcast', the exact
+    maxResultSize failure the 2**62 fail-safe exists to prevent). A
+    dataset dir with zero footers is UNKNOWN (2**62), never 0."""
+    import shutil
+
+    src = f"{oracle_sf_dir}/nation.parquet"
+    nested = tmp_path / "nation.parquet" / "source=a"
+    nested.mkdir(parents=True)
+    shutil.copy(src, nested / "part-0.parquet")
+    assert table_rows(str(tmp_path), "nation") == 25
+
+    (tmp_path / "empty.parquet").mkdir()
+    assert table_rows(str(tmp_path), "empty") >= 2**62
+
+
+def test_docs_disk_bytes_nested_dataset_and_empty_dir(tmp_path, oracle_sf_dir):
+    """Same asymmetry for the vocab-broadcast gate's byte proxy: nested
+    part files must be summed recursively, and an existing-but-empty
+    dataset dir is unknown/huge (keeps the shuffle-safe plan), not 0."""
+    import os
+    import shutil
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import _docs_disk_bytes
+
+    nested = tmp_path / "documents.parquet" / "source=a"
+    nested.mkdir(parents=True)
+    shutil.copy(f"{oracle_sf_dir}/nation.parquet", nested / "part-0.parquet")
+    expect = os.path.getsize(nested / "part-0.parquet")
+    assert _docs_disk_bytes(str(tmp_path)) == expect
+
+    empty = tmp_path / "emptycase"
+    (empty / "documents.parquet").mkdir(parents=True)
+    assert _docs_disk_bytes(str(empty)) >= 1 << 62

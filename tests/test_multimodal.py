@@ -111,3 +111,24 @@ def test_parse_image_header_jpeg_fill_bytes_and_truncation():
 
     with pytest.raises(ValueError):
         parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated
+
+
+def test_parse_image_header_jpeg_standalone_markers_raise():
+    """ITU T.81 B.1.1.4: TEM (0x01) and RST0-7 (0xD0-0xD7) are standalone
+    markers with NO length field. A header containing one before SOF is
+    unwalkable (RSTs belong inside scan data) — the parser must raise the
+    documented ValueError rather than misreading payload bytes as a
+    length and walking into garbage."""
+    import struct
+
+    import pytest
+
+    from synth_timeseries_data_spark.queries.multimodal import parse_image_header
+
+    sof = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 17, 33)
+    for standalone in (b"\xff\x01", b"\xff\xd0", b"\xff\xd7", b"\xff\xd9"):
+        # if misparsed as length-carrying, the SOF bytes here would be
+        # consumed as the phantom length's payload
+        payload = b"\xff\xd8" + standalone + sof
+        with pytest.raises(ValueError):
+            parse_image_header(payload)
