@@ -879,6 +879,66 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_docs(spark, sf_dir, _GOPHER_SPARK)
 
 
+def _curate_decisions_duck() -> str:
+    """Composed DuckDB oracle for the curation DECISIONS table: each stage
+    is the already-oracle-checked component's own SQL (quality gate =
+    `_doc_quality_gate_sql`, near-dup clusters = dedup_clusters' recursive
+    min-label closure, Gopher = gopher_rules', DSIR = dsir_weights'),
+    nested as subqueries so their internal CTE names can't collide, then
+    joined with the workflow's exact composition rule (quality-aware
+    survivor, LEFT joins, coalesced gates)."""
+    from .llm_pipeline import (
+        _DSIR_DUCK,
+        _clusters_duck_sql,
+        _doc_quality_gate_sql,
+    )
+
+    return f"""
+    WITH
+    base AS (
+      SELECT doc_id, source, lang, lang_ok = 1 AND q_ok = 1 AS keep_quality
+      FROM ( {_doc_quality_gate_sql(_DUCK_D)} ) g0
+    ),
+    goph AS (SELECT doc_id, keep AS gopher_keep FROM ( {_GOPHER_DUCK} ) g1),
+    ds AS (SELECT doc_id, n_tokens, logw_nats, more_target_like
+           FROM ( {_DSIR_DUCK} ) d0),
+    comp AS (SELECT doc_id, cluster_rep FROM ( {_clusters_duck_sql()} ) c0),
+    memberq AS (
+      SELECT c.doc_id, c.cluster_rep, b.keep_quality
+      FROM comp c LEFT JOIN base b ON b.doc_id = c.doc_id
+    ),
+    qrep AS (SELECT cluster_rep, MIN(doc_id) AS qrep
+             FROM memberq WHERE keep_quality GROUP BY cluster_rep),
+    flags AS (
+      SELECT m.doc_id, m.doc_id != COALESCE(q.qrep, m.cluster_rep) AS is_dup
+      FROM memberq m LEFT JOIN qrep q ON q.cluster_rep = m.cluster_rep
+    )
+    SELECT b.doc_id, b.source, b.lang, ds.n_tokens,
+           COALESCE(b.keep_quality, FALSE) AS keep_quality,
+           NOT COALESCE(f.is_dup, FALSE) AS keep_dedup,
+           g.gopher_keep, ds.logw_nats, ds.more_target_like,
+           COALESCE(b.keep_quality, FALSE)
+             AND NOT COALESCE(f.is_dup, FALSE) AS keep
+    FROM base b
+    LEFT JOIN goph g ON g.doc_id = b.doc_id
+    LEFT JOIN ds ON ds.doc_id = b.doc_id
+    LEFT JOIN flags f ON f.doc_id = b.doc_id
+    """
+
+
+@register("curate_decisions", _curate_decisions_duck())
+def curate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: the curation workflow's per-document decisions audit table,
+    returned as a DataFrame (the rows `curated_corpus` writes, minus the
+    write jobs) so the driver's value-hash gate covers the composed
+    workflow plan itself — VERDICT r06 item 2. Same builder the sink
+    persists (`sinks.curate_decisions_frame`), so the oracle-checked plan
+    and the written dataset can never desync."""
+    from ..sinks import curate_decisions_frame
+
+    return curate_decisions_frame(spark, sf_dir)
+
+
 @register("curated_corpus", None)
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT end-to-end workflow: run the curation pipeline (Gopher

@@ -216,6 +216,16 @@ def parse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed_edges(spark)
 
 
+@register("parse_edges_udtf", _PARSE_ORACLE)
+def parse_edges_udtf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDTF variant of G2 under the SAME oracle as parse_edges
+    (the two are pinned row-equal in tests/test_dsl_semantics.py; this
+    registry entry gets the variant its own driver CORRECTNESS attestation
+    — VERDICT r06 item 8). The declarative form stays the production path;
+    see parse_edges_udtf's docstring for why the escape hatch exists."""
+    return parse_edges_udtf(spark)
+
+
 # --------------------------------------------------------------------------
 # G15 — ground-truth tensor build (a1.py:249-266): edge list → dense
 # (source_idx, target_idx, lag_idx) cells with val/graph; contemporaneous

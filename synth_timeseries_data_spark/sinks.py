@@ -144,60 +144,31 @@ def write_plot_bundle(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
     return spark.createDataFrame(counts, "frame string, n_rows long")
 
 
-def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
-    """LLM-EXT end-to-end: ONE invocation runs the curation pipeline the
-    individual queries are the evidence trail for — the shared per-doc
-    quality gate (lang allowlist + quality_score composite, the SAME
-    `_doc_quality_gate_sql` corpus_filter's funnel is built from), MinHash
-    near-dup dedup, and the Gopher verdict + DSIR target-domain weight as
-    recorded signals — and ships two datasets:
+def curate_decisions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation workflow's per-document decisions audit table — one row
+    per input document carrying every gate's verdict and the final
+    ``keep``. This is THE builder `write_curated_corpus` persists (the
+    registry's oracle-checked `curate_decisions` entry returns it
+    directly, so the driver's value-hash gate covers the exact plan the
+    workflow writes — not a lookalike).
 
-    - ``out/decisions/``: one row per input document (LEFT joins — a doc
-      with NULL text still gets its audit row, with NULL signals and
-      keep=false) carrying every gate's verdict and the final ``keep``;
-    - ``out/corpus/``: the kept documents (text included), partitioned by
-      source — the corpus a training run actually reads.
-
-    keep = quality AND dedup-survivor. The dedup rule is QUALITY-AWARE:
-    the survivor of a near-dup cluster is its min-doc_id quality-PASSING
-    member, so a quality-failing representative can never shadow a
-    keep-worthy duplicate out of the corpus (same composition rule as
-    corpus_filter, whose dedup ranks eligible docs only; a cluster with no
-    passing member keeps the plain min rule for audit readability — every
-    member fails the quality gate anyway). The Gopher verdict is RECORDED,
-    not gated on: its English-stopword rule rejects the entire synthetic
-    fixture, and the audit table should show that, not silently ship an
-    empty corpus. The DSIR weight likewise rides along as the sampling
-    signal for the downstream resampler (selection pressure is a SAMPLING
-    decision, Xie et al. 2023 §3).
-
-    Scale shape: the quality-gate projection runs exactly twice — once to
-    materialize the near-dup member×quality relation (localCheckpoint'ed,
-    so its two consumers don't each re-run the corpus scan) and once as
-    the decisions base; gopher/dsir end doc-clustered on the same spread
-    partitioning, so their joins add no extra full-corpus exchange; the
-    cluster relation is near-dup-proportional and its joins are size-gated
-    broadcasts; the KEPT doc-id set is corpus-proportional, so its join is
-    gated too (force-broadcasting it at a billion docs is the
-    driver-maxResultSize failure the sf100 ladder caught). `docs_in` comes
-    from the source table's parquet footers — the summary row count is
-    checked against the INPUT, not against the table being audited.
-    Returns a (stage, n) summary frame with footer-verified written
-    counts."""
+    Columns: doc_id, source, lang, n_tokens, keep_quality, keep_dedup,
+    gopher_keep, logw_nats, more_target_like, keep — with
+    keep = keep_quality AND keep_dedup, dedup survivor = min-doc_id
+    QUALITY-PASSING member per near-dup cluster (plain min when no member
+    passes). LEFT joins throughout: a doc with NULL text still gets its
+    audit row (NULL signals, keep follows the coalesced gates)."""
     from .functions.scale import broadcast_if_small
     from .queries.corpus_ext import gopher_rules
     from .queries.llm_pipeline import (
         _SPARK_D,
         _doc_quality_gate_sql,
-        _parquet_rows,
         _spark_docs,
         dedup_clusters,
         dsir_weights,
     )
-    from .session import fast_commit
     from .sources import table_rows
 
-    fast_commit(spark)
     base = _spark_docs(
         spark,
         sf_dir,
@@ -239,7 +210,7 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
             ),
         )
     )
-    decisions = (
+    return (
         base.join(gopher, "doc_id", "left")
         .join(dsir, "doc_id", "left")
         .join(broadcast_if_small(member_flags, doc_bytes), "doc_id", "left")
@@ -259,6 +230,56 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
             ).alias("keep"),
         )
     )
+
+
+def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
+    """LLM-EXT end-to-end: ONE invocation runs the curation pipeline the
+    individual queries are the evidence trail for — the shared per-doc
+    quality gate (lang allowlist + quality_score composite, the SAME
+    `_doc_quality_gate_sql` corpus_filter's funnel is built from), MinHash
+    near-dup dedup, and the Gopher verdict + DSIR target-domain weight as
+    recorded signals — and ships two datasets:
+
+    - ``out/decisions/``: one row per input document (LEFT joins — a doc
+      with NULL text still gets its audit row, with NULL signals and
+      keep=false) carrying every gate's verdict and the final ``keep``;
+    - ``out/corpus/``: the kept documents (text included), partitioned by
+      source — the corpus a training run actually reads.
+
+    keep = quality AND dedup-survivor. The dedup rule is QUALITY-AWARE:
+    the survivor of a near-dup cluster is its min-doc_id quality-PASSING
+    member, so a quality-failing representative can never shadow a
+    keep-worthy duplicate out of the corpus (same composition rule as
+    corpus_filter, whose dedup ranks eligible docs only; a cluster with no
+    passing member keeps the plain min rule for audit readability — every
+    member fails the quality gate anyway). The Gopher verdict is RECORDED,
+    not gated on: its English-stopword rule rejects the entire synthetic
+    fixture, and the audit table should show that, not silently ship an
+    empty corpus. The DSIR weight likewise rides along as the sampling
+    signal for the downstream resampler (selection pressure is a SAMPLING
+    decision, Xie et al. 2023 §3).
+
+    Scale shape: the quality-gate projection runs exactly twice — once to
+    materialize the near-dup member×quality relation (localCheckpoint'ed,
+    so its two consumers don't each re-run the corpus scan) and once as
+    the decisions base; gopher/dsir end doc-clustered on the same spread
+    partitioning, so their joins add no extra full-corpus exchange; the
+    cluster relation is near-dup-proportional and its joins are size-gated
+    broadcasts; the KEPT doc-id set is corpus-proportional, so its join is
+    gated too (force-broadcasting it at a billion docs is the
+    driver-maxResultSize failure the sf100 ladder caught). `docs_in` comes
+    from the source table's parquet footers — the summary row count is
+    checked against the INPUT, not against the table being audited.
+    Returns a (stage, n) summary frame with footer-verified written
+    counts."""
+    from .functions.scale import broadcast_if_small
+    from .queries.llm_pipeline import _parquet_rows
+    from .session import fast_commit
+    from .sources import table_rows
+
+    fast_commit(spark)
+    decisions = curate_decisions_frame(spark, sf_dir)
+    doc_bytes = table_rows(sf_dir, "documents") * 32
     dec_path = os.path.join(out, "decisions")
     decisions.write.mode("overwrite").parquet(dec_path)
     corpus_path = os.path.join(out, "corpus")
