@@ -975,6 +975,77 @@ def _clusters_duck_sql() -> str:
     )
 
 
+def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 50):
+    """Connected components over an undirected edge list via alternating
+    large-star/small-star contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds on ANY
+    graph shape, vs. the diameter-many rounds min-label propagation needs
+    (a 1000-link near-dup chain is a 1000-round propagation but ~20 star
+    rounds; worse, a fixed round BOUND silently mislabels chains longer
+    than the bound, which the old 20-round loop would have).
+
+    Per round, both stars are one groupBy + one co-partitioned join +
+    distinct over the edge relation; the edge count never grows beyond the
+    symmetrized input, and the driver reads only a (count, xxhash) edge-set
+    checksum per round — never data. At fixpoint every component is a star
+    centered on its min node, which large-star and small-star both map to
+    itself (checked structurally: the convergence test is checksum equality
+    of consecutive edge SETS, not a round bound).
+
+    Takes edges as a DataFrame[a: long, b: long] (a != b, any orientation,
+    duplicates fine). Returns (labels DataFrame[v, label], rounds)."""
+    from pyspark.sql import functions as F
+
+    edges = edges.where("a != b").localCheckpoint()
+    prev_sum = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # Large-star: every node u links its strictly-larger neighbors to
+        # m(u) = min(N(u) ∪ {u}).
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mn = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mn, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where("a != b")
+            .distinct()
+        )
+        # Small-star: orient edges large→small, then every node u links its
+        # smaller neighbors (and itself) to m(u) = min of those neighbors.
+        down = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mn2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(mn2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mn2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Convergence = identical edge SET two rounds running: order- and
+        # partition-independent (count, xor-of-row-hashes) checksum — one
+        # scalar pair to the driver per round.
+        chk = small.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        edges = small
+        if prev_sum == (chk["n"], chk["h"]):
+            break
+        prev_sum = (chk["n"], chk["h"])
+    # Fixpoint edges are (member, root) stars; roots label themselves.
+    labels = edges.select(F.col("a").alias("v"), F.col("b").alias("label")).union(
+        edges.select(F.col("b").alias("v"), F.col("b").alias("label")).distinct()
+    )
+    return labels, rounds
+
+
 @register("dedup_clusters", _clusters_duck_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pair graph —
@@ -982,13 +1053,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id. Dedup pipelines keep ONE doc per component, so clustering
     the pairs is the step that makes pair generation actionable.
 
-    Iterative min-label propagation: each round is one shuffle join of the
-    (tiny) edge relation against labels + a min-aggregate; the driver reads
-    only a scalar convergence count per round, never data. Labels are
-    localCheckpoint'ed per round (flat lineage). Rounds = component
-    diameter (near-dup clusters are shallow). At 100 TB this is exactly
-    GraphFrames/GraphX connected components, expressed over the same
-    bucket-join candidate graph the LSH index yields."""
+    Alternating large-star/small-star contraction (_cc_alternating_stars):
+    O(log n) rounds regardless of component diameter, one groupBy + one
+    co-partitioned join per star, localCheckpoint'ed per round (flat
+    lineage); the driver only ever reads a scalar edge-set checksum. At
+    100 TB this is the same algorithm GraphX/GraphFrames large-star CC
+    runs, expressed over the bucket-join candidate graph the LSH index
+    yields."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -997,40 +1068,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mh_pairs|{sf_dir}",
         lambda: minhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("a", "b")
-    labels = (
-        edges.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
-    ).localCheckpoint()
-    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-4
-        neigh = (
-            edges.join(labels, edges.a == labels.v)
-            .groupBy(F.col("b").alias("v2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        # the convergence flag rides in the SAME projection as the label
-        # update (changed = new label strictly smaller), so the per-round
-        # cost is one join + one agg + the checkpoint — the earlier form
-        # re-joined new labels against old ones purely to count changes,
-        # a whole extra shuffle per round
-        stepped = (
-            labels.join(neigh, labels.v == F.col("v2"), "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.agg(F.sum("chg")).collect()[0][0]
-        labels = stepped.select(F.col("v"), F.col("new_label").alias("label"))
-        if not changed:
-            break
+    labels, _ = _cc_alternating_stars(pairs.toDF("a", "b"))
     w_size = F.count("*").over(Window.partitionBy("cluster_rep"))
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_rep")

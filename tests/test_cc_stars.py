@@ -1,0 +1,85 @@
+"""Connected components via alternating large-star/small-star
+(queries/llm_pipeline.py::_cc_alternating_stars).
+
+The VERDICT-r06 adversarial case for the old min-label propagation: a
+near-dup CHAIN of length L needs L propagation rounds, and a fixed round
+bound silently mislabels anything longer. The star contraction is
+O(log n) rounds on any shape — these tests pin both the labels and the
+round count on exactly that fixture, plus mixed shapes and degenerate
+inputs, against a plain-python union-find reimplementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from synth_timeseries_data_spark.queries.llm_pipeline import (
+    _cc_alternating_stars,
+)
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent oracle: union-find → node -> component-min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _run(spark, pairs: list[tuple[int, int]]):
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    labels, rounds = _cc_alternating_stars(edges)
+    got = {r["v"]: r["label"] for r in labels.collect()}
+    return got, rounds
+
+
+def test_long_chain_labels_and_log_rounds(spark):
+    # 300-link chain: min-label propagation needs 300 rounds (the old
+    # 20-round bound returned WRONG labels here); stars need ~2·log2(300).
+    n = 300
+    pairs = [(i, i + 1) for i in range(n)]
+    got, rounds = _run(spark, pairs)
+    assert got == _uf_components(pairs)
+    assert set(got.values()) == {0}
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 4, rounds
+
+
+def test_chain_reversed_ids_and_mixed_shapes(spark):
+    # descending chain (worst orientation), a star, a triangle, an
+    # isolated pair — one graph, every component labeled by its min
+    chain = [(i + 1, i) for i in range(900, 950)]
+    star = [(1000, v) for v in range(1001, 1020)]
+    tri = [(5, 6), (6, 7), (7, 5)]
+    pair = [(2000, 1999)]
+    pairs = chain + star + tri + pair
+    got, rounds = _run(spark, pairs)
+    assert got == _uf_components(pairs)
+    assert rounds <= 16, rounds
+
+
+def test_duplicate_and_self_edges_ignored(spark):
+    pairs = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)]
+    got, _ = _run(spark, pairs)
+    # self-loop (3,3) contributes no component; dupes are harmless
+    assert got == {1: 1, 2: 1, 4: 1}
+
+
+def test_empty_edges(spark):
+    edges = (
+        spark.createDataFrame([(1, 2)], "a long, b long").where(F.lit(False))
+    )
+    labels, rounds = _cc_alternating_stars(edges)
+    assert labels.count() == 0
+    assert rounds <= 2
