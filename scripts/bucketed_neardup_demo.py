@@ -1,0 +1,188 @@
+"""Write-amortized near-dup LSH index demo (the bucketed_revenue_demo
+treatment for the dedup family).
+
+minhash_dedup and embed_neardup rebuild their LSH index relations once per
+SESSION (localCheckpoint); at 100 TB the posture is to write them to
+storage ONCE, bucketed on the band key, and have every later near-dup
+query run against the persisted index with the bucket self-join
+co-located. This script makes that a measured number:
+
+  1. builds and persists the index relations
+     - MinHash: ``mh_docagg_b`` (doc_id → min-hashes + shingle array,
+       bucketBy(doc_id)) and ``mh_mem_b`` (doc_id, band, sig, m — the
+       band-membership relation with the bucket size PRECOMPUTED at
+       index-build time, bucketBy(band, sig));
+     - embedding ANN: ``nd_members_b`` (vec_id, band, sig, proj, c,
+       label, e, nrm — signatures with vectors attached and bucket sizes
+       precomputed, bucketBy(band, sig));
+  2. asserts the re-query physical plans carry NO shuffle exchange other
+     than the candidate-dedup DISTINCT (the bucketed scans satisfy the
+     self-join and rank-window distributions);
+  3. times the indexed re-query steady-state against the from-scratch
+     registry forms in the SAME session (cold = session index build, the
+     71 s / 118 s sf100 numbers in COVERAGE.md);
+  4. checks the indexed pair sets equal the registry queries' bit-exactly.
+
+Usage: python scripts/bucketed_neardup_demo.py [sf_dir]  # default /tmp/scale_sf100
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from synth_timeseries_data_spark.functions.scale import write_bucketed  # noqa: E402
+from synth_timeseries_data_spark.queries import llm_pipeline as lp  # noqa: E402
+
+N_BUCKETS = 64
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def _steady(df_builder, runs: int = 3) -> tuple[float, float]:
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_builder().write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return times[0], min(times[1:])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf100"
+    wh = "/tmp/neardup_index_wh"
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("bucketed-neardup-demo")
+        .config("spark.sql.warehouse.dir", wh)
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", str(N_BUCKETS))
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        .getOrCreate()
+    )
+
+    # ---- MinHash: one-time index build + bucketed writes ------------------
+    lp._register_docs(spark, sf_dir)
+    t0 = time.perf_counter()
+    docagg = spark.sql(
+        lp._shingles_raw_cte(lp._SPARK_D) + lp._mh_docagg_sql(lp._SPARK_D)
+    ).repartition(N_BUCKETS, "doc_id")
+    write_bucketed(docagg, "mh_docagg_b", "doc_id", N_BUCKETS)
+    mem = spark.sql(
+        f"""
+        WITH sigs AS ({lp._mh_sigs_sql(lp._SPARK_D, 'mh_docagg_b')}),
+        bsize AS (SELECT band, sig, COUNT(*) AS m FROM sigs
+                  GROUP BY band, sig)
+        SELECT s.doc_id, s.band, s.sig, z.m
+        FROM sigs s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+        """
+    ).repartition(N_BUCKETS, "band", "sig")
+    write_bucketed(mem, "mh_mem_b", ("band", "sig"), N_BUCKETS)
+    t_mh_build = time.perf_counter() - t0
+    print(f"minhash index build+write (one-time): {t_mh_build:8.3f}s", flush=True)
+
+    def mh_indexed():
+        return spark.sql(
+            "WITH "
+            + lp._minhash_tail(
+                lp._SPARK_D, "mh_docagg_b", "mh_mem_b", mem_rel="mh_mem_b"
+            )
+        )
+
+    plan = mh_indexed()._jdf.queryExecution().executedPlan().toString()
+    n_ex = _shuffle_exchanges(plan)
+    # the candidate DISTINCT is the only legitimate shuffle left
+    assert n_ex <= 1, f"minhash indexed re-query has {n_ex} shuffles:\n{plan[:4000]}"
+    print(f"minhash indexed plan: {n_ex} shuffle exchange(s) [candidate DISTINCT]")
+
+    cold_i, steady_i = _steady(mh_indexed)
+    print(f"minhash indexed re-query: cold={cold_i:7.3f}s steady={steady_i:7.3f}s")
+
+    def mh_registry():
+        return lp.minhash_dedup(spark, sf_dir)
+
+    cold_r, steady_r = _steady(mh_registry)
+    print(
+        f"minhash registry form:   cold={cold_r:7.3f}s (session index build) "
+        f"steady={steady_r:7.3f}s (in-memory index)"
+    )
+
+    got = sorted(map(tuple, mh_indexed().collect()))
+    want = sorted(map(tuple, mh_registry().collect()))
+    assert got == want, (len(got), len(want))
+    print(f"minhash result equality vs registry: OK ({len(got)} pairs)\n")
+
+    # ---- embedding ANN: one-time index build + bucketed write -------------
+    from synth_timeseries_data_spark.sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    bits = lp._nd_bits(
+        lp._parquet_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    t0 = time.perf_counter()
+    members = spark.sql(
+        f"""
+        WITH sigs AS ({lp._nd_sigs_sql(lp._SPARK_D, lp._ND_POSEXP_SPARK, bits)}),
+        v AS ({lp._nd_v_sql(lp._SPARK_D)}),
+        bsize AS (SELECT band, sig, COUNT(*) AS c FROM sigs
+                  GROUP BY band, sig)
+        SELECT s.vec_id, s.band, s.sig, s.proj, z.c, v.label, v.e, v.nrm
+        FROM sigs s
+        JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+        JOIN v ON v.vec_id = s.vec_id
+        """
+    ).repartition(N_BUCKETS, "band", "sig")
+    write_bucketed(members, "nd_members_b", ("band", "sig"), N_BUCKETS)
+    t_nd_build = time.perf_counter() - t0
+    print(f"embed index build+write (one-time): {t_nd_build:8.3f}s", flush=True)
+
+    def nd_indexed():
+        return spark.sql(
+            "WITH "
+            + lp._nd_tail(
+                lp._SPARK_D,
+                "nd_members_b",
+                "nd_members_b",
+                broadcast_cand=bits == 8,
+                dense_guard=bits > 8,
+                members_rel="nd_members_b",
+            )
+        )
+
+    plan = nd_indexed()._jdf.queryExecution().executedPlan().toString()
+    n_ex = _shuffle_exchanges(plan)
+    # the cross-band DISTINCT is the only legitimate shuffle left
+    assert n_ex <= 1, f"embed indexed re-query has {n_ex} shuffles:\n{plan[:4000]}"
+    print(f"embed indexed plan ({bits}-bit bands): {n_ex} shuffle exchange(s)")
+
+    cold_i, steady_i = _steady(nd_indexed)
+    print(f"embed indexed re-query:  cold={cold_i:7.3f}s steady={steady_i:7.3f}s")
+
+    def nd_registry():
+        return lp.embed_neardup(spark, sf_dir)
+
+    cold_r, steady_r = _steady(nd_registry)
+    print(
+        f"embed registry form:     cold={cold_r:7.3f}s (session index build) "
+        f"steady={steady_r:7.3f}s (in-memory index)"
+    )
+
+    got = sorted(map(tuple, nd_indexed().collect()))
+    want = sorted(map(tuple, nd_registry().collect()))
+    assert got == want, (len(got), len(want))
+    print(f"embed result equality vs registry: OK ({len(got)} pairs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,19 +28,26 @@ from pyspark.sql import functions as F
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: "str | tuple[str, ...] | list[str]",
     n_buckets: int = 32,
     sort: bool = True,
 ) -> None:
-    """Persist ``df`` hash-bucketed (and per-file sorted) by ``key``.
+    """Persist ``df`` hash-bucketed (and per-file sorted) by ``key`` —
+    a single column name or a sequence for composite bucket keys (e.g. the
+    LSH band index relations bucket on ``(band, sig)``).
 
     ``bucketBy`` requires a managed table (``saveAsTable``); pick the
     database/location with a qualified ``table`` name. ``sortBy`` additionally
     pre-sorts within buckets so sort-merge joins skip their sort too.
     """
-    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(keys[0], *keys[1:])
     writer.saveAsTable(table)
 
 

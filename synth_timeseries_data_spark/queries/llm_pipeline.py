@@ -822,9 +822,16 @@ _MH_NEIGHBORS = 16
 _MH_BUCKET_CAP = 2 * _MH_NEIGHBORS + 1
 
 
-def _minhash_tail(d, docagg: str, sigs: str) -> str:
+def _minhash_tail(d, docagg: str, sigs: str, mem_rel: str | None = None) -> str:
     """Bucket-join → array-intersect verify over relations ``docagg``
-    (doc_id, n_sh, h0..h15, arr) and ``sigs`` (doc_id, band, sig)."""
+    (doc_id, n_sh, h0..h15, arr) and ``sigs`` (doc_id, band, sig).
+
+    ``mem_rel`` names a PREBUILT membership relation (doc_id, band, sig, m)
+    — the persisted LSH index shape with the bucket size precomputed at
+    index-build time (scripts/bucketed_neardup_demo.py writes it
+    ``bucketBy(band, sig)``): the bsize aggregation and the bsize join
+    drop out of the re-query plan entirely, and the bucket self-join plus
+    the dense-guard rank window run exchange-free on the bucketed scan."""
     n_inter = (
         "size(array_intersect(da.arr, db.arr))"
         if d is _SPARK_D
@@ -840,12 +847,17 @@ def _minhash_tail(d, docagg: str, sigs: str) -> str:
         if d is _SPARK_D
         else "unnest([blk, blk + 1])"
     )
-    return f"""
+    if mem_rel is None:
+        mem_ctes = f"""
     bsize AS (SELECT band, sig, COUNT(*) AS m FROM {sigs} GROUP BY band, sig),
     mem AS (
       SELECT s.doc_id, s.band, s.sig, z.m
       FROM {sigs} s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
-    ),
+    ),"""
+    else:
+        mem_ctes = f"""
+    mem AS (SELECT doc_id, band, sig, m FROM {mem_rel}),"""
+    return f"""{mem_ctes}
     dense0 AS (
       SELECT doc_id, band, sig,
              ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
@@ -1758,7 +1770,12 @@ _ND_BUCKET_CAP = 2 * _ND_NEIGHBORS + 1
 
 
 def _nd_tail(
-    d, sigs: str, v: str, broadcast_cand: bool = True, dense_guard: bool = False
+    d,
+    sigs: str,
+    v: str,
+    broadcast_cand: bool = True,
+    dense_guard: bool = False,
+    members_rel: str | None = None,
 ) -> str:
     """FUSED bucket-join + exact-cosine verify over relations ``sigs`` and
     ``v``. ``dense_guard`` switches over-cap buckets to rank-blocked
@@ -1782,7 +1799,15 @@ def _nd_tail(
     (ids, labels, rounded cos) equals the old pre-verify candidate dedup.
     The dense branch is additionally rank-BLOCKED ((band, sig, blk)
     equality keys) — the previous bare bucket join enumerated m² rows
-    before its rn-window filter could drop them."""
+    before its rn-window filter could drop them.
+
+    ``members_rel`` names a PREBUILT members relation (vec_id, band, sig,
+    proj, c, label, e, nrm) — the persisted ANN index shape with vectors
+    attached and bucket sizes precomputed at index-build time
+    (scripts/bucketed_neardup_demo.py writes it ``bucketBy(band, sig)``):
+    the sigs⋈v and sigs⋈bsize joins drop out of the re-query plan, and the
+    bucket self-join plus the dense-guard rank window run exchange-free on
+    the bucketed scan."""
     del broadcast_cand
 
     def dot(a: str, b: str) -> str:
@@ -1807,7 +1832,8 @@ def _nd_tail(
             if d is _SPARK_D
             else "unnest([blk, blk + 1])"
         )
-        hits = f"""
+        if members_rel is None:
+            member_ctes = f"""
     bsize AS (
       SELECT band, sig, COUNT(*) AS c FROM {sigs} GROUP BY band, sig
     ),
@@ -1816,7 +1842,12 @@ def _nd_tail(
       FROM {sigs} s
       JOIN bsize z ON z.band = s.band AND z.sig = s.sig
       JOIN {v} v ON v.vec_id = s.vec_id
-    ),
+    ),"""
+        else:
+            member_ctes = f"""
+    members AS (SELECT vec_id, band, sig, proj, c, label, e, nrm
+                FROM {members_rel}),"""
+        hits = f"""{member_ctes}
     small AS (SELECT * FROM members WHERE c <= {_ND_BUCKET_CAP}),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY band, sig
@@ -1842,11 +1873,17 @@ def _nd_tail(
        AND b.rn > a.rn AND b.rn <= a.rn + {_ND_NEIGHBORS}
     )"""
     else:
-        hits = f"""
+        if members_rel is None:
+            member_ctes = f"""
     members AS (
       SELECT s.vec_id, s.band, s.sig, v.label, v.e, v.nrm
       FROM {sigs} s JOIN {v} v ON v.vec_id = s.vec_id
-    ),
+    ),"""
+        else:
+            member_ctes = f"""
+    members AS (SELECT vec_id, band, sig, label, e, nrm
+                FROM {members_rel}),"""
+        hits = f"""{member_ctes}
     hits AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              a.label AS label_a, b.label AS label_b,
