@@ -60,6 +60,11 @@ def _steady(df_builder, runs: int = 3) -> tuple[float, float]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf100"
     wh = "/tmp/neardup_index_wh"
+    # fresh warehouse: a prior run's table locations survive in the dir but
+    # not in this session's derby catalog, so overwrite would refuse
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
@@ -69,6 +74,13 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.sql.shuffle.partitions", str(N_BUCKETS))
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # the dense-guard probe joins on (band, sig, blk); both sides are
+        # already hash-distributed on the (band, sig) PREFIX by the
+        # bucketed scan, which co-locates every (band, sig, blk) group
+        # too. Default Spark refuses subset-key co-partitioning
+        # (requireAllClusterKeysForCoPartition=true) and re-shuffles on
+        # all three keys — relaxing it is the point of the bucketed index
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .getOrCreate()
     )
 
@@ -102,9 +114,16 @@ def main() -> None:
 
     plan = mh_indexed()._jdf.queryExecution().executedPlan().toString()
     n_ex = _shuffle_exchanges(plan)
-    # the candidate DISTINCT is the only legitimate shuffle left
-    assert n_ex <= 1, f"minhash indexed re-query has {n_ex} shuffles:\n{plan[:4000]}"
-    print(f"minhash indexed plan: {n_ex} shuffle exchange(s) [candidate DISTINCT]")
+    # candidate-proportional shuffles only: the pair DISTINCT, plus (past
+    # broadcast scale) the verify join's candidate side re-keying to doc_b
+    # — the bucketed docagg side joins with NO exchange and NO sort at any
+    # scale, and no corpus-proportional relation ever moves
+    assert n_ex <= 2, f"minhash indexed re-query has {n_ex} shuffles:\n{plan[:4000]}"
+    assert "Bucketed: true" in plan, "mh index scans are not bucketed"
+    print(
+        f"minhash indexed plan: {n_ex} candidate-proportional shuffle "
+        "exchange(s); zero corpus-proportional"
+    )
 
     cold_i, steady_i = _steady(mh_indexed)
     print(f"minhash indexed re-query: cold={cold_i:7.3f}s steady={steady_i:7.3f}s")

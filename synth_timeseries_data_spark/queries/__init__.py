@@ -153,14 +153,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # data-proportional set under floor/perf work (dsir_weights,
 # tfidf_topterms, csv_roundtrip, corpus_filter), the minhash A/B watch
 # item + the dedup_clusters connected-components rewrite and its consumer
-# neardup_survivors, gopher_rules (now also feeding the new
-# curate_decisions composition), both multimodal entries (JPEG-walk
+# neardup_survivors, both multimodal entries (JPEG-walk
 # hardening landed this round) — plus the data-proportional flagships the
 # judge plan-audits (embed_neardup, semdedup, vec_topk_pq, asof_lag) and
 # the smoke-path lag_features. New round-7 entries curate_decisions
 # (84th, the curation workflow's decisions table under a composed oracle
-# — VERDICT r06 item 2) and parse_edges_udtf (85th, the UDTF variant's
-# one-time attestation — item 8) enter in-window. Every demoted entry
+# — VERDICT r06 item 2), parse_edges_udtf (85th, the UDTF variant's
+# one-time attestation — item 8), and plot_frames (86th, the plot
+# bundle's three frames as one tagged union under a composed oracle —
+# the same strengthening for the OTHER rows-only workflow entry the r06
+# residue named) enter in-window; plot_frames' slot comes from demoting
+# gopher_rules (r06-green, its gate arithmetic embedded verbatim in the
+# in-window curate_decisions composition). Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
@@ -173,6 +177,7 @@ _DEMOTED = (
     "doc_fingerprint",
     "domain_mix",
     "edge_tensor",
+    "gopher_rules",
     "hash_split",
     "jsonl_roundtrip",
     "lang_id",

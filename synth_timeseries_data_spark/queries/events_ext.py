@@ -249,6 +249,68 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RETENTION_SPARK)
 
 
+def _plot_frames_sql(tus: str) -> str:
+    # One tagged-union relation carrying all three G19 plot frames —
+    # decomposition points+trend (c1.py:391-411), sampling-interval
+    # histogram (c2.py:332-341), missing-pattern cells (d1.py:327-337) —
+    # in a common (frame, k1, k2, label, v1, v2, v3) schema so the whole
+    # bundle sits under ONE cross-engine value hash. Counts ride as exact
+    # doubles (integer-valued, bit-identical); trend = intercept +
+    # slope·x_day is raw IEEE (two double ops in both engines, inputs
+    # bit-identical from the exact-sum OLS); x_day divides a DOUBLE
+    # numerator (the DuckDB-decimal-literal trap, see _trend_fit_sql).
+    from .relational import _T0_US, _trend_fit_sql
+
+    td = f"(CAST({tus} - {_T0_US} AS DOUBLE) / 86400000000.0)"
+    return f"""
+    WITH fit AS ({_trend_fit_sql(tus)}),
+    decomp AS (
+      SELECT 'decomposition' AS frame, p.user_id AS k1, p.event_id AS k2,
+             '' AS label, p.x_day AS v1, p.value AS v2,
+             f.intercept + f.slope * p.x_day AS v3
+      FROM (SELECT user_id, event_id, {td} AS x_day, value FROM events) p
+      JOIN fit f ON f.user_id = p.user_id
+    ),
+    gaps AS (
+      SELECT {tus} - LAG({tus}, 1)
+               OVER (PARTITION BY user_id ORDER BY {tus}, event_id) AS gap_us
+      FROM events
+    ),
+    hist AS (
+      SELECT 'sampling_hist' AS frame,
+             CAST(FLOOR(gap_us / 60000000.0) AS BIGINT) AS k1,
+             CAST(0 AS BIGINT) AS k2, '' AS label,
+             CAST(COUNT(*) AS DOUBLE) AS v1,
+             CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY CAST(FLOOR(gap_us / 60000000.0) AS BIGINT)
+    ),
+    mp AS ({_pattern_sql(tus)})
+    SELECT frame, k1, k2, label, v1, v2, v3 FROM decomp
+    UNION ALL
+    SELECT frame, k1, k2, label, v1, v2, v3 FROM hist
+    UNION ALL
+    SELECT 'missing_pattern' AS frame, hour_bucket AS k1,
+           CAST(0 AS BIGINT) AS k2, event_type AS label,
+           CAST(n_rows AS DOUBLE) AS v1, CAST(n_missing AS DOUBLE) AS v2,
+           missing_rate AS v3
+    FROM mp
+    """
+
+
+@register("plot_frames", _plot_frames_sql("epoch_us(ts)"))
+def plot_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plot bundle's three frames as one oracle-checked tagged union —
+    the value-hash companion to `plot_bundle` (which checks the WRITE
+    workflow rows-only): every cell the bundle materializes is pinned
+    against the composed DuckDB oracle, the same strengthening
+    `curate_decisions` gives `curated_corpus`. Three independent
+    aggregation branches over the events scan, exactly the bundle's three
+    frame jobs, unioned under a common schema."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_plot_frames_sql("(ts div 1000)"))
+
+
 @register("plot_bundle", None)
 def plot_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19 end-to-end workflow: materialize the three plot-data frames the

@@ -61,6 +61,39 @@ def test_bucketed_aggregation_reuses_bucketing(spark, smoke_sf_dir, bucket_db):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_composite_key_bucketed_self_join_runs_without_exchange(
+    spark, smoke_sf_dir, bucket_db
+):
+    """A table bucketed on a composite key (the LSH index shape:
+    (band, sig)) self-joined on that key must carry ZERO Exchange — the
+    bucketed_neardup_demo re-query contract."""
+    ev = load(spark, smoke_sf_dir, "events")
+    sigs = ev.select(
+        (F.col("event_id") % 4).cast("int").alias("band"),
+        F.substring(F.md5(F.col("event_type")), 1, 4).alias("sig"),
+        "event_id",
+    )
+    write_bucketed(
+        sigs.repartition(8, "band", "sig"),
+        f"{bucket_db}.sigs_b",
+        ("band", "sig"),
+        n_buckets=8,
+    )
+    t = spark.table(f"{bucket_db}.sigs_b")
+    # MERGE hint: the fixture is broadcast-small, but the contract under
+    # test is the sort-merge shape a corpus-sized index takes
+    pairs = t.alias("a").hint("merge").join(
+        t.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    )
+    pairs.count()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
