@@ -36,7 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from synth_timeseries_data_spark.functions.scale import write_bucketed  # noqa: E402
+from synth_timeseries_data_spark.functions.neardup_index import (  # noqa: E402
+    build_embed_index,
+    build_minhash_index,
+    embed_pairs_indexed,
+    minhash_pairs_indexed,
+)
 from synth_timeseries_data_spark.queries import llm_pipeline as lp  # noqa: E402
 
 N_BUCKETS = 64
@@ -85,32 +90,13 @@ def main() -> None:
     )
 
     # ---- MinHash: one-time index build + bucketed writes ------------------
-    lp._register_docs(spark, sf_dir)
     t0 = time.perf_counter()
-    docagg = spark.sql(
-        lp._shingles_raw_cte(lp._SPARK_D) + lp._mh_docagg_sql(lp._SPARK_D)
-    ).repartition(N_BUCKETS, "doc_id")
-    write_bucketed(docagg, "mh_docagg_b", "doc_id", N_BUCKETS)
-    mem = spark.sql(
-        f"""
-        WITH sigs AS ({lp._mh_sigs_sql(lp._SPARK_D, 'mh_docagg_b')}),
-        bsize AS (SELECT band, sig, COUNT(*) AS m FROM sigs
-                  GROUP BY band, sig)
-        SELECT s.doc_id, s.band, s.sig, z.m
-        FROM sigs s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
-        """
-    ).repartition(N_BUCKETS, "band", "sig")
-    write_bucketed(mem, "mh_mem_b", ("band", "sig"), N_BUCKETS)
+    docagg_t, mem_t = build_minhash_index(spark, sf_dir, n_buckets=N_BUCKETS)
     t_mh_build = time.perf_counter() - t0
     print(f"minhash index build+write (one-time): {t_mh_build:8.3f}s", flush=True)
 
     def mh_indexed():
-        return spark.sql(
-            "WITH "
-            + lp._minhash_tail(
-                lp._SPARK_D, "mh_docagg_b", "mh_mem_b", mem_rel="mh_mem_b"
-            )
-        )
+        return minhash_pairs_indexed(spark, docagg_t, mem_t)
 
     plan = mh_indexed()._jdf.queryExecution().executedPlan().toString()
     n_ex = _shuffle_exchanges(plan)
@@ -143,41 +129,13 @@ def main() -> None:
     print(f"minhash result equality vs registry: OK ({len(got)} pairs)\n")
 
     # ---- embedding ANN: one-time index build + bucketed write -------------
-    from synth_timeseries_data_spark.sources import load
-
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    bits = lp._nd_bits(
-        lp._parquet_rows(os.path.join(sf_dir, "embeddings.parquet"))
-    )
     t0 = time.perf_counter()
-    members = spark.sql(
-        f"""
-        WITH sigs AS ({lp._nd_sigs_sql(lp._SPARK_D, lp._ND_POSEXP_SPARK, bits)}),
-        v AS ({lp._nd_v_sql(lp._SPARK_D)}),
-        bsize AS (SELECT band, sig, COUNT(*) AS c FROM sigs
-                  GROUP BY band, sig)
-        SELECT s.vec_id, s.band, s.sig, s.proj, z.c, v.label, v.e, v.nrm
-        FROM sigs s
-        JOIN bsize z ON z.band = s.band AND z.sig = s.sig
-        JOIN v ON v.vec_id = s.vec_id
-        """
-    ).repartition(N_BUCKETS, "band", "sig")
-    write_bucketed(members, "nd_members_b", ("band", "sig"), N_BUCKETS)
+    members_t, bits = build_embed_index(spark, sf_dir, n_buckets=N_BUCKETS)
     t_nd_build = time.perf_counter() - t0
     print(f"embed index build+write (one-time): {t_nd_build:8.3f}s", flush=True)
 
     def nd_indexed():
-        return spark.sql(
-            "WITH "
-            + lp._nd_tail(
-                lp._SPARK_D,
-                "nd_members_b",
-                "nd_members_b",
-                broadcast_cand=bits == 8,
-                dense_guard=bits > 8,
-                members_rel="nd_members_b",
-            )
-        )
+        return embed_pairs_indexed(spark, members_t, bits)
 
     plan = nd_indexed()._jdf.queryExecution().executedPlan().toString()
     n_ex = _shuffle_exchanges(plan)

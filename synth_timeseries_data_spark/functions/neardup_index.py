@@ -1,0 +1,152 @@
+"""Persisted, bucketed LSH near-dup indexes — the write-amortized form of
+`minhash_dedup` / `embed_neardup` (queries/llm_pipeline.py).
+
+The session forms rebuild their index relations (shingle aggregate + band
+signatures; plane signatures + norms) once per session via localCheckpoint;
+at cluster scale the index is a TABLE: built once, written
+``bucketBy(n, band, sig)`` with the bucket sizes precomputed, and every
+later near-dup query runs against the persisted relations with the bucket
+self-join, the dense-guard rank window, and the verify joins all
+exchange-free on the bucketed scans. The only shuffles left in a re-query
+are candidate-proportional (the pair DISTINCT; past broadcast scale, the
+verify join re-keying candidate pairs). Measured at sf100 (500k docs / 5M
+vectors): minhash re-query 36.9 s vs 116 s for the session form, bit-equal
+pairs — see scripts/bucketed_neardup_demo.py and COVERAGE.md.
+
+Index writes are managed tables (``bucketBy`` requires ``saveAsTable``);
+pass a qualified ``db.name`` prefix to place them. Reading back requires
+the same session configs the builders set (sorted-bucket scan + subset-key
+co-partitioning) — ``_index_session_confs`` applies them idempotently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .scale import write_bucketed
+
+DEFAULT_BUCKETS = 64
+
+
+def _index_session_confs(spark: SparkSession) -> None:
+    # honor sortBy file order in bucketed scans (elides the SMJ sort; the
+    # pre-write repartition guarantees one file per bucket), and let joins
+    # whose keys EXTEND the bucket key — (band, sig, blk) over a
+    # (band, sig) index — reuse the scan's prefix partitioning instead of
+    # re-shuffling on all keys
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "mh",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[str, str]:
+    """Build and persist the MinHash LSH index for ``sf_dir``'s documents:
+    ``{prefix}_docagg_b`` (doc_id → min-hashes + shingle array,
+    bucketBy(doc_id) so the verify join needs no exchange or sort) and
+    ``{prefix}_mem_b`` (doc_id, band, sig, m — band membership with the
+    bucket size m precomputed at build time, bucketBy(band, sig)).
+    Returns the two table names."""
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    docagg_t, mem_t = f"{prefix}_docagg_b", f"{prefix}_mem_b"
+    docagg = spark.sql(
+        lp._shingles_raw_cte(lp._SPARK_D) + lp._mh_docagg_sql(lp._SPARK_D)
+    ).repartition(n_buckets, "doc_id")
+    write_bucketed(docagg, docagg_t, "doc_id", n_buckets)
+    mem = spark.sql(
+        f"""
+        WITH sigs AS ({lp._mh_sigs_sql(lp._SPARK_D, docagg_t)}),
+        bsize AS (SELECT band, sig, COUNT(*) AS m FROM sigs
+                  GROUP BY band, sig)
+        SELECT s.doc_id, s.band, s.sig, z.m
+        FROM sigs s JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+        """
+    ).repartition(n_buckets, "band", "sig")
+    write_bucketed(mem, mem_t, ("band", "sig"), n_buckets)
+    return docagg_t, mem_t
+
+
+def minhash_pairs_indexed(
+    spark: SparkSession, docagg_table: str, mem_table: str
+) -> DataFrame:
+    """Near-duplicate pairs from a persisted MinHash index — result-equal
+    to `minhash_dedup` over the same corpus (asserted at sf100 on 1.74M
+    pairs), with zero corpus-proportional shuffle."""
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    return spark.sql(
+        "WITH "
+        + lp._minhash_tail(
+            lp._SPARK_D, docagg_table, mem_table, mem_rel=mem_table
+        )
+    )
+
+
+def build_embed_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "nd",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[str, int]:
+    """Build and persist the embedding-ANN members index for ``sf_dir``'s
+    embeddings: ``{prefix}_members_b`` (vec_id, band, sig, proj, c, label,
+    e, nrm — hyperplane band signatures with the vector, its norm, and the
+    bucket size attached at build time, bucketBy(band, sig)). Band width
+    adapts to corpus size exactly as the session form does (_nd_bits), so
+    indexed results match the registry query at every scale. Returns
+    (table name, bits)."""
+    import os
+
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    _index_session_confs(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    bits = lp._nd_bits(
+        lp._parquet_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    members_t = f"{prefix}_members_b"
+    members = spark.sql(
+        f"""
+        WITH sigs AS ({lp._nd_sigs_sql(lp._SPARK_D, lp._ND_POSEXP_SPARK, bits)}),
+        v AS ({lp._nd_v_sql(lp._SPARK_D)}),
+        bsize AS (SELECT band, sig, COUNT(*) AS c FROM sigs
+                  GROUP BY band, sig)
+        SELECT s.vec_id, s.band, s.sig, s.proj, z.c, v.label, v.e, v.nrm
+        FROM sigs s
+        JOIN bsize z ON z.band = s.band AND z.sig = s.sig
+        JOIN v ON v.vec_id = s.vec_id
+        """
+    ).repartition(n_buckets, "band", "sig")
+    write_bucketed(members, members_t, ("band", "sig"), n_buckets)
+    return members_t, bits
+
+
+def embed_pairs_indexed(
+    spark: SparkSession, members_table: str, bits: int
+) -> DataFrame:
+    """Cosine near-duplicate pairs from a persisted ANN members index —
+    result-equal to `embed_neardup` over the same corpus (asserted at
+    sf100 on 19.3M pairs). ``bits`` must be the band width the index was
+    built with (returned by build_embed_index)."""
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    return spark.sql(
+        "WITH "
+        + lp._nd_tail(
+            lp._SPARK_D,
+            members_table,
+            members_table,
+            broadcast_cand=bits == 8,
+            dense_guard=bits > 8,
+            members_rel=members_table,
+        )
+    )

@@ -94,6 +94,50 @@ def test_composite_key_bucketed_self_join_runs_without_exchange(
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_neardup_index_api_matches_registry(spark, smoke_sf_dir, bucket_db):
+    """The persisted-index API (functions/neardup_index.py) must return
+    the SAME pair sets as the session-form registry queries, with the
+    index scans bucketed. Restores the two planner confs the API sets so
+    plan-pinned tests elsewhere in the suite see the default posture."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_embed_index,
+        build_minhash_index,
+        embed_pairs_indexed,
+        minhash_pairs_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        embed_neardup,
+        minhash_dedup,
+    )
+
+    confs = (
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "spark.sql.requireAllClusterKeysForCoPartition",
+    )
+    saved = {c: spark.conf.get(c) for c in confs}
+    try:
+        docagg_t, mem_t = build_minhash_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.mh", n_buckets=8
+        )
+        got = minhash_pairs_indexed(spark, docagg_t, mem_t)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, minhash_dedup(spark, smoke_sf_dir).collect())
+        )
+
+        members_t, bits = build_embed_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.nd", n_buckets=8
+        )
+        got = embed_pairs_indexed(spark, members_t, bits)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, embed_neardup(spark, smoke_sf_dir).collect())
+        )
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
