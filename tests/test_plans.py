@@ -48,6 +48,19 @@ def test_order_set_ops_single_scan(spark, oracle_sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_plot_frames_branch_shapes(spark, oracle_sf_dir):
+    """The tagged-union bundle keeps each frame's own minimal shape: the
+    per-series OLS fit BROADCASTS back onto the points (never the points
+    to the fit), and the three branches together carry exactly 4 shuffles
+    (fit agg, histogram window, histogram agg, pattern agg)."""
+    import re
+
+    plan = _plan(spark, "plot_frames", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert shuffles == 4, plan[:2000]
+
+
 def test_dedup_single_shuffle(spark, oracle_sf_dir):
     plan = _plan(spark, "dedup_firstseen", oracle_sf_dir)
     assert plan.count("Exchange") == 1
