@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from synth_timeseries_data_spark.queries.llm_pipeline import (
     _cc_alternating_stars,
+    _cc_hybrid,
 )
 
 
@@ -74,6 +75,34 @@ def test_duplicate_and_self_edges_ignored(spark):
     got, _ = _run(spark, pairs)
     # self-loop (3,3) contributes no component; dupes are harmless
     assert got == {1: 1, 2: 1, 4: 1}
+
+
+def test_hybrid_shallow_graph_converges_in_propagation(spark):
+    # stars/triangles/pairs: diameter ≤ 2 — the hybrid must finish inside
+    # its cheap propagation phase (≤ 3 rounds), labels = component min
+    pairs = (
+        [(100, v) for v in range(101, 110)]
+        + [(5, 6), (6, 7), (7, 5)]
+        + [(2000, 1999)]
+    )
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    labels, rounds = _cc_hybrid(edges)
+    assert {r["v"]: r["label"] for r in labels.collect()} == _uf_components(pairs)
+    assert rounds <= 3, rounds
+
+
+def test_hybrid_long_chain_falls_back_to_stars(spark):
+    # 300-link chain: propagation cannot converge in 3 rounds; the hybrid
+    # must hand off to star contraction and still label everything 0
+    n = 300
+    pairs = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    labels, rounds = _cc_hybrid(edges)
+    got = {r["v"]: r["label"] for r in labels.collect()}
+    assert got == _uf_components(pairs)
+    assert set(got.values()) == {0}
+    # 3 propagation rounds + O(log n) star rounds
+    assert 3 < rounds <= 3 + 2 * math.ceil(math.log2(n)) + 4, rounds
 
 
 def test_empty_edges(spark):
