@@ -40,7 +40,11 @@ TABLES = (
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
-    if args and os.path.isdir(args[0]):
+    if args and not args[0].isdigit():
+        # path-looking first arg: fail loudly on a typo'd fixture dir
+        # instead of falling through to int(<path>)
+        if not os.path.isdir(args[0]):
+            raise SystemExit(f"no such sf_dir: {args[0]}")
         sf_dir, args = args[0], args[1:]
     rounds = int(args[0]) if args else 5
 

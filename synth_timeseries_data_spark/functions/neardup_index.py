@@ -15,11 +15,15 @@ pairs — see scripts/bucketed_neardup_demo.py and COVERAGE.md.
 
 Index writes are managed tables (``bucketBy`` requires ``saveAsTable``);
 pass a qualified ``db.name`` prefix to place them. Reading back requires
-the same session configs the builders set (sorted-bucket scan + subset-key
-co-partitioning) — ``_index_session_confs`` applies them idempotently.
+the two planner confs the builders set (sorted-bucket scan + subset-key
+co-partitioning); every API call sets them and leaves them set — run
+index serving in its own session, or wrap mixed workloads in
+:func:`index_posture` to restore the default plan shapes afterwards.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,15 +31,46 @@ from .scale import write_bucketed
 
 DEFAULT_BUCKETS = 64
 
+# The two planner confs the bucketed index posture needs: honor sortBy
+# file order in bucketed scans (elides the SMJ sort; the pre-write
+# repartition guarantees one file per bucket), and let joins whose keys
+# EXTEND the bucket key — (band, sig, blk) over a (band, sig) index —
+# reuse the scan's prefix partitioning instead of re-shuffling on all
+# keys.
+INDEX_PLANNER_CONFS = {
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+}
+
 
 def _index_session_confs(spark: SparkSession) -> None:
-    # honor sortBy file order in bucketed scans (elides the SMJ sort; the
-    # pre-write repartition guarantees one file per bucket), and let joins
-    # whose keys EXTEND the bucket key — (band, sig, blk) over a
-    # (band, sig) index — reuse the scan's prefix partitioning instead of
-    # re-shuffling on all keys
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    """Set the index posture confs and LEAVE them set.
+
+    Planning happens when a returned DataFrame executes, so the confs
+    cannot be restored inside build/query calls without undoing the
+    posture. Use a dedicated session for index serving (the demo script
+    does), or wrap mixed workloads in :func:`index_posture`, which
+    restores the previous values on exit."""
+    for k, v in INDEX_PLANNER_CONFS.items():
+        spark.conf.set(k, v)
+
+
+@contextmanager
+def index_posture(spark: SparkSession):
+    """Scoped form for MIXED sessions: applies the index planner confs,
+    yields, and restores the previous values — so later non-index queries
+    keep the session's default plan shapes. Execute (not just build) all
+    index queries inside the block."""
+    saved = {k: spark.conf.get(k, None) for k in INDEX_PLANNER_CONFS}
+    _index_session_confs(spark)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def build_minhash_index(

@@ -39,6 +39,24 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+_CLEANUP_PATHS: set[str] = set()
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Register a per-process tmp output directory for removal at process
+    exit — the PID-suffixed workflow outputs (curated corpus, plot bundle)
+    would otherwise accumulate one copy per bench/pytest/driver process."""
+    import atexit
+    import shutil
+
+    if not _CLEANUP_PATHS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _CLEANUP_PATHS
+            ]
+        )
+    _CLEANUP_PATHS.add(path)
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.

@@ -954,11 +954,15 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sinks import write_curated_corpus
+    from . import _cleanup_at_exit
 
     # PID in the path: two concurrent sessions on the same fixture (bench
     # run + pytest) must not overwrite each other's output mid-read.
+    # Registered for at-exit removal — without it every process leaks a
+    # full curated-corpus copy under /tmp.
     out = os.path.join(
         tempfile.gettempdir(),
         f"curated_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
+    _cleanup_at_exit(out)
     return write_curated_corpus(spark, sf_dir, out)

@@ -326,10 +326,14 @@ def plot_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks import write_plot_bundle
 
+    from . import _cleanup_at_exit
+
     # PID in the path: two concurrent sessions on the same fixture (bench
-    # run + pytest) must not overwrite each other's output mid-read.
+    # run + pytest) must not overwrite each other's output mid-read;
+    # registered for at-exit removal so processes don't leak copies.
     out = os.path.join(
         tempfile.gettempdir(),
         f"plot_bundle_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
+    _cleanup_at_exit(out)
     return write_plot_bundle(spark, sf_dir, out)

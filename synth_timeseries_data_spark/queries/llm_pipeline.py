@@ -987,7 +987,9 @@ def _clusters_duck_sql() -> str:
     )
 
 
-def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 50):
+def _cc_alternating_stars(
+    edges: DataFrame, max_rounds: int = 50, prefiltered: bool = False
+):
     """Connected components over an undirected edge list via alternating
     large-star/small-star contractions (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds on ANY
@@ -1005,11 +1007,19 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 50):
     of consecutive edge SETS, not a round bound).
 
     Takes edges as a DataFrame[a: long, b: long] (a != b, any orientation,
-    duplicates fine). Returns (labels DataFrame[v, label], rounds)."""
+    duplicates fine). ``prefiltered=True`` skips the self-loop filter +
+    localCheckpoint for callers (the hybrid) that already materialized the
+    cleaned edge set — avoids a second full pass over the pair relation on
+    the fallback path. Raises if ``max_rounds`` is exhausted without the
+    checksum fixpoint (never returns possibly-wrong labels silently).
+    Returns (labels DataFrame[v, label], rounds)."""
     from pyspark.sql import functions as F
 
-    edges = edges.where("a != b").localCheckpoint()
+    edges = (
+        edges if prefiltered else edges.where("a != b").localCheckpoint()
+    )
     prev_sum = None
+    converged = False
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -1049,8 +1059,19 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 50):
         ).collect()[0]
         edges = small
         if prev_sum == (chk["n"], chk["h"]):
+            converged = True
             break
         prev_sum = (chk["n"], chk["h"])
+    if not converged:
+        # loud, not silent: labels built from a non-fixpoint edge set can
+        # carry conflicting cluster reps — the defect class this
+        # algorithm exists to eliminate. 50 alternating rounds covers any
+        # graph of ~2^25 nodes with a wide margin; exhausting them means
+        # something is structurally wrong, not "close enough".
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "alternating star rounds"
+        )
     # Fixpoint edges are (member, root) stars; roots label themselves.
     labels = edges.select(F.col("a").alias("v"), F.col("b").alias("label")).union(
         edges.select(F.col("b").alias("v"), F.col("b").alias("label")).distinct()
@@ -1111,7 +1132,7 @@ def _cc_hybrid(
         labels = stepped.select("v", F.col("new_label").alias("label"))
         if not changed:
             return labels, rounds
-    star_labels, star_rounds = _cc_alternating_stars(e)
+    star_labels, star_rounds = _cc_alternating_stars(e, prefiltered=True)
     return star_labels, rounds + star_rounds
 
 

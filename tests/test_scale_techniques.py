@@ -100,9 +100,11 @@ def test_neardup_index_api_matches_registry(spark, smoke_sf_dir, bucket_db):
     index scans bucketed. Restores the two planner confs the API sets so
     plan-pinned tests elsewhere in the suite see the default posture."""
     from synth_timeseries_data_spark.functions.neardup_index import (
+        INDEX_PLANNER_CONFS,
         build_embed_index,
         build_minhash_index,
         embed_pairs_indexed,
+        index_posture,
         minhash_pairs_indexed,
     )
     from synth_timeseries_data_spark.queries.llm_pipeline import (
@@ -110,12 +112,8 @@ def test_neardup_index_api_matches_registry(spark, smoke_sf_dir, bucket_db):
         minhash_dedup,
     )
 
-    confs = (
-        "spark.sql.legacy.bucketedTableScan.outputOrdering",
-        "spark.sql.requireAllClusterKeysForCoPartition",
-    )
-    saved = {c: spark.conf.get(c) for c in confs}
-    try:
+    saved = {c: spark.conf.get(c) for c in INDEX_PLANNER_CONFS}
+    with index_posture(spark):
         docagg_t, mem_t = build_minhash_index(
             spark, smoke_sf_dir, prefix=f"{bucket_db}.mh", n_buckets=8
         )
@@ -133,9 +131,8 @@ def test_neardup_index_api_matches_registry(spark, smoke_sf_dir, bucket_db):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, embed_neardup(spark, smoke_sf_dir).collect())
         )
-    finally:
-        for c, v in saved.items():
-            spark.conf.set(c, v)
+    # the context manager restored the session's default posture
+    assert {c: spark.conf.get(c) for c in INDEX_PLANNER_CONFS} == saved
 
 
 def test_salted_join_matches_plain_join_under_skew(spark):
