@@ -105,6 +105,25 @@ def test_hybrid_long_chain_falls_back_to_stars(spark):
     assert 3 < rounds <= 3 + 2 * math.ceil(math.log2(n)) + 4, rounds
 
 
+def test_hybrid_random_graphs_match_union_find(spark):
+    # seeded random graphs across the density spectrum (sparse fragments,
+    # near-tree, dense blob): hybrid labels == union-find component mins,
+    # whichever phase answers
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for n_nodes, n_edges in ((60, 25), (80, 80), (40, 200)):
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        labels, _ = _cc_hybrid(edges)
+        got = {r["v"]: r["label"] for r in labels.collect()}
+        assert got == _uf_components(pairs), (n_nodes, n_edges)
+
+
 def test_empty_edges(spark):
     edges = (
         spark.createDataFrame([(1, 2)], "a long, b long").where(F.lit(False))
