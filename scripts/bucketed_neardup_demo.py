@@ -38,8 +38,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from synth_timeseries_data_spark.functions.neardup_index import (  # noqa: E402
     build_embed_index,
+    build_ivf_index,
     build_minhash_index,
     embed_pairs_indexed,
+    ivf_topk_indexed,
     minhash_pairs_indexed,
 )
 from synth_timeseries_data_spark.queries import llm_pipeline as lp  # noqa: E402
@@ -158,7 +160,36 @@ def main() -> None:
     got = sorted(map(tuple, nd_indexed().collect()))
     want = sorted(map(tuple, nd_registry().collect()))
     assert got == want, (len(got), len(want))
-    print(f"embed result equality vs registry: OK ({len(got)} pairs)")
+    print(f"embed result equality vs registry: OK ({len(got)} pairs)\n")
+
+    # ---- IVF serving index: partition-pruned top-k --------------------
+    t0 = time.perf_counter()
+    cells_t = build_ivf_index(spark, sf_dir)
+    t_ivf_build = time.perf_counter() - t0
+    print(f"ivf index build+write (one-time): {t_ivf_build:8.3f}s", flush=True)
+
+    def ivf_indexed():
+        return ivf_topk_indexed(spark, sf_dir, cells_t)
+
+    plan = ivf_indexed()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and " IN (" in plan, plan[:3000]
+    print("ivf indexed plan: static cell partition filter (probed cells only)")
+
+    cold_i, steady_i = _steady(ivf_indexed)
+    print(f"ivf indexed top-10:      cold={cold_i:7.3f}s steady={steady_i:7.3f}s")
+
+    def ivf_registry():
+        return lp.vec_topk_ivf(spark, sf_dir)
+
+    cold_r, steady_r = _steady(ivf_registry)
+    print(
+        f"ivf registry form:       cold={cold_r:7.3f}s (session index build) "
+        f"steady={steady_r:7.3f}s (in-memory index)"
+    )
+    got = [tuple(r) for r in ivf_indexed().collect()]
+    want = [tuple(r) for r in ivf_registry().collect()]
+    assert got == want, (got[:3], want[:3])
+    print(f"ivf result equality vs registry: OK (top-{len(got)})")
 
 
 if __name__ == "__main__":

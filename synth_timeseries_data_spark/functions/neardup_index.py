@@ -164,6 +164,92 @@ def build_embed_index(
     return members_t, bits
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, prefix: str = "ivf"
+) -> str:
+    """Build and persist the IVF serving index for ``sf_dir``'s
+    embeddings: ``{prefix}_cells``, PARTITIONED BY the coarse-centroid
+    cell, with each vector's label and float payload INLINE — so a probe
+    reads only the probed cells' partitions (partition pruning) and needs
+    no join back to the embeddings table. This is the layout an ANN
+    serving tier stores at 100 TB: the inverted file IS the partitioning.
+    Returns the table name."""
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    table = f"{prefix}_cells"
+    cells = spark.sql(
+        f"""
+        WITH ranked AS ({lp._IVF_RANKED_SPARK}),
+        v AS (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings)
+        SELECT v.vec_id, v.label, v.e, a.c
+        FROM (SELECT vec_id, c FROM ranked WHERE rn = 1) a
+        JOIN v ON v.vec_id = a.vec_id
+        """
+    )
+    cells.write.mode("overwrite").partitionBy("c").format("parquet").saveAsTable(
+        table
+    )
+    return table
+
+
+def ivf_topk_indexed(
+    spark: SparkSession, sf_dir: str, cells_table: str
+) -> DataFrame:
+    """IVF top-10 from a persisted cells index — result-equal to
+    `vec_topk_ivf`. Probing: the query vector's ``_IVF_PROBES`` nearest
+    cells are computed engine-side over the 64×8 centroid grid and
+    collected (two ints — the serving-path planning read), then the index
+    scan carries a static ``c IN (...)`` partition filter, so only the
+    probed inverted lists are read; the exact-cosine verify runs on the
+    inline payloads with the registry's expressions (bit-identical)."""
+    from pyspark.sql import functions as F
+
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    q_ranked = lp._ivf_ranked_sql(
+        lp._SPARK_D,
+        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+        "FROM (SELECT * FROM embeddings WHERE vec_id = 0) "
+        "LATERAL VIEW posexplode(embedding) AS pos, x",
+    )
+    probes = [
+        r["c"]
+        for r in spark.sql(
+            f"WITH r0 AS ({q_ranked}) SELECT c FROM r0 "
+            f"WHERE rn <= {lp._IVF_PROBES}"
+        ).collect()
+    ]
+    in_list = ", ".join(str(c) for c in probes)
+    cos = (
+        "aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+        "NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT v.vec_id, v.label, {cos} AS cos_sim
+          FROM {cells_table} v CROSS JOIN q
+          WHERE v.c IN ({in_list}) AND v.vec_id != 0
+        )
+        SELECT vec_id, label, ROUND(cos_sim, 6) + 0.0 AS cos_sim
+        FROM sims
+        ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+        LIMIT 10
+        """
+    ).select("vec_id", "label", F.col("cos_sim"))
+
+
 def embed_pairs_indexed(
     spark: SparkSession, members_table: str, bits: int
 ) -> DataFrame:

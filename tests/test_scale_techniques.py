@@ -135,6 +135,27 @@ def test_neardup_index_api_matches_registry(spark, smoke_sf_dir, bucket_db):
     assert {c: spark.conf.get(c) for c in INDEX_PLANNER_CONFS} == saved
 
 
+def test_ivf_serving_index_prunes_partitions_and_matches(
+    spark, smoke_sf_dir, bucket_db
+):
+    """The persisted IVF cells index must answer top-10 bit-equal to the
+    session-form vec_topk_ivf, with the probe reading ONLY the probed
+    cells' partitions (static partition filter on the scan)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import vec_topk_ivf
+
+    table = build_ivf_index(spark, smoke_sf_dir, prefix=f"{bucket_db}.ivf")
+    got_df = ivf_topk_indexed(spark, smoke_sf_dir, table)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and " IN (" in plan, plan[:2000]
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in vec_topk_ivf(spark, smoke_sf_dir).collect()]
+    assert got == want
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
