@@ -40,9 +40,11 @@ from synth_timeseries_data_spark.functions.neardup_index import (  # noqa: E402
     build_embed_index,
     build_ivf_index,
     build_minhash_index,
+    build_pq_index,
     embed_pairs_indexed,
     ivf_topk_indexed,
     minhash_pairs_indexed,
+    pq_topk_indexed,
 )
 from synth_timeseries_data_spark.queries import llm_pipeline as lp  # noqa: E402
 
@@ -189,7 +191,36 @@ def main() -> None:
     got = [tuple(r) for r in ivf_indexed().collect()]
     want = [tuple(r) for r in ivf_registry().collect()]
     assert got == want, (got[:3], want[:3])
-    print(f"ivf result equality vs registry: OK (top-{len(got)})")
+    print(f"ivf result equality vs registry: OK (top-{len(got)})\n")
+
+    # ---- PQ serving index: compressed-code exhaustive scan ------------
+    t0 = time.perf_counter()
+    codes_t = build_pq_index(spark, sf_dir, prefix="pq", n_buckets=N_BUCKETS)
+    t_pq_build = time.perf_counter() - t0
+    print(f"pq index build+write (one-time): {t_pq_build:8.3f}s", flush=True)
+
+    def pq_indexed():
+        return pq_topk_indexed(spark, sf_dir, codes_t)
+
+    plan = pq_indexed()._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan[:3000]
+    print("pq indexed plan: bucketed compressed-code scan (no float explode)")
+
+    cold_p, steady_p = _steady(pq_indexed)
+    print(f"pq indexed top-10:       cold={cold_p:7.3f}s steady={steady_p:7.3f}s")
+
+    def pq_registry():
+        return lp.vec_topk_pq(spark, sf_dir)
+
+    cold_r, steady_r = _steady(pq_registry)
+    print(
+        f"pq registry form:        cold={cold_r:7.3f}s (session code build) "
+        f"steady={steady_r:7.3f}s (in-memory codes)"
+    )
+    got = [tuple(r) for r in pq_indexed().collect()]
+    want = [tuple(r) for r in pq_registry().collect()]
+    assert got == want, (got[:3], want[:3])
+    print(f"pq result equality vs registry: OK (top-{len(got)})")
 
 
 if __name__ == "__main__":

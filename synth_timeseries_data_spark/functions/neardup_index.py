@@ -1,5 +1,6 @@
-"""Persisted, bucketed LSH near-dup indexes — the write-amortized form of
-`minhash_dedup` / `embed_neardup` (queries/llm_pipeline.py).
+"""Persisted near-dup / ANN serving indexes — the write-amortized form of
+`minhash_dedup` / `embed_neardup` / `vec_topk_ivf` / `vec_topk_pq`
+(queries/llm_pipeline.py).
 
 The session forms rebuild their index relations (shingle aggregate + band
 signatures; plane signatures + norms) once per session via localCheckpoint;
@@ -262,6 +263,123 @@ def ivf_topk_indexed(
         LIMIT 10
         """
     ).select("vec_id", "label", F.col("cos_sim"))
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "pq",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """Build and persist the product-quantizer code index for ``sf_dir``'s
+    embeddings: ``{prefix}_codes_b`` (vec_id, m, c — 8 small-int codes per
+    vector, the compressed relation that stands in for the float corpus),
+    bucketBy(vec_id) so the ADC scan's per-vector code sum aggregates on
+    the bucketed distribution without a corpus-wide exchange. This is the
+    PQ layout a serving tier stores at 100 TB: a fraction of the raw
+    embeddings' bytes, scanned exhaustively per query, while the floats
+    are touched only for the shortlist re-rank. The codes are PACKED —
+    one row per vector, an 8-int array ordered by subspace — so the ADC
+    scan needs no per-vector aggregation at probe time (the registry's
+    long (vec_id, m, c) form pays a 40M-row group-by per probe at 5M
+    vectors). Returns the table name."""
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    _index_session_confs(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    table = f"{prefix}_codes_b"
+    codes = spark.sql(
+        f"WITH comps AS ({lp._PQ_POSEXP_SPARK}),"
+        + lp._pq_dists_sql(lp._SPARK_D, "")
+        + f""",
+        codes AS ({lp._PQ_CODES_TAIL})
+        SELECT vec_id,
+               transform(array_sort(collect_list(struct(m, c))),
+                         s -> s.c) AS codes
+        FROM codes GROUP BY vec_id
+        """
+    ).repartition(n_buckets, "vec_id")
+    write_bucketed(codes, table, "vec_id", n_buckets)
+    return table
+
+
+def pq_topk_indexed(
+    spark: SparkSession, sf_dir: str, codes_table: str
+) -> DataFrame:
+    """PQ ANN top-10 from a persisted code index — result-equal to
+    `vec_topk_pq`. The probe computes the query's exact ADC table against
+    the 16-anchor codebook from a 17-vector scan (vec_id filter pushed to
+    the embeddings footer) and COLLECTS it — 128 bigints, the serving
+    path's per-query planning read, like the IVF probe-cell collect —
+    then scores every vector as 8 in-scan array lookups over the packed
+    code table: no join, no aggregation, one scan into a top-k
+    (TakeOrderedAndProject). Only the shortlist survivors' floats are
+    read, fetched by shortlist join BEFORE the posexplode, so the float
+    corpus is never exploded at probe time (the session form pays that
+    explode once per session to build its codes)."""
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    _index_session_confs(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    adc_rows = spark.sql(
+        f"""
+        WITH comps AS (
+          SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x
+          FROM (SELECT * FROM embeddings
+                WHERE vec_id BETWEEN 0 AND {lp._PQ_K})
+          LATERAL VIEW posexplode(embedding) AS pos, x
+        ),"""
+        + lp._pq_dists_sql(lp._SPARK_D, "WHERE vec_id = 0")
+        + "\n        SELECT m, c, d2 FROM dists"
+    ).collect()
+    adc = [0] * (lp._PQ_M * lp._PQ_K)
+    for r in adc_rows:
+        adc[r["m"] * lp._PQ_K + r["c"]] = r["d2"]
+    adc_lit = "array(" + ", ".join(f"{v}L" for v in adc) + ")"
+    micro = (
+        "CAST(FLOOR((cv.x - qc.qx) * (cv.x - qc.qx) * 1000000.0) AS BIGINT)"
+    )
+    return spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT vec_id,
+                 aggregate(sequence(0, {lp._PQ_M - 1}), CAST(0 AS BIGINT),
+                           (acc, m) -> acc + element_at({adc_lit},
+                             m * {lp._PQ_K} + element_at(codes, m + 1) + 1)
+                 ) AS adc_d2_micro
+          FROM {codes_table}
+          WHERE vec_id != 0
+        ),
+        short AS (
+          SELECT vec_id FROM scored
+          ORDER BY adc_d2_micro, vec_id LIMIT {lp._PQ_SHORTLIST}
+        ),
+        qc AS (
+          SELECT pos + 1 AS dim, CAST(x AS DOUBLE) AS qx
+          FROM (SELECT * FROM embeddings WHERE vec_id = 0)
+          LATERAL VIEW posexplode(embedding) AS pos, x
+        ),
+        sv AS (
+          SELECT e.vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x
+          FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+          LATERAL VIEW posexplode(e.embedding) AS pos, x
+        ),
+        rerank AS (
+          SELECT cv.vec_id,
+                 CAST(SUM({micro}) AS BIGINT) AS l2_d2_micro
+          FROM sv cv JOIN qc ON qc.dim = cv.dim
+          GROUP BY cv.vec_id
+        ),
+        top AS (
+          SELECT vec_id, l2_d2_micro FROM rerank
+          ORDER BY l2_d2_micro, vec_id LIMIT 10
+        )
+        SELECT t.vec_id, e.label, t.l2_d2_micro
+        FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+        """
+    )
 
 
 def embed_pairs_indexed(

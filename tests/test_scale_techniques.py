@@ -156,6 +156,35 @@ def test_ivf_serving_index_prunes_partitions_and_matches(
     assert got == want
 
 
+def test_pq_serving_index_scans_compressed_codes_and_matches(
+    spark, smoke_sf_dir, bucket_db
+):
+    """The persisted PQ code index must answer top-10 bit-equal to the
+    session-form vec_topk_pq, with the ADC pass running as in-scan array
+    lookups over the packed code table — no join or per-vector
+    aggregation, straight into a top-k."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_pq_index,
+        index_posture,
+        pq_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import vec_topk_pq
+
+    with index_posture(spark):
+        table = build_pq_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.pq", n_buckets=8
+        )
+        got_df = pq_topk_indexed(spark, smoke_sf_dir, table)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # in-scan ADC lookups (the folded lambda over the packed codes)
+        # feeding a top-k — no qd join, no per-vector HashAggregate
+        assert "element_at(" in plan and "lambdafunction" in plan, plan[:2000]
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+        got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
+    assert got == want
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
