@@ -39,10 +39,12 @@ from pyspark.sql import SparkSession  # noqa: E402
 from synth_timeseries_data_spark.functions.neardup_index import (  # noqa: E402
     build_embed_index,
     build_ivf_index,
+    build_lsh_index,
     build_minhash_index,
     build_pq_index,
     embed_pairs_indexed,
     ivf_topk_indexed,
+    lsh_topk_indexed,
     minhash_pairs_indexed,
     pq_topk_indexed,
 )
@@ -192,6 +194,35 @@ def main() -> None:
     want = [tuple(r) for r in ivf_registry().collect()]
     assert got == want, (got[:3], want[:3])
     print(f"ivf result equality vs registry: OK (top-{len(got)})\n")
+
+    # ---- LSH serving index: single-signature partition probe ----------
+    t0 = time.perf_counter()
+    lsh_t = build_lsh_index(spark, sf_dir)
+    t_lsh_build = time.perf_counter() - t0
+    print(f"lsh index build+write (one-time): {t_lsh_build:8.3f}s", flush=True)
+
+    def lsh_indexed():
+        return lsh_topk_indexed(spark, sf_dir, lsh_t)
+
+    plan = lsh_indexed()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sig" in plan, plan[:3000]
+    print("lsh indexed plan: static signature partition filter (one bucket)")
+
+    cold_l, steady_l = _steady(lsh_indexed)
+    print(f"lsh indexed top-10:      cold={cold_l:7.3f}s steady={steady_l:7.3f}s")
+
+    def lsh_registry():
+        return lp.vec_topk_lsh(spark, sf_dir)
+
+    cold_r, steady_r = _steady(lsh_registry)
+    print(
+        f"lsh registry form:       cold={cold_r:7.3f}s (session index build) "
+        f"steady={steady_r:7.3f}s (in-memory index)"
+    )
+    got = [tuple(r) for r in lsh_indexed().collect()]
+    want = [tuple(r) for r in lsh_registry().collect()]
+    assert got == want, (got[:3], want[:3])
+    print(f"lsh result equality vs registry: OK (top-{len(got)})\n")
 
     # ---- PQ serving index: compressed-code exhaustive scan ------------
     t0 = time.perf_counter()

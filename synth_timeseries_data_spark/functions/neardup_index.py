@@ -265,6 +265,90 @@ def ivf_topk_indexed(
     ).select("vec_id", "label", F.col("cos_sim"))
 
 
+def build_lsh_index(
+    spark: SparkSession, sf_dir: str, prefix: str = "lshq"
+) -> str:
+    """Build and persist the hyperplane-LSH serving index for
+    ``sf_dir``'s embeddings: ``{prefix}_cells``, PARTITIONED BY the 8-bit
+    signature with each vector's label and float payload inline — the
+    single-probe counterpart of the IVF cells table. A probe reads ONLY
+    the query signature's partition (1/256th of the corpus in
+    expectation) and verifies exact cosine on the inline payloads with no
+    join back to the embeddings table. Returns the table name."""
+    from pyspark.sql import functions as F
+
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    table = f"{prefix}_cells"
+    cells = spark.sql(
+        f"""
+        WITH sigs AS ({lp._ANN_SIGS_SPARK}),
+        v AS (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings)
+        SELECT v.vec_id, v.label, v.e, s.sig
+        FROM sigs s JOIN v ON v.vec_id = s.vec_id
+        """
+    )
+    # One contiguous file per signature bucket (~1/256th of the corpus
+    # each): the same write-clustering lever as the IVF build, without
+    # the salt — a bucket is small enough that probe parallelism comes
+    # from the verify's row batches, not file splits.
+    cells = cells.repartition(F.col("sig"))
+    cells.write.mode("overwrite").partitionBy("sig").format("parquet").saveAsTable(
+        table
+    )
+    return table
+
+
+def lsh_topk_indexed(
+    spark: SparkSession, sf_dir: str, cells_table: str
+) -> DataFrame:
+    """LSH ANN top-10 from a persisted cells index — result-equal to
+    `vec_topk_lsh`. The query's 8-bit signature is computed engine-side
+    over the plane grid and collected (one int — the serving-path
+    planning read), then the index scan carries a static ``sig = q``
+    partition filter and the exact-cosine verify runs on the inline
+    payloads with the registry's expressions (bit-identical)."""
+    from pyspark.sql import functions as F
+
+    from ..queries import llm_pipeline as lp
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    q_sigs = lp._ann_sigs_sql(
+        lp._SPARK_D,
+        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+        "FROM (SELECT * FROM embeddings WHERE vec_id = 0) "
+        "LATERAL VIEW posexplode(embedding) AS pos, x",
+    )
+    [qsig] = [r["sig"] for r in spark.sql(q_sigs).collect()]
+    cos = (
+        "aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+        "NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT v.vec_id, v.label, {cos} AS cos_sim
+          FROM {cells_table} v CROSS JOIN q
+          WHERE v.sig = {qsig} AND v.vec_id != 0
+        )
+        SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim
+        FROM sims
+        ORDER BY ROUND(cos_sim, 6) DESC, vec_id
+        LIMIT 10
+        """
+    ).select("vec_id", "label", F.col("cos_sim"))
+
+
 def build_pq_index(
     spark: SparkSession,
     sf_dir: str,

@@ -156,6 +156,27 @@ def test_ivf_serving_index_prunes_partitions_and_matches(
     assert got == want
 
 
+def test_lsh_serving_index_prunes_partitions_and_matches(
+    spark, smoke_sf_dir, bucket_db
+):
+    """The persisted LSH cells index must answer top-10 bit-equal to the
+    session-form vec_topk_lsh, with the probe reading ONLY the query
+    signature's partition (static partition filter on the scan)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_lsh_index,
+        lsh_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import vec_topk_lsh
+
+    table = build_lsh_index(spark, smoke_sf_dir, prefix=f"{bucket_db}.lshq")
+    got_df = lsh_topk_indexed(spark, smoke_sf_dir, table)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sig" in plan, plan[:2000]
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in vec_topk_lsh(spark, smoke_sf_dir).collect()]
+    assert got == want
+
+
 def test_pq_serving_index_scans_compressed_codes_and_matches(
     spark, smoke_sf_dir, bucket_db
 ):
