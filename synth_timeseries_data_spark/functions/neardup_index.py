@@ -165,8 +165,61 @@ def build_embed_index(
     return members_t, bits
 
 
+def _vec_posexp(pred: str) -> str:
+    """Per-dimension explode of the embeddings restricted to ``pred``.
+    The filter lands in the parquet scan, so a delta build SIGNS only the
+    delta's rows; scan bytes are delta-proportional too when the delta
+    arrives as its own files (the production ingest shape) rather than
+    carved out of shared row groups by predicate (the test shape)."""
+    return (
+        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+        f"FROM (SELECT * FROM embeddings WHERE {pred}) "
+        "LATERAL VIEW posexplode(embedding) AS pos, x"
+    )
+
+
+def _ivf_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
+    """The IVF cells relation (vec_id, label, e, c) for the vectors
+    matching ``where`` (all vectors when None), clustered for the
+    partitioned write. Cluster by (cell, salt) BEFORE the write so each
+    inverted list is a BOUNDED set of contiguous files sized to the
+    probe's read parallelism. Both extremes lose, measured at sf100/5M
+    vectors: unclustered, every shuffle task writes a sliver into every
+    cell dir and the pruned probe pays a 960-file-open scan (2.9 s
+    steady); fully clustered (one ~350 MB file per cell), the probe
+    collapses to ~3 byte-range splits per probed list and the
+    exact-cosine verify runs on idle cores (5.7 s). ~16 files per list:
+    1.8 s."""
+    from pyspark.sql import functions as F
+
+    from ..queries import llm_pipeline as lp
+
+    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
+    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
+    # real user predicates get wrapped.
+    pred = f"({where})" if where else "TRUE"
+    cells = spark.sql(
+        f"""
+        WITH ranked AS ({lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp(pred))}),
+        v AS (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE {pred})
+        SELECT v.vec_id, v.label, v.e, a.c
+        FROM (SELECT vec_id, c FROM ranked WHERE rn = 1) a
+        JOIN v ON v.vec_id = a.vec_id
+        """
+    )
+    salt = 16
+    return cells.repartition(
+        lp._IVF_K * salt, F.col("c"), F.pmod(F.col("vec_id"), F.lit(salt))
+    )
+
+
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, prefix: str = "ivf"
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "ivf",
+    where: "str | None" = None,
 ) -> str:
     """Build and persist the IVF serving index for ``sf_dir``'s
     embeddings: ``{prefix}_cells``, PARTITIONED BY the coarse-centroid
@@ -174,41 +227,36 @@ def build_ivf_index(
     reads only the probed cells' partitions (partition pruning) and needs
     no join back to the embeddings table. This is the layout an ANN
     serving tier stores at 100 TB: the inverted file IS the partitioning.
-    Returns the table name."""
-    from pyspark.sql import functions as F
-
-    from ..queries import llm_pipeline as lp
+    ``where`` restricts the indexed corpus (a SQL predicate over the
+    embeddings columns); grow the index later with
+    :func:`append_ivf_index`. Returns the table name."""
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     table = f"{prefix}_cells"
-    cells = spark.sql(
-        f"""
-        WITH ranked AS ({lp._IVF_RANKED_SPARK}),
-        v AS (SELECT vec_id, label,
-                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings)
-        SELECT v.vec_id, v.label, v.e, a.c
-        FROM (SELECT vec_id, c FROM ranked WHERE rn = 1) a
-        JOIN v ON v.vec_id = a.vec_id
-        """
-    )
-    # Cluster by (cell, salt) BEFORE the write so each inverted list is a
-    # BOUNDED set of contiguous files sized to the probe's read
-    # parallelism. Both extremes lose, measured at sf100/5M vectors:
-    # unclustered, every shuffle task writes a sliver into every cell dir
-    # and the pruned probe pays a 960-file-open scan (2.9 s steady);
-    # fully clustered (one ~350 MB file per cell), the probe collapses to
-    # ~3 byte-range splits per probed list and the exact-cosine verify
-    # runs on idle cores (5.7 s). ~16 files per list: 1.8 s.
-    salt = 16
-    cells = cells.repartition(
-        lp._IVF_K * salt, F.col("c"), F.pmod(F.col("vec_id"), F.lit(salt))
-    )
-    cells.write.mode("overwrite").partitionBy("c").format("parquet").saveAsTable(
-        table
-    )
+    _ivf_cells_df(spark, where).write.mode("overwrite").partitionBy(
+        "c"
+    ).format("parquet").saveAsTable(table)
     return table
+
+
+def append_ivf_index(
+    spark: SparkSession, sf_dir: str, table: str, where: str
+) -> None:
+    """Incremental IVF index maintenance: assign ONLY the delta vectors
+    (``where`` — must select vectors not already indexed) to their cells
+    and append their rows to the existing partitioned table. The coarse
+    centroids are frozen at build (the standard IVF posture — retraining
+    means rebuilding), so an append touches only delta-proportional
+    bytes and probes see base ∪ delta with no rebuild. Appends add files
+    to the touched cell partitions; re-cluster by rebuilding when churn
+    accumulates."""
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _ivf_cells_df(spark, where).write.mode("append").partitionBy("c").format(
+        "parquet"
+    ).saveAsTable(table)
 
 
 def ivf_topk_indexed(
@@ -265,8 +313,39 @@ def ivf_topk_indexed(
     ).select("vec_id", "label", F.col("cos_sim"))
 
 
+def _lsh_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
+    """The LSH cells relation (vec_id, label, e, sig) for the vectors
+    matching ``where`` (all when None), clustered one contiguous file
+    per signature bucket (~1/256th of the corpus each): the same
+    write-clustering lever as the IVF build, without the salt — a bucket
+    is small enough that probe parallelism comes from the verify's row
+    batches, not file splits."""
+    from pyspark.sql import functions as F
+
+    from ..queries import llm_pipeline as lp
+
+    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
+    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
+    # real user predicates get wrapped.
+    pred = f"({where})" if where else "TRUE"
+    cells = spark.sql(
+        f"""
+        WITH sigs AS ({lp._ann_sigs_sql(lp._SPARK_D, _vec_posexp(pred))}),
+        v AS (SELECT vec_id, label,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE {pred})
+        SELECT v.vec_id, v.label, v.e, s.sig
+        FROM sigs s JOIN v ON v.vec_id = s.vec_id
+        """
+    )
+    return cells.repartition(F.col("sig"))
+
+
 def build_lsh_index(
-    spark: SparkSession, sf_dir: str, prefix: str = "lshq"
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "lshq",
+    where: "str | None" = None,
 ) -> str:
     """Build and persist the hyperplane-LSH serving index for
     ``sf_dir``'s embeddings: ``{prefix}_cells``, PARTITIONED BY the 8-bit
@@ -274,33 +353,33 @@ def build_lsh_index(
     single-probe counterpart of the IVF cells table. A probe reads ONLY
     the query signature's partition (1/256th of the corpus in
     expectation) and verifies exact cosine on the inline payloads with no
-    join back to the embeddings table. Returns the table name."""
-    from pyspark.sql import functions as F
-
-    from ..queries import llm_pipeline as lp
+    join back to the embeddings table. ``where`` restricts the indexed
+    corpus; grow the index later with :func:`append_lsh_index`. Returns
+    the table name."""
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     table = f"{prefix}_cells"
-    cells = spark.sql(
-        f"""
-        WITH sigs AS ({lp._ANN_SIGS_SPARK}),
-        v AS (SELECT vec_id, label,
-                     transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings)
-        SELECT v.vec_id, v.label, v.e, s.sig
-        FROM sigs s JOIN v ON v.vec_id = s.vec_id
-        """
-    )
-    # One contiguous file per signature bucket (~1/256th of the corpus
-    # each): the same write-clustering lever as the IVF build, without
-    # the salt — a bucket is small enough that probe parallelism comes
-    # from the verify's row batches, not file splits.
-    cells = cells.repartition(F.col("sig"))
-    cells.write.mode("overwrite").partitionBy("sig").format("parquet").saveAsTable(
-        table
-    )
+    _lsh_cells_df(spark, where).write.mode("overwrite").partitionBy(
+        "sig"
+    ).format("parquet").saveAsTable(table)
     return table
+
+
+def append_lsh_index(
+    spark: SparkSession, sf_dir: str, table: str, where: str
+) -> None:
+    """Incremental LSH index maintenance: sign ONLY the delta vectors
+    (``where`` — must select vectors not already indexed) against the
+    frozen plane grid and append their rows to the existing partitioned
+    table; probes see base ∪ delta with no rebuild, at
+    delta-proportional cost."""
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _lsh_cells_df(spark, where).write.mode("append").partitionBy(
+        "sig"
+    ).format("parquet").saveAsTable(table)
 
 
 def lsh_topk_indexed(
@@ -354,28 +433,47 @@ def build_pq_index(
     sf_dir: str,
     prefix: str = "pq",
     n_buckets: int = DEFAULT_BUCKETS,
+    where: "str | None" = None,
 ) -> str:
     """Build and persist the product-quantizer code index for ``sf_dir``'s
-    embeddings: ``{prefix}_codes_b`` (vec_id, m, c — 8 small-int codes per
-    vector, the compressed relation that stands in for the float corpus),
-    bucketBy(vec_id) so the ADC scan's per-vector code sum aggregates on
-    the bucketed distribution without a corpus-wide exchange. This is the
+    embeddings: ``{prefix}_codes_b`` (vec_id, codes — the compressed
+    relation that stands in for the float corpus), bucketBy(vec_id).
+    This is the
     PQ layout a serving tier stores at 100 TB: a fraction of the raw
     embeddings' bytes, scanned exhaustively per query, while the floats
     are touched only for the shortlist re-rank. The codes are PACKED —
     one row per vector, an 8-int array ordered by subspace — so the ADC
     scan needs no per-vector aggregation at probe time (the registry's
     long (vec_id, m, c) form pays a 40M-row group-by per probe at 5M
-    vectors). Returns the table name."""
-    from ..queries import llm_pipeline as lp
+    vectors). ``where`` restricts the indexed corpus (the 16 codebook
+    anchors, vec_id 1..16, are always read for code assignment); grow
+    the index later with :func:`append_pq_index`. Returns the table
+    name."""
     from ..sources import load
 
     _index_session_confs(spark)
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     table = f"{prefix}_codes_b"
-    codes = spark.sql(
-        f"WITH comps AS ({lp._PQ_POSEXP_SPARK}),"
-        + lp._pq_dists_sql(lp._SPARK_D, "")
+    codes = _pq_codes_df(spark, where).repartition(n_buckets, "vec_id")
+    write_bucketed(codes, table, "vec_id", n_buckets)
+    return table
+
+
+def _pq_codes_df(spark: SparkSession, where: "str | None") -> DataFrame:
+    """The packed PQ code relation (vec_id, codes) for the vectors
+    matching ``where`` (all when None). The codebook anchors (vec_id
+    1..16) are included in the component scan regardless of ``where`` —
+    code assignment always snaps against the frozen anchor codebook."""
+    from ..queries import llm_pipeline as lp
+
+    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
+    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
+    # real user predicates get wrapped.
+    pred = f"({where})" if where else "TRUE"
+    comps_pred = f"(vec_id BETWEEN 1 AND {lp._PQ_K}) OR {pred}"
+    return spark.sql(
+        f"WITH comps AS ({_vec_posexp(comps_pred)}),"
+        + lp._pq_dists_sql(lp._SPARK_D, f"WHERE {pred}")
         + f""",
         codes AS ({lp._PQ_CODES_TAIL})
         SELECT vec_id,
@@ -383,9 +481,35 @@ def build_pq_index(
                          s -> s.c) AS codes
         FROM codes GROUP BY vec_id
         """
-    ).repartition(n_buckets, "vec_id")
-    write_bucketed(codes, table, "vec_id", n_buckets)
-    return table
+    )
+
+
+def append_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    where: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Incremental PQ index maintenance: code-assign ONLY the delta
+    vectors (``where`` — must select vectors not already indexed)
+    against the frozen anchor codebook and append their packed rows to
+    the existing bucketed table (``n_buckets`` must match the build).
+    Probes see base ∪ delta with no rebuild; each append adds one file
+    per touched bucket — re-cluster by rebuilding when churn
+    accumulates."""
+    from ..sources import load
+
+    _index_session_confs(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    codes = _pq_codes_df(spark, where).repartition(n_buckets, "vec_id")
+    (
+        codes.write.format("parquet")
+        .mode("append")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(table)
+    )
 
 
 def pq_topk_indexed(

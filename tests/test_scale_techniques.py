@@ -206,6 +206,60 @@ def test_pq_serving_index_scans_compressed_codes_and_matches(
     assert got == want
 
 
+def test_ann_index_append_matches_full_rebuild(spark, smoke_sf_dir, bucket_db):
+    """Incremental maintenance: an index built on a base split and grown
+    with append_*_index over the delta must answer probes bit-equal to
+    the registry query over the FULL corpus — signatures/cells/codes are
+    assigned against the frozen grid, so append is delta-proportional
+    and never a rebuild."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        append_ivf_index,
+        append_lsh_index,
+        append_pq_index,
+        build_ivf_index,
+        build_lsh_index,
+        build_pq_index,
+        index_posture,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        pq_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        vec_topk_ivf,
+        vec_topk_lsh,
+        vec_topk_pq,
+    )
+
+    # Delta = every 5th vector past the query/anchor ids; base = the rest.
+    delta = "vec_id > 16 AND vec_id % 5 = 4"
+    base = f"NOT ({delta})"
+
+    t = build_lsh_index(spark, smoke_sf_dir, prefix=f"{bucket_db}.alsh", where=base)
+    append_lsh_index(spark, smoke_sf_dir, t, where=delta)
+    got = [tuple(r) for r in lsh_topk_indexed(spark, smoke_sf_dir, t).collect()]
+    assert got == [
+        tuple(r) for r in vec_topk_lsh(spark, smoke_sf_dir).collect()
+    ]
+
+    t = build_ivf_index(spark, smoke_sf_dir, prefix=f"{bucket_db}.aivf", where=base)
+    append_ivf_index(spark, smoke_sf_dir, t, where=delta)
+    got = [tuple(r) for r in ivf_topk_indexed(spark, smoke_sf_dir, t).collect()]
+    assert got == [
+        tuple(r) for r in vec_topk_ivf(spark, smoke_sf_dir).collect()
+    ]
+
+    with index_posture(spark):
+        t = build_pq_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.apq", n_buckets=8,
+            where=base,
+        )
+        append_pq_index(
+            spark, smoke_sf_dir, t, where=delta, n_buckets=8
+        )
+        got = [tuple(r) for r in pq_topk_indexed(spark, smoke_sf_dir, t).collect()]
+    assert got == [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
