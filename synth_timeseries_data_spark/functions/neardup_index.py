@@ -165,7 +165,7 @@ def build_embed_index(
     return members_t, bits
 
 
-def _vec_posexp(pred: str) -> str:
+def _vec_posexp(pred: str, src: str = "embeddings") -> str:
     """Per-dimension explode of the embeddings restricted to ``pred``.
     The filter lands in the parquet scan, so a delta build SIGNS only the
     delta's rows; scan bytes are delta-proportional too when the delta
@@ -173,7 +173,7 @@ def _vec_posexp(pred: str) -> str:
     carved out of shared row groups by predicate (the test shape)."""
     return (
         "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
-        f"FROM (SELECT * FROM embeddings WHERE {pred}) "
+        f"FROM (SELECT * FROM {src} WHERE {pred}) "
         "LATERAL VIEW posexplode(embedding) AS pos, x"
     )
 
@@ -313,7 +313,9 @@ def ivf_topk_indexed(
     ).select("vec_id", "label", F.col("cos_sim"))
 
 
-def _lsh_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
+def _lsh_cells_df(
+    spark: SparkSession, where: "str | None", src: str = "embeddings"
+) -> DataFrame:
     """The LSH cells relation (vec_id, label, e, sig) for the vectors
     matching ``where`` (all when None), clustered one contiguous file
     per signature bucket (~1/256th of the corpus each): the same
@@ -330,10 +332,10 @@ def _lsh_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
     pred = f"({where})" if where else "TRUE"
     cells = spark.sql(
         f"""
-        WITH sigs AS ({lp._ann_sigs_sql(lp._SPARK_D, _vec_posexp(pred))}),
+        WITH sigs AS ({lp._ann_sigs_sql(lp._SPARK_D, _vec_posexp(pred, src))}),
         v AS (SELECT vec_id, label,
                      transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings WHERE {pred})
+              FROM {src} WHERE {pred})
         SELECT v.vec_id, v.label, v.e, s.sig
         FROM sigs s JOIN v ON v.vec_id = s.vec_id
         """
@@ -380,6 +382,42 @@ def append_lsh_index(
     _lsh_cells_df(spark, where).write.mode("append").partitionBy(
         "sig"
     ).format("parquet").saveAsTable(table)
+
+
+def lsh_ingest_stream(
+    spark: SparkSession, embeds_dir: str, table: str, checkpoint: str
+):
+    """Streaming LSH index maintenance: a file-source stream over
+    ``embeds_dir`` (each arriving parquet file = one micro-batch) signs
+    each batch against the frozen plane grid and appends its rows to the
+    persisted cells table via ``foreachBatch`` — the continuous-ingest
+    form of :func:`append_lsh_index`. The table is created on the first
+    batch if absent, so a stream can also build the index from scratch.
+    availableNow-triggered: processes everything present, then stops —
+    the same replay discipline as streaming/jobs.py, so a test can pin
+    the streamed index bit-equal to a batch build. Delivery is
+    at-least-once per batch (a crash between the parquet append and the
+    checkpoint commit re-appends that batch on restart); dedup on replay
+    belongs to the probe or a compaction rebuild, exactly as in any
+    file-append ingest. Returns the started StreamingQuery."""
+    schema = spark.read.parquet(embeds_dir).schema
+
+    def _append(batch: DataFrame, _epoch_id: int) -> None:
+        view = "_lsh_ingest_batch"
+        batch.createOrReplaceTempView(view)
+        _lsh_cells_df(batch.sparkSession, None, src=view).write.mode(
+            "append"
+        ).partitionBy("sig").format("parquet").saveAsTable(table)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(embeds_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def lsh_topk_indexed(

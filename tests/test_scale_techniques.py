@@ -260,6 +260,37 @@ def test_ann_index_append_matches_full_rebuild(spark, smoke_sf_dir, bucket_db):
     assert got == [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
 
 
+def test_lsh_ingest_stream_builds_index_matching_batch(
+    spark, smoke_sf_dir, bucket_db, tmp_path
+):
+    """Two 'arriving' embeddings files streamed through lsh_ingest_stream
+    (one micro-batch each) must leave a cells table whose probe answers
+    bit-equal to the session-form vec_topk_lsh over the full corpus —
+    the continuous-ingest form of index maintenance."""
+    import os
+
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        lsh_ingest_stream,
+        lsh_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import vec_topk_lsh
+
+    src = spark.read.parquet(os.path.join(smoke_sf_dir, "embeddings.parquet"))
+    ingest = str(tmp_path / "ingest")
+    delta = "vec_id > 16 AND vec_id % 5 = 4"
+    src.where(f"NOT ({delta})").coalesce(1).write.mode("append").parquet(ingest)
+    src.where(delta).coalesce(1).write.mode("append").parquet(ingest)
+
+    table = f"{bucket_db}.slsh_cells"
+    q = lsh_ingest_stream(spark, ingest, table, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    n = spark.sql(f"SELECT COUNT(DISTINCT vec_id) AS c FROM {table}").first()["c"]
+    assert n == src.count()
+    got = [tuple(r) for r in lsh_topk_indexed(spark, smoke_sf_dir, table).collect()]
+    want = [tuple(r) for r in vec_topk_lsh(spark, smoke_sf_dir).collect()]
+    assert got == want
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """90%-hot-key fact salted-joined to its dim must equal the plain join,
     and the physical join must key on the salt (spreading the hot key)."""
