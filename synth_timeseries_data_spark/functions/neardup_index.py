@@ -74,17 +74,38 @@ def index_posture(spark: SparkSession):
                 spark.conf.set(k, v)
 
 
+def _mh_shingles_cte(where: "str | None") -> str:
+    """The minhash shingle CTE chain, optionally restricted to the docs
+    matching ``where``. The restriction is spliced into the one scan the
+    chain makes (the dialect helpers dispatch on dict identity, so the
+    pdocs entry cannot be overridden on a copy)."""
+    from ..queries import llm_pipeline as lp
+
+    cte = lp._shingles_raw_cte(lp._SPARK_D)
+    if where:
+        src = f"FROM {lp._SPARK_D['pdocs']}"
+        assert cte.count(src) == 1, cte
+        cte = cte.replace(
+            src, f"FROM (SELECT * FROM {lp._SPARK_D['pdocs']} WHERE ({where}))"
+        )
+    return cte
+
+
 def build_minhash_index(
     spark: SparkSession,
     sf_dir: str,
     prefix: str = "mh",
     n_buckets: int = DEFAULT_BUCKETS,
+    where: "str | None" = None,
 ) -> tuple[str, str]:
     """Build and persist the MinHash LSH index for ``sf_dir``'s documents:
     ``{prefix}_docagg_b`` (doc_id → min-hashes + shingle array,
     bucketBy(doc_id) so the verify join needs no exchange or sort) and
     ``{prefix}_mem_b`` (doc_id, band, sig, m — band membership with the
     bucket size m precomputed at build time, bucketBy(band, sig)).
+    ``where`` restricts the indexed corpus; arriving docs are deduped
+    against the index READ-ONLY with :func:`minhash_delta_pairs` (the m
+    sizes stay exact — folding a delta in is a rebuild, by design).
     Returns the two table names."""
     from ..queries import llm_pipeline as lp
 
@@ -92,7 +113,7 @@ def build_minhash_index(
     lp._register_docs(spark, sf_dir)
     docagg_t, mem_t = f"{prefix}_docagg_b", f"{prefix}_mem_b"
     docagg = spark.sql(
-        lp._shingles_raw_cte(lp._SPARK_D) + lp._mh_docagg_sql(lp._SPARK_D)
+        _mh_shingles_cte(where) + lp._mh_docagg_sql(lp._SPARK_D)
     ).repartition(n_buckets, "doc_id")
     write_bucketed(docagg, docagg_t, "doc_id", n_buckets)
     mem = spark.sql(
@@ -122,6 +143,74 @@ def minhash_pairs_indexed(
         + lp._minhash_tail(
             lp._SPARK_D, docagg_table, mem_table, mem_rel=mem_table
         )
+    )
+
+
+def minhash_delta_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    docagg_table: str,
+    mem_table: str,
+    delta_where: str,
+) -> DataFrame:
+    """Ingest-time incremental dedup against the persisted MinHash index:
+    near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥ 0.5) where at
+    least one side is a DELTA doc (``delta_where`` — must select docs not
+    already indexed). Delta docs are shingled/min-hashed at
+    delta-proportional cost, probed into the bucketed membership relation
+    by (band, sig) equality with the tiny delta side broadcast (the
+    indexed corpus is never re-shuffled), paired among themselves by the
+    same bucket join, and every candidate is verified by exact
+    array-intersect Jaccard against the delta aggregate ∪ the persisted
+    doc-aggregate. READ-ONLY: the index and its precomputed bucket sizes
+    are untouched — fold accumulated deltas in with a periodic rebuild.
+    With the index built on the complement, (pairs among indexed docs) ∪
+    (this relation) equals `minhash_dedup` over the full corpus at gate
+    scales (pinned in test_scale_techniques.py); the batch dense-bucket
+    guard is not applied to the delta probe (an ingest batch is bounded
+    by contract; a hot indexed bucket bounds fan-out at m per probe
+    row)."""
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    d = lp._SPARK_D
+    return spark.sql(
+        _mh_shingles_cte(delta_where)
+        + f", ddocagg AS ({lp._mh_docagg_sql(d)})"
+        + f", dsigs AS ({lp._mh_sigs_sql(d, 'ddocagg')})"
+        + f""",
+    cand AS (
+      SELECT DISTINCT LEAST(da_id, db_id) AS doc_a,
+                      GREATEST(da_id, db_id) AS doc_b
+      FROM (
+        SELECT /*+ BROADCAST(a) */ a.doc_id AS da_id, b.doc_id AS db_id
+        FROM dsigs a JOIN {mem_table} b
+          ON b.band = a.band AND b.sig = a.sig AND b.doc_id != a.doc_id
+        UNION ALL
+        SELECT a.doc_id AS da_id, b.doc_id AS db_id
+        FROM dsigs a JOIN dsigs b
+          ON b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id
+      ) u
+    ),
+    dall AS (
+      SELECT doc_id, n_sh, arr FROM ddocagg
+      UNION ALL
+      SELECT doc_id, n_sh, arr FROM {docagg_table}
+    ),
+    inter AS (
+      SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b,
+             da.n_sh AS na, db.n_sh AS nb,
+             size(array_intersect(da.arr, db.arr)) AS n_inter
+      FROM cand c
+      JOIN dall da ON da.doc_id = c.doc_a
+      JOIN dall db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+    """
     )
 
 

@@ -260,6 +260,43 @@ def test_ann_index_append_matches_full_rebuild(spark, smoke_sf_dir, bucket_db):
     assert got == [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
 
 
+def test_minhash_delta_pairs_union_equals_full_dedup(
+    spark, smoke_sf_dir, bucket_db
+):
+    """With the MinHash index built on a base split, (pairs among indexed
+    docs) ∪ (minhash_delta_pairs over the delta) must equal
+    minhash_dedup over the FULL corpus — the read-only ingest-dedup
+    invariant (gate scales never engage the dense guard, so the union is
+    exact)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_minhash_index,
+        index_posture,
+        minhash_delta_pairs,
+        minhash_pairs_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import minhash_dedup
+
+    delta = "doc_id % 7 = 3"
+    with index_posture(spark):
+        docagg_t, mem_t = build_minhash_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.dmh", n_buckets=8,
+            where=f"NOT ({delta})",
+        )
+        base_pairs = [
+            tuple(r)
+            for r in minhash_pairs_indexed(spark, docagg_t, mem_t).collect()
+        ]
+        delta_pairs = [
+            tuple(r)
+            for r in minhash_delta_pairs(
+                spark, smoke_sf_dir, docagg_t, mem_t, delta
+            ).collect()
+        ]
+    full = [tuple(r) for r in minhash_dedup(spark, smoke_sf_dir).collect()]
+    assert delta_pairs, "delta must contribute pairs for the test to bite"
+    assert sorted(base_pairs + delta_pairs) == sorted(full)
+
+
 def test_lsh_ingest_stream_builds_index_matching_batch(
     spark, smoke_sf_dir, bucket_db, tmp_path
 ):
