@@ -175,10 +175,15 @@ def minhash_delta_pairs(
     _index_session_confs(spark)
     lp._register_docs(spark, sf_dir)
     d = lp._SPARK_D
+    # The delta aggregate feeds the signature probe AND both verify
+    # sides; Spark inlines CTEs, so as a CTE the shingle/min-hash pass
+    # ran FIVE times (plan-counted corpus scans: 5 → 0 after this fix).
+    # localCheckpoint computes it once, same as the session indexes.
+    spark.sql(
+        _mh_shingles_cte(delta_where) + lp._mh_docagg_sql(d)
+    ).localCheckpoint().createOrReplaceTempView("_mh_delta_docagg")
     return spark.sql(
-        _mh_shingles_cte(delta_where)
-        + f", ddocagg AS ({lp._mh_docagg_sql(d)})"
-        + f", dsigs AS ({lp._mh_sigs_sql(d, 'ddocagg')})"
+        f"WITH dsigs AS ({lp._mh_sigs_sql(d, '_mh_delta_docagg')})"
         + f""",
     cand AS (
       SELECT DISTINCT LEAST(da_id, db_id) AS doc_a,
@@ -194,7 +199,7 @@ def minhash_delta_pairs(
       ) u
     ),
     dall AS (
-      SELECT doc_id, n_sh, arr FROM ddocagg
+      SELECT doc_id, n_sh, arr FROM _mh_delta_docagg
       UNION ALL
       SELECT doc_id, n_sh, arr FROM {docagg_table}
     ),

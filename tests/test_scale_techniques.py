@@ -286,12 +286,13 @@ def test_minhash_delta_pairs_union_equals_full_dedup(
             tuple(r)
             for r in minhash_pairs_indexed(spark, docagg_t, mem_t).collect()
         ]
-        delta_pairs = [
-            tuple(r)
-            for r in minhash_delta_pairs(
-                spark, smoke_sf_dir, docagg_t, mem_t, delta
-            ).collect()
-        ]
+        delta_df = minhash_delta_pairs(spark, smoke_sf_dir, docagg_t, mem_t, delta)
+        # The delta corpus pass runs ONCE (at localCheckpoint) — the
+        # probe plan itself must not re-scan documents (as a CTE the
+        # pass was inlined 5x).
+        plan = delta_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 0, plan[:2000]
+        delta_pairs = [tuple(r) for r in delta_df.collect()]
     full = [tuple(r) for r in minhash_dedup(spark, smoke_sf_dir).collect()]
     assert delta_pairs, "delta must contribute pairs for the test to bite"
     assert sorted(base_pairs + delta_pairs) == sorted(full)
