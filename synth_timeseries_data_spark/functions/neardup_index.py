@@ -14,6 +14,19 @@ verify join re-keying candidate pairs). Measured at sf100 (500k docs / 5M
 vectors): minhash re-query 36.9 s vs 116 s for the session form, bit-equal
 pairs — see scripts/bucketed_neardup_demo.py and COVERAGE.md.
 
+The ANN serving tiers are first-class here too: LSH and IVF cells
+tables partitioned by signature / centroid cell with payloads inline
+(probes read only the probed partitions via static partition filters),
+and PQ as a packed 8-int code table scanned with a collected ADC table
+(no join, no per-vector aggregation). Maintenance is incremental:
+``append_{lsh,ivf,pq}_index`` grow an index by a delta against the
+frozen grid/centroids/codebook, ``lsh_ingest_stream`` does it
+continuously from a file-source stream, and ``minhash_delta_pairs``
+answers ingest-time dedup read-only against the persisted document
+index. Every form is pinned bit-equal to its session-form registry
+query (tests/test_scale_techniques.py) and sf100-measured
+(COVERAGE.md).
+
 Index writes are managed tables (``bucketBy`` requires ``saveAsTable``);
 pass a qualified ``db.name`` prefix to place them. Reading back requires
 the two planner confs the builders set (sorted-bucket scan + subset-key
