@@ -97,7 +97,11 @@ def _mh_shingles_cte(where: "str | None") -> str:
     cte = lp._shingles_raw_cte(lp._SPARK_D)
     if where:
         src = f"FROM {lp._SPARK_D['pdocs']}"
-        assert cte.count(src) == 1, cte
+        if cte.count(src) != 1:  # pragma: no cover - template drift guard
+            raise ValueError(
+                f"shingle CTE no longer has exactly one {src!r} scan; "
+                "update _mh_shingles_cte's splice"
+            )
         cte = cte.replace(
             src, f"FROM (SELECT * FROM {lp._SPARK_D['pdocs']} WHERE ({where}))"
         )
@@ -191,12 +195,19 @@ def minhash_delta_pairs(
     # The delta aggregate feeds the signature probe AND both verify
     # sides; Spark inlines CTEs, so as a CTE the shingle/min-hash pass
     # ran FIVE times (plan-counted corpus scans: 5 → 0 after this fix).
-    # localCheckpoint computes it once, same as the session indexes.
+    # localCheckpoint computes it once, same as the session indexes. The
+    # view name is per-call so concurrent ingest batches in one session
+    # don't stomp each other; the checkpointed blocks are freed when the
+    # result DataFrame is garbage-collected (JVM ContextCleaner) — a
+    # long-lived ingest loop should not retain returned DataFrames.
+    import uuid
+
+    dagg_view = f"_mh_delta_docagg_{uuid.uuid4().hex[:12]}"
     spark.sql(
         _mh_shingles_cte(delta_where) + lp._mh_docagg_sql(d)
-    ).localCheckpoint().createOrReplaceTempView("_mh_delta_docagg")
+    ).localCheckpoint().createOrReplaceTempView(dagg_view)
     return spark.sql(
-        f"WITH dsigs AS ({lp._mh_sigs_sql(d, '_mh_delta_docagg')})"
+        f"WITH dsigs AS ({lp._mh_sigs_sql(d, dagg_view)})"
         + f""",
     cand AS (
       SELECT DISTINCT LEAST(da_id, db_id) AS doc_a,
@@ -212,7 +223,7 @@ def minhash_delta_pairs(
       ) u
     ),
     dall AS (
-      SELECT doc_id, n_sh, arr FROM _mh_delta_docagg
+      SELECT doc_id, n_sh, arr FROM {dagg_view}
       UNION ALL
       SELECT doc_id, n_sh, arr FROM {docagg_table}
     ),
@@ -272,6 +283,27 @@ def build_embed_index(
     return members_t, bits
 
 
+def _pred(where: "str | None") -> str:
+    """Splice-ready predicate: user predicates get wrapped, the all-rows
+    default stays a BARE ``TRUE`` — a parenthesized literal ``(TRUE)``
+    trips Spark 4.1's parser (ASSIGNMENT_ARITY_MISMATCH via the
+    subquery-column-alias rule)."""
+    return f"({where})" if where else "TRUE"
+
+
+# The exact-cosine verify over inline payloads (v.e) against the query
+# vector (q.qe) — textually the registry's _ann_tail/_ivf_tail Spark
+# expression, shared by both partition-pruned probes so the pinned
+# bit-equality contract has one local definition.
+_COS_SQL = (
+    "aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+    "NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), "
+    "(acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
+)
+
+
 def _vec_posexp(pred: str, src: str = "embeddings") -> str:
     """Per-dimension explode of the embeddings restricted to ``pred``.
     The filter lands in the parquet scan, so a delta build SIGNS only the
@@ -301,10 +333,7 @@ def _ivf_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
 
     from ..queries import llm_pipeline as lp
 
-    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
-    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
-    # real user predicates get wrapped.
-    pred = f"({where})" if where else "TRUE"
+    pred = _pred(where)
     cells = spark.sql(
         f"""
         WITH ranked AS ({lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp(pred))}),
@@ -376,18 +405,11 @@ def ivf_topk_indexed(
     scan carries a static ``c IN (...)`` partition filter, so only the
     probed inverted lists are read; the exact-cosine verify runs on the
     inline payloads with the registry's expressions (bit-identical)."""
-    from pyspark.sql import functions as F
-
     from ..queries import llm_pipeline as lp
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    q_ranked = lp._ivf_ranked_sql(
-        lp._SPARK_D,
-        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
-        "FROM (SELECT * FROM embeddings WHERE vec_id = 0) "
-        "LATERAL VIEW posexplode(embedding) AS pos, x",
-    )
+    q_ranked = lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp("vec_id = 0"))
     probes = [
         r["c"]
         for r in spark.sql(
@@ -395,20 +417,17 @@ def ivf_topk_indexed(
             f"WHERE rn <= {lp._IVF_PROBES}"
         ).collect()
     ]
+    if not probes:
+        raise ValueError(
+            f"query vector (vec_id 0) not found in {sf_dir}'s embeddings"
+        )
     in_list = ", ".join(str(c) for c in probes)
-    cos = (
-        "aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
-        "NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
-    )
     return spark.sql(
         f"""
         WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
                    FROM embeddings WHERE vec_id = 0),
         sims AS (
-          SELECT v.vec_id, v.label, {cos} AS cos_sim
+          SELECT v.vec_id, v.label, {_COS_SQL} AS cos_sim
           FROM {cells_table} v CROSS JOIN q
           WHERE v.c IN ({in_list}) AND v.vec_id != 0
         )
@@ -417,7 +436,7 @@ def ivf_topk_indexed(
         ORDER BY ROUND(cos_sim, 6) DESC, vec_id
         LIMIT 10
         """
-    ).select("vec_id", "label", F.col("cos_sim"))
+    )
 
 
 def _lsh_cells_df(
@@ -433,10 +452,7 @@ def _lsh_cells_df(
 
     from ..queries import llm_pipeline as lp
 
-    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
-    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
-    # real user predicates get wrapped.
-    pred = f"({where})" if where else "TRUE"
+    pred = _pred(where)
     cells = spark.sql(
         f"""
         WITH sigs AS ({lp._ann_sigs_sql(lp._SPARK_D, _vec_posexp(pred, src))}),
@@ -504,9 +520,11 @@ def lsh_ingest_stream(
     the same replay discipline as streaming/jobs.py, so a test can pin
     the streamed index bit-equal to a batch build. Delivery is
     at-least-once per batch (a crash between the parquet append and the
-    checkpoint commit re-appends that batch on restart); dedup on replay
-    belongs to the probe or a compaction rebuild, exactly as in any
-    file-append ingest. Returns the started StreamingQuery."""
+    checkpoint commit re-appends that batch on restart, leaving
+    duplicate rows the probe does NOT dedup); recover with a compaction
+    rebuild (`build_lsh_index`), or dedup the cells table on vec_id,
+    before trusting probes after an unclean restart. Returns the
+    started StreamingQuery."""
     schema = spark.read.parquet(embeds_dir).schema
 
     def _append(batch: DataFrame, _epoch_id: int) -> None:
@@ -536,32 +554,23 @@ def lsh_topk_indexed(
     planning read), then the index scan carries a static ``sig = q``
     partition filter and the exact-cosine verify runs on the inline
     payloads with the registry's expressions (bit-identical)."""
-    from pyspark.sql import functions as F
-
     from ..queries import llm_pipeline as lp
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    q_sigs = lp._ann_sigs_sql(
-        lp._SPARK_D,
-        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
-        "FROM (SELECT * FROM embeddings WHERE vec_id = 0) "
-        "LATERAL VIEW posexplode(embedding) AS pos, x",
-    )
-    [qsig] = [r["sig"] for r in spark.sql(q_sigs).collect()]
-    cos = (
-        "aggregate(zip_with(v.e, q.qe, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
-        "NULLIF(SQRT(aggregate(v.e, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x * x)) * SQRT(aggregate(q.qe, "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)), 0.0)"
-    )
+    q_sigs = lp._ann_sigs_sql(lp._SPARK_D, _vec_posexp("vec_id = 0"))
+    sigs = [r["sig"] for r in spark.sql(q_sigs).collect()]
+    if len(sigs) != 1:
+        raise ValueError(
+            f"query vector (vec_id 0) not found in {sf_dir}'s embeddings"
+        )
+    [qsig] = sigs
     return spark.sql(
         f"""
         WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
                    FROM embeddings WHERE vec_id = 0),
         sims AS (
-          SELECT v.vec_id, v.label, {cos} AS cos_sim
+          SELECT v.vec_id, v.label, {_COS_SQL} AS cos_sim
           FROM {cells_table} v CROSS JOIN q
           WHERE v.sig = {qsig} AND v.vec_id != 0
         )
@@ -570,7 +579,7 @@ def lsh_topk_indexed(
         ORDER BY ROUND(cos_sim, 6) DESC, vec_id
         LIMIT 10
         """
-    ).select("vec_id", "label", F.col("cos_sim"))
+    )
 
 
 def build_pq_index(
@@ -608,17 +617,23 @@ def _pq_codes_df(spark: SparkSession, where: "str | None") -> DataFrame:
     """The packed PQ code relation (vec_id, codes) for the vectors
     matching ``where`` (all when None). The codebook anchors (vec_id
     1..16) are included in the component scan regardless of ``where`` —
-    code assignment always snaps against the frozen anchor codebook."""
+    code assignment always snaps against the frozen anchor codebook.
+    The predicate may reference ANY embeddings column: it is evaluated
+    once on the source scan into a ``_sel`` marker, because the exploded
+    comps relation the code-assignment filter runs over only carries
+    (vec_id, dim, x)."""
     from ..queries import llm_pipeline as lp
 
-    # NB: a parenthesized literal "(TRUE)" trips Spark 4.1's parser
-    # (ASSIGNMENT_ARITY_MISMATCH via the column-alias rule), so only
-    # real user predicates get wrapped.
-    pred = f"({where})" if where else "TRUE"
-    comps_pred = f"(vec_id BETWEEN 1 AND {lp._PQ_K}) OR {pred}"
+    pred = _pred(where)
+    comps = (
+        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x, _sel "
+        f"FROM (SELECT *, {pred} AS _sel FROM embeddings "
+        f"      WHERE (vec_id BETWEEN 1 AND {lp._PQ_K}) OR {pred}) "
+        "LATERAL VIEW posexplode(embedding) AS pos, x"
+    )
     return spark.sql(
-        f"WITH comps AS ({_vec_posexp(comps_pred)}),"
-        + lp._pq_dists_sql(lp._SPARK_D, f"WHERE {pred}")
+        f"WITH comps AS ({comps}),"
+        + lp._pq_dists_sql(lp._SPARK_D, "WHERE _sel")
         + f""",
         codes AS ({lp._PQ_CODES_TAIL})
         SELECT vec_id,
@@ -677,16 +692,16 @@ def pq_topk_indexed(
     _index_session_confs(spark)
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     adc_rows = spark.sql(
-        f"""
-        WITH comps AS (
-          SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x
-          FROM (SELECT * FROM embeddings
-                WHERE vec_id BETWEEN 0 AND {lp._PQ_K})
-          LATERAL VIEW posexplode(embedding) AS pos, x
-        ),"""
+        f"WITH comps AS ({_vec_posexp(f'vec_id BETWEEN 0 AND {lp._PQ_K}')}),"
         + lp._pq_dists_sql(lp._SPARK_D, "WHERE vec_id = 0")
         + "\n        SELECT m, c, d2 FROM dists"
     ).collect()
+    if len(adc_rows) != lp._PQ_M * lp._PQ_K:
+        raise ValueError(
+            f"query vector (vec_id 0) or the {lp._PQ_K} codebook anchors "
+            f"not found in {sf_dir}'s embeddings "
+            f"({len(adc_rows)}/{lp._PQ_M * lp._PQ_K} ADC entries)"
+        )
     adc = [0] * (lp._PQ_M * lp._PQ_K)
     for r in adc_rows:
         adc[r["m"] * lp._PQ_K + r["c"]] = r["d2"]

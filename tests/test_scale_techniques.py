@@ -257,7 +257,17 @@ def test_ann_index_append_matches_full_rebuild(spark, smoke_sf_dir, bucket_db):
             spark, smoke_sf_dir, t, where=delta, n_buckets=8
         )
         got = [tuple(r) for r in pq_topk_indexed(spark, smoke_sf_dir, t).collect()]
-    assert got == [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
+        # where may reference ANY embeddings column, not just vec_id
+        # (the code-assignment filter runs over the exploded relation,
+        # which carries a precomputed selection marker for this)
+        t2 = build_pq_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.apq2", n_buckets=8,
+            where="label IS NOT NULL OR vec_id >= 0",
+        )
+        full = [tuple(r) for r in pq_topk_indexed(spark, smoke_sf_dir, t2).collect()]
+    want = [tuple(r) for r in vec_topk_pq(spark, smoke_sf_dir).collect()]
+    assert got == want
+    assert full == want
 
 
 def test_minhash_delta_pairs_union_equals_full_dedup(
