@@ -182,7 +182,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the same strengthening for the OTHER rows-only workflow entry the r06
 # residue named) enter in-window; plot_frames' slot comes from demoting
 # gopher_rules (r06-green, its gate arithmetic embedded verbatim in the
-# in-window curate_decisions composition). Every demoted entry
+# in-window curate_decisions composition). Later in round 7,
+# token_budget_sample (87th oracle entry — mixture-driven quality-first
+# document selection to a per-source token budget) and source_overlap
+# (88th — the cross-source near-dup leakage matrix over minhash_dedup's
+# exact pair relation) enter in-window; their slots come from demoting
+# minhash_dedup (r06-green, watch item resolved, and its ENTIRE pair
+# relation — candidate generation through the jaccard verify — is
+# embedded verbatim inside the in-window source_overlap composition, so
+# a minhash regression still turns a driver row red) and lag_features
+# (r06-green; its exact plan is ALSO the driver's entry() smoke path,
+# re-run with a schema/row check every round). Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
@@ -198,8 +208,10 @@ _DEMOTED = (
     "gopher_rules",
     "hash_split",
     "jsonl_roundtrip",
+    "lag_features",
     "lang_id",
     "length_percentiles",
+    "minhash_dedup",
     "ngram_jaccard",
     "noise_mixture",
     "pack_sequences",

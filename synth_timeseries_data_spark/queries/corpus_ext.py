@@ -42,6 +42,7 @@ from . import register
 from .llm_pipeline import (
     _DUCK_D,
     _SPARK_D,
+    _STOPWORDS,
     _dual,
     _hex2int,
     _indexed,
@@ -966,3 +967,189 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _cleanup_at_exit(out)
     return write_curated_corpus(spark, sf_dir, out)
+
+
+# --------------------------------------------------------------------------
+# token_budget_sample: mixture-driven selection of concrete documents to a
+# per-source token budget (round 7 — the step between domain_mix's WEIGHTS
+# and a training run's actual document list).
+# --------------------------------------------------------------------------
+
+
+def _token_budget_sql(d) -> str:
+    # Budget rule: total budget = half the corpus tokens, allocated across
+    # sources ∝ sqrt(source tokens) — the SAME temperature-0.5 smoothing
+    # domain_mix publishes as `mix_weight`, here turned into an integer
+    # token budget and an actual per-source document selection. Within a
+    # source, documents are taken in quality order (the quality_score
+    # composite as a FLOOR-micro integer, doc_id tiebreak) while the
+    # running token total stays within budget — greedy quality-first
+    # fill, the standard way a loader materializes a mixture.
+    #
+    # Determinism discipline: every kept/dropped decision compares exact
+    # integers (q_micro, cum_tokens, src_budget). The only floats are the
+    # per-row quality composite (identical expression tree → bit-identical
+    # doubles in both engines; integer numerators CAST AS DOUBLE before
+    # the decimal-literal divides) and the sqrt/share product, floored to
+    # micro-ints before ANY comparison. NULL text is excluded up front —
+    # a doc with no tokens cannot be sampled, and excluding NULLs keeps
+    # the window order engine-independent.
+    ws = d["split"]("text")
+    hits = d["filter"](ws, f"w -> w IN {_STOPWORDS}")
+    ln = d["len"]
+    return f"""
+    WITH t0 AS (
+      SELECT doc_id, source,
+             {ln(ws)} AS n_tok,
+             CAST({ln(ws)} AS DOUBLE) AS n_words,
+             CAST({ln(hits)} AS DOUBLE) / {ln(ws)} AS stop_ratio,
+             CAST({ln(d['distinct'](ws))} AS DOUBLE) / {ln(ws)} AS uniq_ratio
+      FROM {d['pdocs']}
+      WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, source, n_tok,
+             CAST(FLOOR((LEAST(1.0, n_words / 100.0) * 0.5
+                         + LEAST(1.0, stop_ratio * 10.0) * 0.2
+                         + uniq_ratio * 0.3) * 1000000.0) AS BIGINT)
+               AS q_micro
+      FROM t0
+    ),
+    src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source, src_tokens,
+             CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS w_micro
+      FROM src
+    ),
+    b AS (
+      SELECT source,
+             CAST(FLOOR(CAST(w_micro AS DOUBLE)
+                        / CAST(SUM(w_micro) OVER () AS DOUBLE)
+                        * (CAST(SUM(src_tokens) OVER () AS DOUBLE) / 2.0))
+                  AS BIGINT) AS src_budget
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, source, n_tok, q_micro,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY q_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.n_tok AS BIGINT) AS n_tokens,
+           r.q_micro, r.cum_tokens, b.src_budget
+    FROM r JOIN b ON b.source = r.source
+    WHERE r.cum_tokens <= b.src_budget
+    """
+
+
+_TOKBUDGET_SPARK, _TOKBUDGET_DUCK = _dual(_token_budget_sql)
+
+
+@register("token_budget_sample", _TOKBUDGET_DUCK)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: materialize a training mixture — select the concrete
+    documents that fill each source's token budget, where the budget is
+    half the corpus tokens split ∝ sqrt(source tokens) (domain_mix's
+    temperature-0.5 rule) and each source fills quality-first (the
+    quality_score composite as a micro-int, doc_id tiebreak). Returns one
+    row per SELECTED document with its budget audit trail (q_micro,
+    cum_tokens, src_budget).
+
+    Scale shape: two pruned corpus passes (the budget branch aggregates
+    per-doc tokens with map-side partials, so only ~n_sources rows reach
+    its exchange; the selection branch feeds the one data-proportional
+    shuffle — the window exchange on source for the running total); the
+    budget table is n_sources rows joined back (broadcast at any scale,
+    plan-verified BroadcastHashJoin). Sharing one exchange between the
+    branches was measured and rejected: column pruning makes the subtrees
+    differ, so Catalyst cannot reuse the exchange, and the double-frame
+    window form ran 0.84 s vs 0.64 s for this plan at sf0.1. A skewed
+    giant source is the same skew the window already handles for
+    length_percentiles — at 100 TB the greedy fill inside one source is
+    exactly as parallel as one sort-partition, the honest cost of a
+    cross-document cumulative constraint."""
+    return _spark_docs(spark, sf_dir, _TOKBUDGET_SPARK)
+
+
+# --------------------------------------------------------------------------
+# source_overlap: near-duplicate leakage matrix between sources (round 7).
+# --------------------------------------------------------------------------
+
+def _source_overlap_duck() -> str:
+    from .llm_pipeline import _MINHASH_DUCK
+
+    return f"""
+    WITH p AS (SELECT * FROM ( {_MINHASH_DUCK} ) p0),
+    j AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(jaccard * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_jac_micro
+    FROM j GROUP BY source_a, source_b
+    """
+
+
+@register("source_overlap", _source_overlap_duck())
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: the near-duplicate leakage matrix between sources — for
+    each unordered source pair, how many MinHash near-dup pairs (the
+    exact relation minhash_dedup publishes, jaccard >= 0.5 verified)
+    cross it, with the jaccard mass as a FLOOR-micro integer sum. The
+    curation diagnostic that tells you WHICH crawls/dumps duplicate each
+    other before you pick a dedup survivor policy — mirror-heavy source
+    pairs get cross-source dedup, self-similar sources get within-source
+    dedup only.
+
+    Scale shape: rides minhash_dedup's session index (bucketed candidate
+    generation, never all-pairs); the pair relation is near-dup-
+    proportional, so the two doc_id→source lookups are joins of a SMALL
+    relation against the corpus projection — AQE turns them into
+    broadcasts from runtime sizes at fixture scale, and at 100 TB they
+    are plain equality shuffles on doc_id. Output is n_sources² bounded."""
+    from pyspark.sql import functions as F
+
+    from ..sources import load
+    from .llm_pipeline import minhash_dedup
+
+    pairs = minhash_dedup(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.floor(F.col("jaccard") * 1000000.0).cast("long")).alias(
+            "sum_jac_micro"
+        ),
+    )

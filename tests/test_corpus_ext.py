@@ -608,3 +608,89 @@ def test_gopher_rules_match_independent_reimplementation(spark, oracle_sf_dir):
                 and r.ellipsis_frac < 0.3 and r.alpha_word_frac >= 0.8
                 and r.stop_hits >= 2)
         assert r.keep == keep, doc_id
+
+
+def test_token_budget_sample_is_greedy_quality_prefix(spark, oracle_sf_dir):
+    """Independent reimplementation of the budget rule: recompute each
+    source's budget from raw per-doc (n_tokens, q_micro) in plain Python
+    (total budget = corpus_tokens/2 split prop. to sqrt(src_tokens)) and
+    assert the selection is EXACTLY the greedy quality-ranked prefix whose
+    running token total fits — per-source maximal: every selected doc fits
+    under budget and the first excluded doc would overflow it."""
+    import math
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    got = {
+        r.doc_id: r
+        for r in all_queries()["token_budget_sample"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    docs = load(spark, oracle_sf_dir, "documents").collect()
+    stops = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    per_src: dict[str, list] = {}
+    for d in docs:
+        if d.text is None:
+            continue
+        ws = d.text.split(" ")
+        q = (
+            min(1.0, len(ws) / 100.0) * 0.5
+            + min(1.0, sum(w in stops for w in ws) / len(ws) * 10.0) * 0.2
+            + len(set(ws)) / len(ws) * 0.3
+        )
+        per_src.setdefault(d.source, []).append(
+            (math.floor(q * 1000000.0), d.doc_id, len(ws))
+        )
+    src_tokens = {s: sum(t[2] for t in v) for s, v in per_src.items()}
+    w_micro = {
+        s: math.floor(math.sqrt(float(n)) * 1000000.0)
+        for s, n in src_tokens.items()
+    }
+    total = sum(src_tokens.values())
+    sum_w = sum(w_micro.values())
+    expected_sel = {}
+    for s, v in per_src.items():
+        budget = math.floor(w_micro[s] / sum_w * (total / 2.0))
+        v.sort(key=lambda t: (-t[0], t[1]))
+        cum = 0
+        for q_micro, doc_id, n_tok in v:
+            cum += n_tok
+            if cum > budget:
+                break
+            expected_sel[doc_id] = (s, n_tok, q_micro, cum, budget)
+    assert set(got) == set(expected_sel)
+    for doc_id, (s, n_tok, q_micro, cum, budget) in expected_sel.items():
+        r = got[doc_id]
+        assert (r.source, r.n_tokens, r.q_micro, r.cum_tokens, r.src_budget) == (
+            s,
+            n_tok,
+            q_micro,
+            cum,
+            budget,
+        )
+
+
+def test_source_overlap_accounts_for_every_minhash_pair(spark, oracle_sf_dir):
+    """The matrix must partition minhash_dedup's pair relation exactly:
+    n_pairs sums to the pair count, every (source_a, source_b) cell is
+    ordered (a <= b), and each cell's count matches a direct per-pair
+    source lookup."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    pairs = all_queries()["minhash_dedup"].build(spark, oracle_sf_dir).collect()
+    overlap = all_queries()["source_overlap"].build(spark, oracle_sf_dir).collect()
+    src = {
+        r.doc_id: r.source
+        for r in load(spark, oracle_sf_dir, "documents").collect()
+    }
+    expected: dict[tuple, int] = {}
+    for p in pairs:
+        key = tuple(sorted((src[p.doc_a], src[p.doc_b])))
+        expected[key] = expected.get(key, 0) + 1
+    assert sum(r.n_pairs for r in overlap) == len(pairs)
+    got = {(r.source_a, r.source_b): r.n_pairs for r in overlap}
+    assert got == expected
+    assert all(r.source_a <= r.source_b for r in overlap)
