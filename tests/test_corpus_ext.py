@@ -694,3 +694,57 @@ def test_source_overlap_accounts_for_every_minhash_pair(spark, oracle_sf_dir):
     got = {(r.source_a, r.source_b): r.n_pairs for r in overlap}
     assert got == expected
     assert all(r.source_a <= r.source_b for r in overlap)
+
+
+def test_token_budget_sample_prefix_semantics_on_planted_corpus(spark, tmp_path):
+    """Structural pins on a crafted corpus: (a) a source whose single doc
+    exceeds its budget selects NOTHING; (b) selection is the quality-ranked
+    PREFIX whose running total fits — a small low-quality doc that would
+    still fit by best-fit/knapsack is NOT taken once a higher-quality doc
+    has overflowed the budget (cum > budget cuts the prefix, monotone cum
+    makes WHERE cum <= budget exactly that prefix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        # src A, quality order: hi (40 distinct words incl stopwords,
+        # q=0.7) > mid1/mid2/mid3 (5 distinct words, q=0.325, doc_id
+        # tiebreak) > low (3 repeated words, q=0.115).
+        1: ("A", " ".join(
+            ["the", "a", "of", "and", "to", "in", "is", "it"]
+            + [f"w{i}" for i in range(32)])),
+        2: ("A", "v1a v1b v1c v1d v1e"),
+        3: ("A", "v2a v2b v2c v2d v2e"),
+        4: ("A", "v3a v3b v3c v3d v3e"),
+        5: ("A", "x x x"),
+        # src B: one 300-token doc — bigger than B's whole budget.
+        6: ("B", " ".join(f"b{i}" for i in range(300))),
+    }
+    ids = sorted(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i][1] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array([texts[i][0] for i in ids]),
+            "n_chars": pa.array(
+                [len(texts[i][1]) for i in ids], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    rows = (
+        all_queries()["token_budget_sample"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    # A tokens = 40+5+5+5+3 = 58, B = 300; budget pool = 179;
+    # w = sqrt(58):sqrt(300) -> A budget 54, B budget 124 (< 300).
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].cum_tokens == 40 and by_id[3].cum_tokens == 50
+    assert all(r.src_budget == 54 for r in rows)
+    # doc 5 (3 tokens) would fit 50+3 <= 54 by knapsack, but the prefix
+    # was cut at doc 4 (cum 55 > 54) — prefix semantics, not best-fit.
+    assert 5 not in by_id and 4 not in by_id
+    assert not [r for r in rows if r.source == "B"]
