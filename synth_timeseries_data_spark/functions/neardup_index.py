@@ -197,16 +197,20 @@ def minhash_delta_pairs(
     # ran FIVE times (plan-counted corpus scans: 5 → 0 after this fix).
     # localCheckpoint computes it once, same as the session indexes. The
     # view name is per-call so concurrent ingest batches in one session
-    # don't stomp each other; the checkpointed blocks are freed when the
-    # result DataFrame is garbage-collected (JVM ContextCleaner) — a
-    # long-lived ingest loop should not retain returned DataFrames.
+    # don't stomp each other, and the view is DROPPED before returning
+    # (spark.sql analyzes eagerly — the returned plan holds the resolved
+    # LogicalRDD, not the view), so the catalog never pins the
+    # checkpointed blocks: they are freed when the result DataFrame is
+    # garbage-collected (JVM ContextCleaner). Without the drop, a
+    # long-lived ingest loop would leak one checkpointed delta aggregate
+    # per batch into the session catalog.
     import uuid
 
     dagg_view = f"_mh_delta_docagg_{uuid.uuid4().hex[:12]}"
     spark.sql(
         _mh_shingles_cte(delta_where) + lp._mh_docagg_sql(d)
     ).localCheckpoint().createOrReplaceTempView(dagg_view)
-    return spark.sql(
+    result = spark.sql(
         f"WITH dsigs AS ({lp._mh_sigs_sql(d, dagg_view)})"
         + f""",
     cand AS (
@@ -241,6 +245,8 @@ def minhash_delta_pairs(
     WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
     """
     )
+    spark.catalog.dropTempView(dagg_view)
+    return result
 
 
 def build_embed_index(

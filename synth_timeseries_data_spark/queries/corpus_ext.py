@@ -41,6 +41,7 @@ from ..functions.detrand import lcg_uniform_sql
 from . import register
 from .llm_pipeline import (
     _DUCK_D,
+    _Q_COMPOSITE,
     _SPARK_D,
     _STOPWORDS,
     _dual,
@@ -642,6 +643,18 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ALPHA = 0.5  # temperature exponent: w ∝ n_tokens^alpha (sqrt smoothing)
 
 
+def _w_micro_sql(col: str) -> str:
+    """THE temperature-weight quantization — libm POWER snapped to 9
+    decimals (the char_entropy device) before FLOOR-micro. Shared by
+    domain_mix (the published mix_weight) and token_budget_sample (the
+    materialized budgets), so the two tables a loader consumes can never
+    disagree on a source's weight."""
+    return (
+        f"CAST(FLOOR(ROUND(POWER(CAST({col} AS DOUBLE), {_MIX_ALPHA}), 9)"
+        f" * 1000000.0) AS BIGINT)"
+    )
+
+
 def _domain_mix_sql(d) -> str:
     # One corpus pass: per-source token totals (partial agg → one tiny
     # exchange of ~n_sources rows per partition), then the share/weight
@@ -656,10 +669,7 @@ def _domain_mix_sql(d) -> str:
     # char_entropy device), so the weight sums and every derived ratio are
     # exact-integer arithmetic over identical inputs in both engines.
     ws = d["split"]("text")
-    w_micro = (
-        f"CAST(FLOOR(ROUND(POWER(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}), 9)"
-        f" * 1000000.0) AS BIGINT)"
-    )
+    w_micro = _w_micro_sql("n_tokens")
     return f"""
     WITH per_src AS (
       SELECT source,
@@ -979,7 +989,8 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_budget_sql(d) -> str:
     # Budget rule: total budget = half the corpus tokens, allocated across
     # sources ∝ sqrt(source tokens) — the SAME temperature-0.5 smoothing
-    # domain_mix publishes as `mix_weight`, here turned into an integer
+    # domain_mix publishes as `mix_weight`, down to the identical
+    # quantization (`_w_micro_sql`, shared), here turned into an integer
     # token budget and an actual per-source document selection. Within a
     # source, documents are taken in quality order (the quality_score
     # composite as a FLOOR-micro integer, doc_id tiebreak) while the
@@ -1003,16 +1014,14 @@ def _token_budget_sql(d) -> str:
              {ln(ws)} AS n_tok,
              CAST({ln(ws)} AS DOUBLE) AS n_words,
              CAST({ln(hits)} AS DOUBLE) / {ln(ws)} AS stop_ratio,
-             CAST({ln(d['distinct'](ws))} AS DOUBLE) / {ln(ws)} AS uniq_ratio
+             CAST({ln(d['distinct'](ws))} AS DOUBLE) / {ln(ws)}
+               AS unique_ratio
       FROM {d['pdocs']}
       WHERE text IS NOT NULL
     ),
     t AS (
       SELECT doc_id, source, n_tok,
-             CAST(FLOOR((LEAST(1.0, n_words / 100.0) * 0.5
-                         + LEAST(1.0, stop_ratio * 10.0) * 0.2
-                         + uniq_ratio * 0.3) * 1000000.0) AS BIGINT)
-               AS q_micro
+             CAST(FLOOR(({_Q_COMPOSITE}) * 1000000.0) AS BIGINT) AS q_micro
       FROM t0
     ),
     src AS (
@@ -1020,9 +1029,7 @@ def _token_budget_sql(d) -> str:
       FROM t GROUP BY source
     ),
     w AS (
-      SELECT source, src_tokens,
-             CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0)
-                  AS BIGINT) AS w_micro
+      SELECT source, src_tokens, {_w_micro_sql('src_tokens')} AS w_micro
       FROM src
     ),
     b AS (

@@ -207,6 +207,22 @@ def docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 
+# THE quality composite (length / stopword / uniqueness mix) — single
+# definition over the feature names (n_words, stop_ratio, unique_ratio)
+# shared by quality_score, the curation gate (_doc_quality_gate_sql), and
+# token_budget_sample. The cross-engine bit-exactness contract depends on
+# every consumer evaluating the IDENTICAL expression tree; sites differ
+# only in how they consume the double (ROUND(.,6) bucket/threshold vs
+# FLOOR-micro quantization) and in n_words' input type (the gate sites
+# feed the raw integer token count, attested green; the budget site
+# pre-casts to DOUBLE because it quantizes the raw composite with no
+# ROUND mask).
+_Q_COMPOSITE = (
+    "LEAST(1.0, n_words / 100.0) * 0.5"
+    " + LEAST(1.0, stop_ratio * 10.0) * 0.2"
+    " + unique_ratio * 0.3"
+)
+
 
 def _lang_id_sql(d) -> str:
     ws = d["split"]("text")
@@ -252,10 +268,7 @@ def _quality_sql(d) -> str:
       FROM documents
     ),
     scored AS (
-      SELECT source,
-             LEAST(1.0, n_words / 100.0) * 0.5
-               + LEAST(1.0, stop_ratio * 10.0) * 0.2
-               + unique_ratio * 0.3 AS q
+      SELECT source, {_Q_COMPOSITE} AS q
       FROM f
     )
     SELECT source,
@@ -2375,9 +2388,7 @@ def _doc_quality_gate_sql(d) -> str:
     return f"""
       SELECT doc_id, source, lang, text,
              CASE WHEN lang IN {_KEEP_LANGS} THEN 1 ELSE 0 END AS lang_ok,
-             CASE WHEN ROUND(LEAST(1.0, n_words / 100.0) * 0.5
-                             + LEAST(1.0, stop_ratio * 10.0) * 0.2
-                             + unique_ratio * 0.3, 6) >= {_Q_MIN}
+             CASE WHEN ROUND({_Q_COMPOSITE}, 6) >= {_Q_MIN}
                   THEN 1 ELSE 0 END AS q_ok
       FROM (
         SELECT doc_id, source, lang, text,

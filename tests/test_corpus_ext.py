@@ -644,8 +644,20 @@ def test_token_budget_sample_is_greedy_quality_prefix(spark, oracle_sf_dir):
             (math.floor(q * 1000000.0), d.doc_id, len(ws))
         )
     src_tokens = {s: sum(t[2] for t in v) for s, v in per_src.items()}
+    # domain_mix's exact quantization (shared via _w_micro_sql): libm
+    # power snapped to 9 decimals HALF_UP on the exact binary value (what
+    # Spark's ROUND does), then FLOOR-micro in double arithmetic.
+    from decimal import ROUND_HALF_UP, Decimal
+
     w_micro = {
-        s: math.floor(math.sqrt(float(n)) * 1000000.0)
+        s: math.floor(
+            float(
+                Decimal(float(n) ** 0.5).quantize(
+                    Decimal("1e-9"), ROUND_HALF_UP
+                )
+            )
+            * 1000000.0
+        )
         for s, n in src_tokens.items()
     }
     total = sum(src_tokens.values())
