@@ -610,45 +610,33 @@ def test_gopher_rules_match_independent_reimplementation(spark, oracle_sf_dir):
         assert r.keep == keep, doc_id
 
 
-def test_token_budget_sample_is_greedy_quality_prefix(spark, oracle_sf_dir):
-    """Independent reimplementation of the budget rule: recompute each
-    source's budget from raw per-doc (n_tokens, q_micro) in plain Python
-    (total budget = corpus_tokens/2 split prop. to sqrt(src_tokens)) and
-    assert the selection is EXACTLY the greedy quality-ranked prefix whose
-    running token total fits — per-source maximal: every selected doc fits
-    under budget and the first excluded doc would overflow it."""
+def _budget_expected(docs):
+    """Plain-python reimplementation of the budget rule (total budget =
+    corpus_tokens/2 split prop. to sqrt(src_tokens) with domain_mix's exact
+    quantization; greedy quality-ranked prefix per source). ``docs`` is an
+    iterable of (doc_id, source, text); returns {doc_id: (source, n_tokens,
+    q_micro, cum_tokens, src_budget)} for the expected selection."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    from synth_timeseries_data_spark.queries import all_queries
-    from synth_timeseries_data_spark.sources import load
-
-    got = {
-        r.doc_id: r
-        for r in all_queries()["token_budget_sample"]
-        .build(spark, oracle_sf_dir)
-        .collect()
-    }
-    docs = load(spark, oracle_sf_dir, "documents").collect()
     stops = {"the", "a", "of", "and", "to", "in", "is", "it"}
     per_src: dict[str, list] = {}
-    for d in docs:
-        if d.text is None:
+    for doc_id, source, text in docs:
+        if text is None:
             continue
-        ws = d.text.split(" ")
+        ws = text.split(" ")
         q = (
             min(1.0, len(ws) / 100.0) * 0.5
             + min(1.0, sum(w in stops for w in ws) / len(ws) * 10.0) * 0.2
             + len(set(ws)) / len(ws) * 0.3
         )
-        per_src.setdefault(d.source, []).append(
-            (math.floor(q * 1000000.0), d.doc_id, len(ws))
+        per_src.setdefault(source, []).append(
+            (math.floor(q * 1000000.0), doc_id, len(ws))
         )
     src_tokens = {s: sum(t[2] for t in v) for s, v in per_src.items()}
     # domain_mix's exact quantization (shared via _w_micro_sql): libm
     # power snapped to 9 decimals HALF_UP on the exact binary value (what
     # Spark's ROUND does), then FLOOR-micro in double arithmetic.
-    from decimal import ROUND_HALF_UP, Decimal
-
     w_micro = {
         s: math.floor(
             float(
@@ -672,16 +660,86 @@ def test_token_budget_sample_is_greedy_quality_prefix(spark, oracle_sf_dir):
             if cum > budget:
                 break
             expected_sel[doc_id] = (s, n_tok, q_micro, cum, budget)
+    return expected_sel
+
+
+def _assert_budget_matches(rows, expected_sel):
+    got = {r.doc_id: r for r in rows}
     assert set(got) == set(expected_sel)
     for doc_id, (s, n_tok, q_micro, cum, budget) in expected_sel.items():
         r = got[doc_id]
-        assert (r.source, r.n_tokens, r.q_micro, r.cum_tokens, r.src_budget) == (
-            s,
-            n_tok,
-            q_micro,
-            cum,
-            budget,
+        assert (
+            r.source, r.n_tokens, r.q_micro, r.cum_tokens, r.src_budget
+        ) == (s, n_tok, q_micro, cum, budget), doc_id
+
+
+def test_token_budget_sample_is_greedy_quality_prefix(spark, oracle_sf_dir):
+    """Independent reimplementation of the budget rule: recompute each
+    source's budget from raw per-doc (n_tokens, q_micro) in plain Python
+    (total budget = corpus_tokens/2 split prop. to sqrt(src_tokens)) and
+    assert the selection is EXACTLY the greedy quality-ranked prefix whose
+    running token total fits — per-source maximal: every selected doc fits
+    under budget and the first excluded doc would overflow it."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    rows = (
+        all_queries()["token_budget_sample"].build(spark, oracle_sf_dir).collect()
+    )
+    docs = [
+        (d.doc_id, d.source, d.text)
+        for d in load(spark, oracle_sf_dir, "documents").collect()
+    ]
+    _assert_budget_matches(rows, _budget_expected(docs))
+
+
+def test_token_budget_sample_on_seeded_random_corpora(spark, tmp_path):
+    """The same reimplementation over three seeded random corpora built to
+    hit the rule's edges the fixture cannot: tiny vocab (mass q ties broken
+    by doc_id), duplicated texts (exact q ties), single-doc sources, and
+    small integer budgets where cum == budget lands exactly."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    vocab = ["the", "a", "of", "it", "w1", "w2", "w3", "w4", "w5"]
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        docs = []
+        doc_id = 0
+        for si in range(rng.randint(2, 5)):
+            src = f"s{si}"
+            for _ in range(rng.randint(1, 12)):
+                n = rng.randint(1, 30)
+                text = " ".join(rng.choice(vocab) for _ in range(n))
+                docs.append((doc_id, src, text))
+                doc_id += 1
+                if rng.random() < 0.3:  # exact duplicate -> exact q tie
+                    docs.append((doc_id, src, text))
+                    doc_id += 1
+        out = tmp_path / f"corpus_{seed}"
+        out.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[2] for d in docs]),
+                    "lang": pa.array(["en"] * len(docs)),
+                    "source": pa.array([d[1] for d in docs]),
+                    "n_chars": pa.array(
+                        [len(d[2]) for d in docs], pa.int64()
+                    ),
+                }
+            ),
+            str(out / "documents.parquet"),
         )
+        rows = (
+            all_queries()["token_budget_sample"].build(spark, str(out)).collect()
+        )
+        _assert_budget_matches(rows, _budget_expected(docs))
 
 
 def test_source_overlap_accounts_for_every_minhash_pair(spark, oracle_sf_dir):
