@@ -323,3 +323,90 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
         ("decisions_fingerprint", int(agg["fingerprint"] or 0)),
     ]
     return spark.createDataFrame(rows, "stage string, n long")
+
+
+# --------------------------------------------------------------------------
+# Versioned atomic publish (round 7): readers NEVER see a partial dataset.
+# --------------------------------------------------------------------------
+
+_LATEST = "LATEST"
+
+
+def publish_version(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_by: "tuple[str, ...]" = (),
+) -> int:
+    """Publish ``df`` as the next version of the dataset at ``root`` and
+    atomically promote it: write parquet into an UNADVERTISED staging
+    directory (`_tmp_v{n}_{pid}` — a crash mid-write leaves only garbage
+    no reader resolves), rename it to `v{n}`, then swap the one-file
+    `LATEST` pointer with os.replace (atomic on POSIX). Readers that
+    resolved the pointer before the swap keep reading the prior version's
+    directory, which is never modified or deleted here — the property
+    that matters at 100 TB, where "overwrite the dataset in place" means
+    hours of window during which every reader sees a torn table. On an
+    object store without atomic rename the same discipline holds by
+    keying the staging path as the final path (writes are invisible until
+    the pointer names them) — the pointer file IS the commit, rename or
+    not. Returns the published version number.
+
+    The pointer records row count (from the written files' footers — what
+    a reader will actually see, not what the writer intended) so a
+    consumer can sanity-check resolution, and publishing is append-only:
+    old versions remain for audit/rollback until a retention job removes
+    them (out of scope here, as is cross-WRITER mutual exclusion — one
+    publisher at a time, the usual curation-pipeline contract; concurrent
+    READERS are the concern this sink solves)."""
+    import json
+
+    from .queries.llm_pipeline import _parquet_rows
+    from .session import fast_commit
+
+    os.makedirs(root, exist_ok=True)
+    version = latest_version(root) + 1
+    staging = os.path.join(root, f"_tmp_v{version}_{os.getpid()}")
+    final = os.path.join(root, f"v{version}")
+    fast_commit(spark)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    os.rename(staging, final)
+    pointer = {
+        "version": version,
+        "path": f"v{version}",
+        "n_rows": _parquet_rows(final),
+    }
+    tmp_ptr = os.path.join(root, f"_tmp_{_LATEST}_{os.getpid()}")
+    with open(tmp_ptr, "w") as f:
+        f.write(json.dumps(pointer))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(root, _LATEST))
+    return version
+
+
+def latest_version(root: str) -> int:
+    """The committed version at ``root`` (0 when nothing is published).
+    Resolution reads ONLY the pointer — never directory listings, which
+    would race staging/rename windows."""
+    import json
+
+    try:
+        with open(os.path.join(root, _LATEST)) as f:
+            return int(json.loads(f.read())["version"])
+    except FileNotFoundError:
+        return 0
+
+
+def read_published(spark: SparkSession, root: str) -> DataFrame:
+    """Read the committed version of the dataset at ``root`` (pointer →
+    version directory). Raises FileNotFoundError when nothing has been
+    published."""
+    import json
+
+    with open(os.path.join(root, _LATEST)) as f:
+        pointer = json.loads(f.read())
+    return spark.read.parquet(os.path.join(root, pointer["path"]))

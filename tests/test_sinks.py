@@ -106,3 +106,49 @@ def test_plot_bundle(spark, tmpdir_, smoke_sf_dir):
     for r in deco.limit(200).collect():
         f = fits[r["user_id"]]
         assert r["trend"] == f["intercept"] + f["slope"] * r["x_day"]
+
+
+def test_publish_version_atomic_promotion(spark, oracle_sf_dir, tmp_path):
+    """Versioned publish: v1 then v2, each readable; a reader that resolved
+    v1 before the v2 swap still reads v1's untouched directory; a crashed
+    publish (staging dir present, pointer never swapped) is invisible to
+    resolution; row counts in the pointer match what a reader sees."""
+    import json
+    import os
+
+    from synth_timeseries_data_spark.sinks import (
+        latest_version,
+        publish_version,
+        read_published,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    root = str(tmp_path / "pub")
+    docs = load(spark, oracle_sf_dir, "documents")
+    assert latest_version(root) == 0
+    v1 = publish_version(spark, docs.where("doc_id < 100"), root)
+    assert v1 == 1 and latest_version(root) == 1
+    assert read_published(spark, root).count() == 100
+
+    # pin a reader's resolution of v1, then publish v2 over it
+    with open(os.path.join(root, "LATEST")) as f:
+        v1_pointer = json.loads(f.read())
+    v2 = publish_version(
+        spark, docs.where("doc_id < 250"), root, partition_by=("lang",)
+    )
+    assert v2 == 2
+    assert read_published(spark, root).count() == 250
+    # the pre-swap reader's directory is intact and still reads 100 rows
+    old = spark.read.parquet(os.path.join(root, v1_pointer["path"]))
+    assert old.count() == 100 and v1_pointer["n_rows"] == 100
+
+    # simulated crash: staging written, pointer never swapped
+    stale = os.path.join(root, "_tmp_v3_99999")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-crashed.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert latest_version(root) == 2
+    assert read_published(spark, root).count() == 250
+    # the next publish is version 3 regardless of the stale staging dir
+    v3 = publish_version(spark, docs.where("doc_id < 10"), root)
+    assert v3 == 3 and read_published(spark, root).count() == 10
