@@ -192,7 +192,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # embedded verbatim inside the in-window source_overlap composition, so
 # a minhash regression still turns a driver row red) and lag_features
 # (r06-green; its exact plan is ALSO the driver's entry() smoke path,
-# re-run with a schema/row check every round). Every demoted entry
+# re-run with a schema/row check every round). multimodal_audio (89th —
+# the WAV/RIFF container walk under the same mapInPandas value-hash
+# discipline) enters by demoting multimodal_framesample (r06-green; its
+# strided fan-out machinery is unchanged since r05 and the Arrow-batch
+# plumbing it shares stays attested through the two in-window multimodal
+# entries). Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
@@ -212,6 +217,7 @@ _DEMOTED = (
     "lang_id",
     "length_percentiles",
     "minhash_dedup",
+    "multimodal_framesample",
     "ngram_jaccard",
     "noise_mixture",
     "pack_sequences",

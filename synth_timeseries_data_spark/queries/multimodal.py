@@ -266,3 +266,154 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.mapInPandas(_sample_frames, _FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio: dependency-free WAV (RIFF) container parsing + metadata extraction
+# (round 7) — the audio leg of the multimodal pattern. The payload is a
+# VALID canonical PCM WAV synthesized per doc (utf-8 text bytes as sample
+# data, format parameters derived from doc_id), the Python stage parses it
+# back with the chunk walker below — exercising real container plumbing —
+# and every output column is integer-derivable from (doc_id, length(text)),
+# so DuckDB value-verifies the whole mapInPandas stage.
+# --------------------------------------------------------------------------
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_channels, sample_rate_hz, bits_per_sample, n_frames) from a
+    RIFF/WAVE container — pure Python, no codec, the metadata-only pass a
+    real pipeline runs before deciding what to hand the decoder. Walks
+    chunks (skipping LIST/fact/etc. with RIFF's odd-size pad byte) until
+    both `fmt ` and `data` are seen; raises ValueError on anything that is
+    not a walkable PCM WAV."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload) and (fmt is None or data_size is None):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    _audio_fmt, channels, rate, _brate, block_align, bits = fmt
+    if channels < 1 or block_align != channels * (bits // 8):
+        raise ValueError("inconsistent fmt chunk")
+    return channels, rate, bits, data_size // block_align
+
+
+def make_wav(data: bytes, channels: int, rate: int, bits: int = 16) -> bytes:
+    """Canonical PCM WAV container around ``data`` (padded to the block
+    size) — the synthesizer for the audio query and its tests."""
+    import struct
+
+    block = channels * (bits // 8)
+    if len(data) % block:
+        data = data + b"\x00" * (block - len(data) % block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate_hz int, bits int, "
+    "n_frames long, duration_us long, byte_sum long"
+)
+
+
+def _extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.split()[0]: [] for k in _AUDIO_SCHEMA.split(", ")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            channels = 1 + doc_id % 2
+            rate = 8000 * (1 + doc_id % 3)
+            wav = make_wav(bytes(payload), int(channels), int(rate))
+            n_ch, n_rate, bits, n_frames = parse_audio_header(wav)
+            data = wav[-n_frames * n_ch * (bits // 8) :] if n_frames else b""
+            rows["doc_id"].append(doc_id)
+            rows["n_channels"].append(n_ch)
+            rows["sample_rate_hz"].append(n_rate)
+            rows["bits"].append(bits)
+            rows["n_frames"].append(n_frames)
+            rows["duration_us"].append(n_frames * 1_000_000 // n_rate)
+            rows["byte_sum"].append(
+                int(np.frombuffer(data, dtype=np.uint8).sum()) if data else 0
+            )
+        yield pd.DataFrame(rows).astype(
+            {
+                "doc_id": "int64", "n_channels": "int32",
+                "sample_rate_hz": "int32", "bits": "int32",
+                "n_frames": "int64", "duration_us": "int64",
+                "byte_sum": "int64",
+            }
+        )
+
+
+# Everything the parser reports is integer-derivable from (doc_id,
+# length(text)) for the canonical container: block = 2*channels, data is
+# text padded to the block, frames = padded_len // block, and the pad
+# bytes are zero so byte_sum is the plain text byte sum.
+_AUDIO_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS channels,
+             8000 * (1 + doc_id % 3) AS rate,
+             LENGTH(text) AS n,
+             COALESCE(list_sum(list_transform(
+               range(1, LENGTH(text) + 1),
+               i -> ord(substr(text, i, 1)))), 0) AS bsum
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, channels, rate, bsum,
+             (n + ((2 * channels) - n % (2 * channels)) % (2 * channels))
+               // (2 * channels) AS n_frames
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(channels AS INT) AS n_channels,
+           CAST(rate AS INT) AS sample_rate_hz,
+           CAST(16 AS INT) AS bits,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST(bsum AS BIGINT) AS byte_sum
+    FROM f
+    """
+
+
+@register("multimodal_audio", _AUDIO_ORACLE)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column metadata pass: binary WAV payloads → per-item container
+    metadata (channels / rate / bits / frames / duration) plus an exact
+    PCM byte checksum, through the same Arrow-batched mapInPandas shape as
+    multimodal_features — scan pruned to (doc_id, payload) before the
+    Python boundary, deterministic synthesis so the container walk itself
+    is value-verified cross-engine. At 100 TB this is the metadata-only
+    pass (duration filters, rate bucketing) that runs BEFORE any codec is
+    paid for."""
+    docs = load(spark, sf_dir, "documents").where("text IS NOT NULL").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(_extract_audio, _AUDIO_SCHEMA)

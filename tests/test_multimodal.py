@@ -132,3 +132,46 @@ def test_parse_image_header_jpeg_standalone_markers_raise():
         payload = b"\xff\xd8" + standalone + sof
         with pytest.raises(ValueError):
             parse_image_header(payload)
+
+
+def test_parse_audio_header_walks_chunks_and_validates():
+    """The RIFF walker: canonical WAVs round-trip the synthesis parameters
+    (mono + stereo, frame math on padded data); extra chunks before fmt
+    are skipped WITH the odd-size pad byte; malformed containers (bad
+    magic, missing data chunk, inconsistent block align, short fmt) raise
+    the documented ValueError."""
+    import struct
+
+    import pytest
+
+    from synth_timeseries_data_spark.queries.multimodal import (
+        make_wav,
+        parse_audio_header,
+    )
+
+    # canonical: 7 bytes mono -> padded to 8 -> 4 frames of 2 bytes
+    assert parse_audio_header(make_wav(b"1234567", 1, 8000)) == (1, 8000, 16, 4)
+    # stereo: 7 bytes -> padded to 8 -> 2 frames of 4 bytes
+    assert parse_audio_header(make_wav(b"1234567", 2, 16000)) == (2, 16000, 16, 2)
+
+    # an odd-sized LIST chunk before fmt must be skipped with its pad byte
+    wav = make_wav(b"abcd", 1, 24000)
+    injected = (
+        wav[:12]
+        + b"LIST" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # pad to word
+        + wav[12:]
+    )
+    assert parse_audio_header(injected) == (1, 24000, 16, 2)
+
+    with pytest.raises(ValueError):
+        parse_audio_header(b"RIFX" + wav[4:])  # bad magic
+    with pytest.raises(ValueError):
+        parse_audio_header(wav[: wav.index(b"data")])  # no data chunk
+    bad_align = bytearray(wav)
+    off = wav.index(b"fmt ") + 8 + 12  # block_align field
+    bad_align[off : off + 2] = struct.pack("<H", 5)
+    with pytest.raises(ValueError):
+        parse_audio_header(bytes(bad_align))
+    short_fmt = wav[:16] + struct.pack("<I", 8) + wav[20:]
+    with pytest.raises(ValueError):
+        parse_audio_header(short_fmt)
