@@ -197,7 +197,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # discipline) enters by demoting multimodal_framesample (r06-green; its
 # strided fan-out machinery is unchanged since r05 and the Arrow-batch
 # plumbing it shares stays attested through the two in-window multimodal
-# entries). Every demoted entry
+# entries). length_percentiles returns to the window after its round-7
+# Spark-plan rewrite (histogram form — state bounded by distinct lengths,
+# not documents; the naive-rank oracle is unchanged) so the NEW plan gets
+# a current attestation; its slot comes from demoting tfidf_topterms
+# (r06-green, untouched in round 7, its floor A/B recorded in FLOOR.md).
+# Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
@@ -215,7 +220,6 @@ _DEMOTED = (
     "jsonl_roundtrip",
     "lag_features",
     "lang_id",
-    "length_percentiles",
     "minhash_dedup",
     "multimodal_framesample",
     "ngram_jaccard",
@@ -232,6 +236,7 @@ _DEMOTED = (
     "sliding_agg",
     "stratified_sample",
     "substring_dup",
+    "tfidf_topterms",
     "text_stats",
     "topk_value",
     "ts_diff",

@@ -745,7 +745,49 @@ def _length_pct_sql(d) -> str:
     """
 
 
-_LENPCT_SPARK, _LENPCT_DUCK = _dual(_length_pct_sql)
+_LENPCT_DUCK = _length_pct_sql(_DUCK_D)
+
+
+def _length_pct_hist_sql(d) -> str:
+    # The SCALE form of the same exact statistic (round 7): token counts
+    # are small integers, so a count-by-value HISTOGRAM gives the exact
+    # quantiles with state proportional to DISTINCT lengths, not docs —
+    # the partial hash aggregate shrinks each task's output to its
+    # distinct (source, n) pairs before the exchange, and the rank window
+    # then runs over the histogram rows only. At 100 TB the naive form
+    # sorts every document inside its source partition; this form sorts
+    # ~thousands of histogram rows. Value at rank r = MIN(n) with
+    # cumulative count >= r; identical integer arithmetic, so the naive
+    # DuckDB oracle stays the independent check.
+    ws = d["split"]("text")
+    idx = lambda k, m: _idiv(d, f"(cnt * {k} + {m - 1})", str(m))  # noqa: E731
+    pick = lambda e: f"CAST(MIN(CASE WHEN cum >= {e} THEN n END) AS BIGINT)"  # noqa: E731
+    return f"""
+    WITH h AS (
+      SELECT source, {d['len'](ws)} AS n, COUNT(*) AS c
+      FROM {d['pdocs']}
+      GROUP BY source, {d['len'](ws)}
+    ),
+    r AS (
+      SELECT source, n,
+             SUM(c) OVER (PARTITION BY source ORDER BY n
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS cnt
+      FROM h
+    )
+    SELECT source,
+           CAST(MAX(cnt) AS BIGINT) AS n_docs,
+           {pick('1')} AS min_tokens,
+           {pick(idx(1, 2))} AS p50_tokens,
+           {pick(idx(9, 10))} AS p90_tokens,
+           {pick(idx(99, 100))} AS p99_tokens,
+           {pick('cnt')} AS max_tokens
+    FROM r GROUP BY source
+    """
+
+
+_LENPCT_SPARK = _length_pct_hist_sql(_SPARK_D)
 
 
 @register("length_percentiles", _LENPCT_DUCK)
@@ -753,11 +795,16 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sequence-length distribution — min/p50/p90/p99/max token
     counts, the table that sizes context windows, packing capacity, and
     truncation budgets before a training run. Exact order statistics via
-    integer rank arithmetic (see _length_pct_sql — engine-identical by
-    construction, unlike percentile_cont interpolation). One window
-    shuffle on the source key; at 100 TB the same shape computes exact
-    per-domain quantiles with source-proportional state, or swaps to a
-    t-digest sketch when a single source outgrows a partition."""
+    integer rank arithmetic (engine-identical by construction, unlike
+    percentile_cont interpolation). The Spark plan is the HISTOGRAM form
+    (_length_pct_hist_sql): map-side partial counts shrink the exchange
+    to distinct (source, n) pairs and the rank window runs over histogram
+    rows, not documents — exact at every scale with distinct-value-
+    bounded state (the honest version of 'swap to a sketch at scale':
+    integer-valued statistics don't need approximation). The DuckDB
+    oracle keeps the naive every-row rank form (_length_pct_sql) as the
+    independent definition; tests additionally pin the two Spark forms
+    row-equal and the values against a plain-numpy rank reimpl."""
     return _spark_docs(spark, sf_dir, _LENPCT_SPARK)
 
 

@@ -818,3 +818,27 @@ def test_token_budget_sample_prefix_semantics_on_planted_corpus(spark, tmp_path)
     # was cut at doc 4 (cum 55 > 54) — prefix semantics, not best-fit.
     assert 5 not in by_id and 4 not in by_id
     assert not [r for r in rows if r.source == "B"]
+
+
+def test_length_percentiles_hist_form_equals_naive_window_form(spark, oracle_sf_dir):
+    """The histogram Spark plan (distinct-value-bounded state) must be
+    row-identical to the naive every-document rank form it replaced."""
+    from synth_timeseries_data_spark.queries.corpus_ext import (
+        _SPARK_D,
+        _length_pct_sql,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import _spark_docs
+
+    hist = sorted(
+        tuple(r)
+        for r in all_queries()["length_percentiles"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    )
+    naive = sorted(
+        tuple(r)
+        for r in _spark_docs(
+            spark, oracle_sf_dir, _length_pct_sql(_SPARK_D)
+        ).collect()
+    )
+    assert hist == naive
