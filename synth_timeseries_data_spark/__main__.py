@@ -127,6 +127,15 @@ def cmd_curate(args) -> int:
     for row in summary.collect():
         print(f"{row['stage']:24s} {row['n']}")
     print(f"curated corpus -> {args.out}")
+    if args.publish:
+        from .sinks import publish_version, read_published
+
+        kept = spark.read.parquet(os.path.join(args.out, "corpus"))
+        version = publish_version(
+            spark, kept, args.publish, partition_by=("source",)
+        )
+        n = read_published(spark, args.publish).count()
+        print(f"published v{version} ({n} rows) -> {args.publish}")
     return 0
 
 
@@ -173,6 +182,12 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     c.add_argument("--out", required=True)
+    c.add_argument(
+        "--publish",
+        help="also promote the kept corpus as the next version of this "
+        "dataset root (atomic pointer-swap publish: readers never see a "
+        "partial corpus; prior versions stay for rollback)",
+    )
 
     args = ap.parse_args(argv)
     return {

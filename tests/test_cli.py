@@ -210,3 +210,38 @@ def test_curate_empty_input_returns_zero_summary(spark, tmp_path):
         assert summary["decisions_fingerprint"] == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_curate_publish_promotes_kept_corpus(spark, smoke_sf_dir, capsys):
+    """--publish promotes the kept corpus through the versioned atomic
+    sink: the published dataset equals corpus/ exactly, the pointer
+    resolves it, and a second run publishes v2 while v1's directory stays
+    intact."""
+    import shutil
+
+    from synth_timeseries_data_spark.sinks import latest_version, read_published
+
+    out = tempfile.mkdtemp(prefix="cli_curp_")
+    pub = os.path.join(out, "published")
+    try:
+        for expected_version in (1, 2):
+            assert (
+                main([
+                    "curate", "--sf-dir", smoke_sf_dir,
+                    "--out", os.path.join(out, "run"),
+                    "--publish", pub,
+                ])
+                == 0
+            )
+            assert latest_version(pub) == expected_version
+            assert f"published v{expected_version}" in capsys.readouterr().out
+        corpus = spark.read.parquet(os.path.join(out, "run", "corpus"))
+        got = read_published(spark, pub)
+        assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+            r.doc_id for r in corpus.select("doc_id").collect()
+        )
+        # v1 is untouched by the v2 publish
+        v1 = spark.read.parquet(os.path.join(pub, "v1"))
+        assert v1.count() == got.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
