@@ -361,3 +361,41 @@ def test_repetition_ratio_zero_shuffle_projection(spark, oracle_sf_dir):
     assert plan.count("Exchange") <= 1  # only the spread-view repartition
     assert "Generate" not in plan, plan[:2000]
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_token_budget_broadcasts_budget_no_sort_merge(spark, oracle_sf_dir):
+    """The per-source budget table joins back as a broadcast (never a
+    sort-merge of the corpus against n_sources rows), the only sort is the
+    cumsum window's, and nothing goes cartesian."""
+    plan = _plan(spark, "token_budget_sample", oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert plan.count("Sort ") == 1
+
+
+def test_length_percentiles_histogram_shape(spark, oracle_sf_dir):
+    """The histogram form: map-side partial counts run BEFORE the exchange
+    (shuffle rows are per-task-distinct (source, n) pairs, not documents)
+    and the only sort is the per-source rank walk over histogram rows."""
+    plan = _plan(spark, "length_percentiles", oracle_sf_dir)
+    assert "partial_" in plan  # partial aggregation precedes the exchange
+    assert plan.count("Exchange") <= 3
+    assert plan.count("Sort ") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_audio_zero_shuffle(spark, oracle_sf_dir):
+    """The audio metadata pass is a pure map pipeline: pruned scan →
+    Arrow boundary → parse. No exchange at any scale."""
+    plan = _plan(spark, "multimodal_audio", oracle_sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_source_overlap_no_allpairs(spark, oracle_sf_dir):
+    """The leakage matrix rides minhash's bucketed candidate generation —
+    no cartesian product and no corpus-wide sort-merge anywhere."""
+    plan = _plan(spark, "source_overlap", oracle_sf_dir)
+    assert "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
