@@ -202,6 +202,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # not documents; the naive-rank oracle is unchanged) so the NEW plan gets
 # a current attestation; its slot comes from demoting tfidf_topterms
 # (r06-green, untouched in round 7, its floor A/B recorded in FLOOR.md).
+# ngram_novelty (90th — the per-doc 8-gram novelty curve, decontam's
+# explode/hash machinery under a new statistic) enters by demoting
+# vec_topk_pq (r06-green; its PQ code/ADC arithmetic is additionally
+# pinned result-equal to the round-7 persisted-index path every session
+# in test_scale_techniques.py).
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -242,6 +247,7 @@ _DEMOTED = (
     "ts_diff",
     "tumbling_agg",
     "unigram_xent",
+    "vec_topk_pq",
     "vec_topk",
     "vec_topk_ivf",
     "vec_topk_lsh",

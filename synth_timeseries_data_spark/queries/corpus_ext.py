@@ -1207,3 +1207,89 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_jac_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_novelty: per-document novelty curve (round 7) — what fraction of a
+# doc's verbatim 8-token runs is FIRST seen in that doc, in doc_id order.
+# The corpus-staleness diagnostic: a crawl increment whose novelty curve
+# collapses is re-crawling what the corpus already holds.
+# --------------------------------------------------------------------------
+
+
+def _ngram_novelty_sql(d) -> str:
+    # A run is "novel in doc D" iff D is the min-doc_id document containing
+    # it. Same hash discipline as decontam_ngram: the run hash is
+    # internal-only (outputs are counts), so Spark uses the in-place
+    # multi-arg xxhash64 and the oracle keeps md5-of-joined-run — a
+    # collision would merge two runs and fail the value gate visibly.
+    ws = d["split"]("text")
+    if d is _SPARK_D:
+        run = f"xxhash64({', '.join(f'element_at(ws, i + {j})' for j in range(_DC_K))})"
+    else:
+        run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+    head = f"""
+    WITH w AS (
+      SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
+      WHERE text IS NOT NULL AND {d['len'](ws)} >= {_DC_K}
+    ),
+    pos AS (SELECT doc_id, ws,
+                   {d['expand']('1', d['len']('ws') + f' - {_DC_K - 1}')} AS i
+            FROM w)"""
+    if d is _SPARK_D:
+        # One aggregation by run hash (collect_set dedups per-doc repeats
+        # in the same exchange, map-side partials), then the occurrence
+        # explode is LINEAR in run occurrences — unlike the pair explode
+        # in substring_dup, boilerplate runs cannot go quadratic, so no
+        # stop-gram cap is needed. At a boilerplate-heavy 100 TB corpus
+        # the hot-run set state is the one skew to watch; the two-phase
+        # alternative (h -> (min_doc) + join back on h) bounds state at
+        # one row per run at the price of a second corpus pass.
+        return f"""{head},
+    g AS (
+      SELECT {run} AS h, collect_set(doc_id) AS ds
+      FROM pos GROUP BY {run}
+    ),
+    x AS (
+      SELECT ds_doc AS doc_id, array_min(ds) AS first_doc
+      FROM g LATERAL VIEW explode(ds) AS ds_doc
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
+    FROM x GROUP BY doc_id
+    """
+    return f"""{head},
+    runs AS (SELECT DISTINCT doc_id, {run} AS h FROM pos),
+    firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM runs GROUP BY h)
+    SELECT r.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(CAST(SUM(CASE WHEN f.first_doc = r.doc_id THEN 1
+                                    ELSE 0 END) AS DOUBLE)
+                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
+    FROM runs r JOIN firsts f ON f.h = r.h
+    GROUP BY r.doc_id
+    """
+
+
+_NOVELTY_SPARK, _NOVELTY_DUCK = _dual(_ngram_novelty_sql)
+
+
+@register("ngram_novelty", _NOVELTY_DUCK)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: per-document 8-gram novelty — distinct verbatim runs, how
+    many are FIRST seen in this document (min-doc_id rule), and the exact
+    FLOOR-micro novelty ratio. Scanning docs in id order, this is the
+    novelty curve that tells a crawl pipeline when an increment stops
+    adding content (dedup rate rising = novelty collapsing). One corpus
+    pass on Spark: the explode feeds a single hash-keyed aggregation
+    (per-doc dedup + first-doc min in the collect_set), then a linear
+    occurrence explode and a doc-keyed rollup; the oracle keeps the
+    naive DISTINCT + MIN + join form as the independent definition."""
+    return _spark_docs(spark, sf_dir, _NOVELTY_SPARK)

@@ -842,3 +842,46 @@ def test_length_percentiles_hist_form_equals_naive_window_form(spark, oracle_sf_
         ).collect()
     )
     assert hist == naive
+
+
+def test_ngram_novelty_planted_copy_and_accounting(spark, tmp_path):
+    """A doc that copies an earlier doc's text verbatim has novelty 0 for
+    the shared runs (min-doc_id rule); per-corpus accounting must hold
+    exactly: sum(n_novel) == distinct runs in the corpus, and a doc with
+    fully unique 8-grams is 100% novel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"w{i}" for i in range(20))  # 13 distinct 8-gram runs
+    fresh = " ".join(f"u{i}" for i in range(12))  # 5 runs, all unique
+    texts = {
+        1: base,
+        2: base,                      # verbatim copy -> nothing novel
+        3: base + " tail1 tail2",     # copies base runs + adds 2 new ones
+        4: fresh,
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["ngram_novelty"].build(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].n_runs == 13 and rows[1].n_novel == 13
+    assert rows[1].novelty_micro == 1000000
+    assert rows[2].n_runs == 13 and rows[2].n_novel == 0
+    assert rows[2].novelty_micro == 0
+    assert rows[3].n_runs == 15 and rows[3].n_novel == 2
+    assert rows[4].n_runs == 5 and rows[4].n_novel == 5
+    distinct_runs = 13 + 2 + 5
+    assert sum(r.n_novel for r in rows.values()) == distinct_runs

@@ -399,3 +399,13 @@ def test_source_overlap_no_allpairs(spark, oracle_sf_dir):
     plan = _plan(spark, "source_overlap", oracle_sf_dir)
     assert "Cartesian" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_single_pass_no_join(spark, oracle_sf_dir):
+    """The Spark novelty form is join-free: one hash-keyed aggregation over
+    the run explode (map-side partials), a linear occurrence explode, and
+    the doc rollup — the corpus is scanned once."""
+    plan = _plan(spark, "ngram_novelty", oracle_sf_dir)
+    assert "Join" not in plan
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") == 1
