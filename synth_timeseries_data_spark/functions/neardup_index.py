@@ -21,11 +21,13 @@ and PQ as a packed 8-int code table scanned with a collected ADC table
 (no join, no per-vector aggregation). Maintenance is incremental:
 ``append_{lsh,ivf,pq}_index`` grow an index by a delta against the
 frozen grid/centroids/codebook, ``lsh_ingest_stream`` does it
-continuously from a file-source stream, and ``minhash_delta_pairs``
+continuously from a file-source stream, ``minhash_delta_pairs``
 answers ingest-time dedup read-only against the persisted document
-index. Every form is pinned bit-equal to its session-form registry
-query (tests/test_scale_techniques.py) and sf100-measured
-(COVERAGE.md).
+index, and ``build_runs_index``/``novelty_delta`` do the same for the
+8-gram novelty curve (per-batch staleness of arriving docs against
+everything already ingested). Every form is pinned bit-equal to its
+session-form registry query (tests/test_scale_techniques.py) and
+sf100-measured (COVERAGE.md).
 
 Index writes are managed tables (``bucketBy`` requires ``saveAsTable``);
 pass a qualified ``db.name`` prefix to place them. Reading back requires
@@ -776,4 +778,90 @@ def embed_pairs_indexed(
             dense_guard=bits > 8,
             members_rel=members_table,
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Novelty run index: incremental 8-gram novelty for arriving batches.
+# --------------------------------------------------------------------------
+
+
+def build_runs_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "nv",
+    n_buckets: int = DEFAULT_BUCKETS,
+    where: "str | None" = None,
+) -> str:
+    """Build and persist the novelty run index for ``sf_dir``'s documents:
+    ``{prefix}_runs_b`` (h → first_doc, the min doc_id containing each
+    distinct 8-gram run among the indexed docs), bucketBy(h) so the delta
+    probe's join runs exchange-free on the index side. ``where`` restricts
+    the indexed corpus (the already-ingested prefix). Returns the table
+    name."""
+    from ..queries import corpus_ext as cx
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    d = lp._SPARK_D
+    runs_t = f"{prefix}_runs_b"
+    runs = spark.sql(
+        cx._novelty_head(d, where)
+        + f"""
+        SELECT {cx._novelty_run_expr(d)} AS h,
+               MIN(doc_id) AS first_doc
+        FROM pos GROUP BY {cx._novelty_run_expr(d)}
+        """
+    ).repartition(n_buckets, "h")
+    write_bucketed(runs, runs_t, "h", n_buckets)
+    return runs_t
+
+
+def novelty_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    runs_table: str,
+    delta_where: str,
+) -> DataFrame:
+    """Per-document 8-gram novelty of an ARRIVING batch (docs matching
+    ``delta_where``) against the persisted run index — READ-ONLY: the
+    index is probed, never rewritten (folding the delta in is an index
+    rebuild or append, by design, matching minhash_delta_pairs). A delta
+    doc's run is novel iff NO indexed doc contains it and the doc is the
+    min-doc_id delta member containing it — when the index covers every
+    previously-ingested doc, this relation equals the registry's
+    `ngram_novelty` restricted to the delta docs (pinned in
+    test_scale_techniques.py). One delta-corpus pass: the delta explode
+    feeds one hash-keyed aggregation, the index join is an equality probe
+    on the bucketed h (exchange-free on the index side), the occurrence
+    explode is linear."""
+    from ..queries import corpus_ext as cx
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    d = lp._SPARK_D
+    run = cx._novelty_run_expr(d)
+    return spark.sql(
+        cx._novelty_head(d, delta_where)
+        + f""",
+    g AS (SELECT {run} AS h, collect_set(doc_id) AS ds FROM pos GROUP BY {run}),
+    j AS (
+      SELECT g.ds, LEAST(i.first_doc, array_min(g.ds)) AS first_doc
+      FROM g LEFT JOIN {runs_table} i ON i.h = g.h
+    ),
+    x AS (
+      SELECT ds_doc AS doc_id, first_doc
+      FROM j LATERAL VIEW explode(ds) AS ds_doc
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
+    FROM x GROUP BY doc_id
+    """
     )

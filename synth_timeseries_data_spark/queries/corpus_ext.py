@@ -1217,25 +1217,38 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ngram_novelty_sql(d) -> str:
-    # A run is "novel in doc D" iff D is the min-doc_id document containing
-    # it. Same hash discipline as decontam_ngram: the run hash is
-    # internal-only (outputs are counts), so Spark uses the in-place
-    # multi-arg xxhash64 and the oracle keeps md5-of-joined-run — a
-    # collision would merge two runs and fail the value gate visibly.
-    ws = d["split"]("text")
+def _novelty_run_expr(d) -> str:
+    """The 8-gram run hash over pos rows (ws array + position i). Same
+    hash discipline as decontam_ngram: internal-only (outputs are counts),
+    so Spark uses the in-place multi-arg xxhash64 and the oracle keeps
+    md5-of-joined-run — a collision would merge two runs and fail the
+    value gate visibly."""
     if d is _SPARK_D:
-        run = f"xxhash64({', '.join(f'element_at(ws, i + {j})' for j in range(_DC_K))})"
-    else:
-        run = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
-    head = f"""
+        return f"xxhash64({', '.join(f'element_at(ws, i + {j})' for j in range(_DC_K))})"
+    return f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+
+
+def _novelty_head(d, where: "str | None" = None) -> str:
+    """WITH-chain producing the run positions relation ``pos`` (doc_id, ws,
+    i), optionally restricted to the docs matching ``where`` — the splice
+    the incremental index builders (functions/neardup_index.py) reuse."""
+    ws = d["split"]("text")
+    pred = f" AND ({where})" if where else ""
+    return f"""
     WITH w AS (
       SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
-      WHERE text IS NOT NULL AND {d['len'](ws)} >= {_DC_K}
+      WHERE text IS NOT NULL AND {d['len'](ws)} >= {_DC_K}{pred}
     ),
     pos AS (SELECT doc_id, ws,
                    {d['expand']('1', d['len']('ws') + f' - {_DC_K - 1}')} AS i
             FROM w)"""
+
+
+def _ngram_novelty_sql(d) -> str:
+    # A run is "novel in doc D" iff D is the min-doc_id document containing
+    # it (hash discipline: see _novelty_run_expr).
+    run = _novelty_run_expr(d)
+    head = _novelty_head(d)
     if d is _SPARK_D:
         # One aggregation by run hash (collect_set dedups per-doc repeats
         # in the same exchange, map-side partials), then the occurrence

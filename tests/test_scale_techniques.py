@@ -414,3 +414,38 @@ def test_funnel_over_bucketed_events_zero_exchange(spark, smoke_sf_dir, bucket_d
     ).collect()
     plain = all_queries()["funnel"].build(spark, smoke_sf_dir).collect()
     assert bucketed == plain
+
+
+def test_novelty_delta_equals_full_novelty_on_delta_docs(
+    spark, smoke_sf_dir, bucket_db
+):
+    """With the run index built on the already-ingested prefix (all docs
+    NOT in the delta), novelty_delta over the arriving batch must equal
+    the registry's ngram_novelty restricted to the delta docs — the
+    read-only incremental-novelty invariant. The index side of the probe
+    join must be the bucketed scan (no exchange above it)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_runs_index,
+        index_posture,
+        novelty_delta,
+    )
+    from synth_timeseries_data_spark.queries import all_queries
+
+    delta = "doc_id % 5 = 2"
+    with index_posture(spark):
+        runs_t = build_runs_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.nvx", n_buckets=8,
+            where=f"NOT ({delta})",
+        )
+        got = sorted(
+            tuple(r)
+            for r in novelty_delta(spark, smoke_sf_dir, runs_t, delta).collect()
+        )
+    full = all_queries()["ngram_novelty"].build(spark, smoke_sf_dir)
+    want = sorted(
+        tuple(r) for r in full.where(delta).collect()
+    )
+    assert got and got == want
+    # the delta must contain both novel-heavy and stale docs to bite
+    novelty = {r[0]: r[3] for r in got}
+    assert min(novelty.values()) < 1000000
