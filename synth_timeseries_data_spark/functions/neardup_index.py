@@ -841,11 +841,22 @@ def novelty_delta(
 
     _index_session_confs(spark)
     lp._register_docs(spark, sf_dir)
-    d = lp._SPARK_D
-    run = cx._novelty_run_expr(d)
     return spark.sql(
-        cx._novelty_head(d, delta_where)
-        + f""",
+        cx._novelty_head(lp._SPARK_D, delta_where)
+        + _novelty_probe_tail(runs_table)
+    )
+
+
+def _novelty_probe_tail(runs_table: str) -> str:
+    """The probe SQL after a novelty head: one hash-keyed aggregation over
+    the (delta or micro-batch) runs, LEFT-join probe of the persisted
+    index, linear occurrence explode, doc rollup — same output contract
+    as the registry's ngram_novelty."""
+    from ..queries import corpus_ext as cx
+    from ..queries import llm_pipeline as lp
+
+    run = cx._novelty_run_expr(lp._SPARK_D)
+    return f""",
     g AS (SELECT {run} AS h, collect_set(doc_id) AS ds FROM pos GROUP BY {run}),
     j AS (
       SELECT g.ds, LEAST(i.first_doc, array_min(g.ds)) AS first_doc
@@ -864,4 +875,77 @@ def novelty_delta(
                       / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
     FROM x GROUP BY doc_id
     """
+
+
+def novelty_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    runs_table: str,
+    out_dir: str,
+    checkpoint: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Streaming novelty monitor + index maintenance: a file-source stream
+    over ``docs_dir`` (each arriving parquet file = one micro-batch of
+    documents) probes each batch's 8-gram runs against the persisted run
+    index, appends the per-doc novelty rows to ``out_dir`` (the staleness
+    feed a crawl scheduler consumes), then appends the batch's genuinely
+    NEW runs (LEFT ANTI on the index) to the bucketed ``runs_table`` so
+    the next batch is measured against everything ingested so far. The
+    table is created on the first batch if absent, so a stream can build
+    the index from scratch. availableNow-triggered; within-batch novelty
+    uses the same min-doc_id rule as the registry query, so replaying the
+    whole corpus as batches reproduces ngram_novelty's rows exactly
+    (pinned in test_scale_techniques.py) as long as batches arrive in
+    doc_id order (the append-only crawl contract). Delivery is
+    at-least-once per batch (same caveat as lsh_ingest_stream: recover
+    from an unclean restart with a `build_runs_index` rebuild before
+    trusting the feed). Returns the started StreamingQuery."""
+    from ..queries import corpus_ext as cx
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    schema = spark.read.parquet(docs_dir).schema
+    d = lp._SPARK_D
+    run = cx._novelty_run_expr(d)
+
+    def _probe_and_append(batch: DataFrame, _epoch_id: int) -> None:
+        s = batch.sparkSession
+        view = "_nv_ingest_batch"
+        batch.localCheckpoint().createOrReplaceTempView(view)
+        head = cx._novelty_head(d, src=view)
+        if not s.catalog.tableExists(runs_table):
+            empty = s.sql(
+                head + f" SELECT {run} AS h, MIN(doc_id) AS first_doc"
+                f" FROM pos WHERE 1 = 0 GROUP BY {run}"
+            )
+            write_bucketed(empty, runs_table, "h", n_buckets)
+        s.sql(head + _novelty_probe_tail(runs_table)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        new_runs = s.sql(
+            head
+            + f""",
+            g AS (SELECT {run} AS h, MIN(doc_id) AS first_doc
+                  FROM pos GROUP BY {run})
+            SELECT g.h, g.first_doc
+            FROM g LEFT ANTI JOIN {runs_table} i ON i.h = g.h
+            """
+        ).repartition(n_buckets, "h")
+        (
+            new_runs.write.format("parquet")
+            .mode("append")
+            .bucketBy(n_buckets, "h")
+            .sortBy("h")
+            .saveAsTable(runs_table)
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -1228,15 +1228,19 @@ def _novelty_run_expr(d) -> str:
     return f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
 
 
-def _novelty_head(d, where: "str | None" = None) -> str:
+def _novelty_head(
+    d, where: "str | None" = None, src: "str | None" = None
+) -> str:
     """WITH-chain producing the run positions relation ``pos`` (doc_id, ws,
-    i), optionally restricted to the docs matching ``where`` — the splice
-    the incremental index builders (functions/neardup_index.py) reuse."""
+    i), optionally restricted to the docs matching ``where`` and/or read
+    from an alternate relation ``src`` (a streamed micro-batch view) — the
+    splices the incremental index builders (functions/neardup_index.py)
+    reuse."""
     ws = d["split"]("text")
     pred = f" AND ({where})" if where else ""
     return f"""
     WITH w AS (
-      SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
+      SELECT doc_id, {ws} AS ws FROM {src or d['pdocs']}
       WHERE text IS NOT NULL AND {d['len'](ws)} >= {_DC_K}{pred}
     ),
     pos AS (SELECT doc_id, ws,

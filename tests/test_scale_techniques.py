@@ -449,3 +449,43 @@ def test_novelty_delta_equals_full_novelty_on_delta_docs(
     # the delta must contain both novel-heavy and stale docs to bite
     novelty = {r[0]: r[3] for r in got}
     assert min(novelty.values()) < 1000000
+
+
+def test_novelty_ingest_stream_replays_to_full_novelty(
+    spark, smoke_sf_dir, bucket_db, tmp_path
+):
+    """Two 'arriving' document files (doc_id-ordered, the append-only
+    crawl contract) streamed through novelty_ingest_stream must leave a
+    novelty feed that row-for-row equals the registry's ngram_novelty
+    over the full corpus, and a run index equal to a batch rebuild."""
+    import os
+
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        index_posture,
+        novelty_ingest_stream,
+    )
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    docs = load(spark, smoke_sf_dir, "documents")
+    cut = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").first()["m"]
+    ingest = str(tmp_path / "docs_ingest")
+    docs.where(f"doc_id <= {cut}").coalesce(1).write.mode("append").parquet(ingest)
+    docs.where(f"doc_id > {cut}").coalesce(1).write.mode("append").parquet(ingest)
+
+    table = f"{bucket_db}.snv_runs"
+    feed = str(tmp_path / "novelty_feed")
+    with index_posture(spark):
+        q = novelty_ingest_stream(
+            spark, ingest, table, feed, str(tmp_path / "nv_ckpt"), n_buckets=8
+        )
+        assert q.awaitTermination(180)
+        got = sorted(tuple(r) for r in spark.read.parquet(feed).collect())
+    want = sorted(
+        tuple(r)
+        for r in all_queries()["ngram_novelty"].build(spark, smoke_sf_dir).collect()
+    )
+    assert got == want
+    # the index holds every distinct run exactly once
+    n_runs = spark.sql(f"SELECT COUNT(*) AS c, COUNT(DISTINCT h) AS d FROM {table}").first()
+    assert n_runs["c"] == n_runs["d"] > 0
