@@ -128,13 +128,21 @@ def cmd_curate(args) -> int:
         print(f"{row['stage']:24s} {row['n']}")
     print(f"curated corpus -> {args.out}")
     if args.publish:
-        from .sinks import publish_version, read_published
+        from .sinks import publish_version, published_info
 
+        n_kept = {r["stage"]: r["n"] for r in summary.collect()}.get("kept", 0)
+        if not n_kept:
+            # an all-dropped corpus writes no partitioned part files —
+            # there is nothing to promote, and the prior version (if any)
+            # must stay the committed one
+            print(f"nothing to publish (0 kept) -> {args.publish} unchanged")
+            return 0
         kept = spark.read.parquet(os.path.join(args.out, "corpus"))
         version = publish_version(
             spark, kept, args.publish, partition_by=("source",)
         )
-        n = read_published(spark, args.publish).count()
+        # the pointer already carries the footer-counted rows — no scan
+        n = published_info(args.publish)["n_rows"]
         print(f"published v{version} ({n} rows) -> {args.publish}")
     return 0
 

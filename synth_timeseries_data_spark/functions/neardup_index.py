@@ -847,17 +847,25 @@ def novelty_delta(
     )
 
 
-def _novelty_probe_tail(runs_table: str) -> str:
+def _novelty_probe_tail(runs_table: str, g_rel: "str | None" = None) -> str:
     """The probe SQL after a novelty head: one hash-keyed aggregation over
-    the (delta or micro-batch) runs, LEFT-join probe of the persisted
-    index, linear occurrence explode, doc rollup — same output contract
-    as the registry's ngram_novelty."""
+    the (delta or micro-batch) runs (or a pre-materialized ``g_rel``
+    (h, ds) relation), LEFT-join probe of the persisted index, linear
+    occurrence explode, and the SHARED per-doc rollup
+    (corpus_ext._novelty_rollup_sql) — byte-identical output contract to
+    the registry's ngram_novelty by construction."""
     from ..queries import corpus_ext as cx
     from ..queries import llm_pipeline as lp
 
     run = cx._novelty_run_expr(lp._SPARK_D)
+    g_cte = (
+        f"g AS (SELECT h, ds FROM {g_rel})"
+        if g_rel
+        else f"g AS (SELECT {run} AS h, collect_set(doc_id) AS ds"
+        f" FROM pos GROUP BY {run})"
+    )
     return f""",
-    g AS (SELECT {run} AS h, collect_set(doc_id) AS ds FROM pos GROUP BY {run}),
+    {g_cte},
     j AS (
       SELECT g.ds, LEAST(i.first_doc, array_min(g.ds)) AS first_doc
       FROM g LEFT JOIN {runs_table} i ON i.h = g.h
@@ -865,16 +873,7 @@ def _novelty_probe_tail(runs_table: str) -> str:
     x AS (
       SELECT ds_doc AS doc_id, first_doc
       FROM j LATERAL VIEW explode(ds) AS ds_doc
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_runs,
-           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           CAST(FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
-                                END) AS DOUBLE)
-                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
-    FROM x GROUP BY doc_id
-    """
+    )""" + cx._novelty_rollup_sql()
 
 
 def novelty_ingest_stream(
@@ -912,7 +911,7 @@ def novelty_ingest_stream(
     def _probe_and_append(batch: DataFrame, _epoch_id: int) -> None:
         s = batch.sparkSession
         view = "_nv_ingest_batch"
-        batch.localCheckpoint().createOrReplaceTempView(view)
+        batch.createOrReplaceTempView(view)
         head = cx._novelty_head(d, src=view)
         if not s.catalog.tableExists(runs_table):
             empty = s.sql(
@@ -920,16 +919,24 @@ def novelty_ingest_stream(
                 f" FROM pos WHERE 1 = 0 GROUP BY {run}"
             )
             write_bucketed(empty, runs_table, "h", n_buckets)
-        s.sql(head + _novelty_probe_tail(runs_table)).write.mode(
-            "append"
-        ).parquet(out_dir)
-        new_runs = s.sql(
+        # The batch's run aggregate feeds BOTH the feed probe and the
+        # new-runs append: materialize it once (the minhash_delta_pairs
+        # device — as a CTE the explode/hash pass would re-run per
+        # consumer), with a per-batch view name dropped before returning.
+        g_view = f"_nv_ingest_g_{_epoch_id}"
+        s.sql(
             head
-            + f""",
-            g AS (SELECT {run} AS h, MIN(doc_id) AS first_doc
-                  FROM pos GROUP BY {run})
-            SELECT g.h, g.first_doc
-            FROM g LEFT ANTI JOIN {runs_table} i ON i.h = g.h
+            + f" SELECT {run} AS h, collect_set(doc_id) AS ds"
+            f" FROM pos GROUP BY {run}"
+        ).localCheckpoint().createOrReplaceTempView(g_view)
+        # the tail is written to follow a WITH chain; give it a no-op head
+        s.sql(
+            f"WITH _one AS (SELECT 1){_novelty_probe_tail(runs_table, g_view)}"
+        ).write.mode("append").parquet(out_dir)
+        new_runs = s.sql(
+            f"""
+            SELECT g.h, array_min(g.ds) AS first_doc
+            FROM {g_view} g LEFT ANTI JOIN {runs_table} i ON i.h = g.h
             """
         ).repartition(n_buckets, "h")
         (
@@ -939,6 +946,7 @@ def novelty_ingest_stream(
             .sortBy("h")
             .saveAsTable(runs_table)
         )
+        s.catalog.dropTempView(g_view)
 
     return (
         spark.readStream.schema(schema)

@@ -1248,6 +1248,25 @@ def _novelty_head(
             FROM w)"""
 
 
+def _novelty_rollup_sql() -> str:
+    """The per-doc novelty rollup over an ``x`` relation of (doc_id,
+    first_doc) occurrence rows — THE single definition of the output
+    contract (n_runs / n_novel / FLOOR-micro ratio), shared by the
+    registry Spark plan and the incremental/streaming probe in
+    functions/neardup_index.py so the serving path can never silently
+    diverge from the oracle-checked query."""
+    return """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
+    FROM x GROUP BY doc_id
+    """
+
+
 def _ngram_novelty_sql(d) -> str:
     # A run is "novel in doc D" iff D is the min-doc_id document containing
     # it (hash discipline: see _novelty_run_expr).
@@ -1270,16 +1289,7 @@ def _ngram_novelty_sql(d) -> str:
     x AS (
       SELECT ds_doc AS doc_id, array_min(ds) AS first_doc
       FROM g LATERAL VIEW explode(ds) AS ds_doc
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_runs,
-           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           CAST(FLOOR(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
-                                END) AS DOUBLE)
-                      / COUNT(*) * 1000000.0) AS BIGINT) AS novelty_micro
-    FROM x GROUP BY doc_id
-    """
+    )""" + _novelty_rollup_sql()
     return f"""{head},
     runs AS (SELECT DISTINCT doc_id, {run} AS h FROM pos),
     firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM runs GROUP BY h)

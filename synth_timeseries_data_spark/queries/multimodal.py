@@ -290,23 +290,36 @@ def parse_audio_header(payload: bytes) -> tuple[int, int, int, int]:
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
-    pos, fmt, data_size = 12, None, None
-    while pos + 8 <= len(payload) and (fmt is None or data_size is None):
-        cid, size = payload[pos : pos + 4], struct.unpack(
-            "<I", payload[pos + 4 : pos + 8]
-        )[0]
-        body = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            if size < 16:
-                raise ValueError("fmt chunk too short")
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data_size = size
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    # struct.error is translated so callers filtering a real corpus of
+    # malformed payloads can catch ONE exception type, as documented
+    # (same contract as parse_image_header).
+    try:
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(payload) and (fmt is None or data_size is None):
+            cid, size = payload[pos : pos + 4], struct.unpack(
+                "<I", payload[pos + 4 : pos + 8]
+            )[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if size < 16 or len(body) < 16:
+                    raise ValueError("fmt chunk too short")
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+    except struct.error as exc:
+        raise ValueError(f"unwalkable WAV header: {exc}") from exc
     if fmt is None or data_size is None:
         raise ValueError("missing fmt or data chunk")
-    _audio_fmt, channels, rate, _brate, block_align, bits = fmt
-    if channels < 1 or block_align != channels * (bits // 8):
+    audio_fmt, channels, rate, _brate, block_align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"not PCM (fmt tag {audio_fmt})")
+    if (
+        channels < 1
+        or bits < 8
+        or block_align < 1
+        or block_align != channels * (bits // 8)
+    ):
         raise ValueError("inconsistent fmt chunk")
     return channels, rate, bits, data_size // block_align
 

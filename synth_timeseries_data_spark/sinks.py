@@ -358,14 +358,21 @@ def publish_version(
     old versions remain for audit/rollback until a retention job removes
     them (out of scope here, as is cross-WRITER mutual exclusion — one
     publisher at a time, the usual curation-pipeline contract; concurrent
-    READERS are the concern this sink solves)."""
+    READERS are the concern this sink solves).
+
+    Crash recovery: a crash between the directory rename and the pointer
+    swap leaves an UNADVERTISED v{n} directory (readers still resolve
+    n-1). Version numbering therefore scans for orphaned version dirs
+    too (`_next_version`), so the next publish writes v{n+1} instead of
+    colliding with the orphan — the write path can never wedge; the
+    orphan is garbage a retention job may remove."""
     import json
 
     from .queries.llm_pipeline import _parquet_rows
     from .session import fast_commit
 
     os.makedirs(root, exist_ok=True)
-    version = latest_version(root) + 1
+    version = _next_version(root)
     staging = os.path.join(root, f"_tmp_v{version}_{os.getpid()}")
     final = os.path.join(root, f"v{version}")
     fast_commit(spark)
@@ -388,6 +395,32 @@ def publish_version(
     return version
 
 
+def _next_version(root: str) -> int:
+    """The version number a new publish must use: one past BOTH the
+    committed pointer and any orphaned v{n} directory a crashed publisher
+    left behind (writers must never collide with an existing directory;
+    readers still resolve only the pointer)."""
+    import re
+
+    on_disk = 0
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            on_disk = max(on_disk, int(m.group(1)))
+    return max(latest_version(root), on_disk) + 1
+
+
+def published_info(root: str) -> dict:
+    """The committed pointer at ``root`` — {version, path, n_rows}. The
+    row count comes from the written files' footers at publish time, so a
+    consumer can log/verify resolution without scanning the dataset.
+    Raises FileNotFoundError when nothing is published."""
+    import json
+
+    with open(os.path.join(root, _LATEST)) as f:
+        return json.loads(f.read())
+
+
 def latest_version(root: str) -> int:
     """The committed version at ``root`` (0 when nothing is published).
     Resolution reads ONLY the pointer — never directory listings, which
@@ -405,8 +438,6 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     """Read the committed version of the dataset at ``root`` (pointer →
     version directory). Raises FileNotFoundError when nothing has been
     published."""
-    import json
-
-    with open(os.path.join(root, _LATEST)) as f:
-        pointer = json.loads(f.read())
-    return spark.read.parquet(os.path.join(root, pointer["path"]))
+    return spark.read.parquet(
+        os.path.join(root, published_info(root)["path"])
+    )

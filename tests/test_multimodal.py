@@ -175,3 +175,37 @@ def test_parse_audio_header_walks_chunks_and_validates():
     short_fmt = wav[:16] + struct.pack("<I", 8) + wav[20:]
     with pytest.raises(ValueError):
         parse_audio_header(short_fmt)
+
+
+def test_parse_audio_header_rejects_degenerate_fmt_and_non_pcm():
+    """Contract hardening: zero bits/block-align, truncated fmt bodies,
+    and non-PCM format tags must all raise the documented ValueError —
+    never ZeroDivisionError or struct.error."""
+    import struct
+
+    import pytest
+
+    from synth_timeseries_data_spark.queries.multimodal import (
+        make_wav,
+        parse_audio_header,
+    )
+
+    wav = make_wav(b"abcdef", 1, 8000)
+    fmt_off = wav.index(b"fmt ") + 8
+
+    zeroed = bytearray(wav)
+    # channels=1 kept, bits=0, block_align=0 -> consistency check must fire
+    zeroed[fmt_off + 12 : fmt_off + 14] = struct.pack("<H", 0)  # block_align
+    zeroed[fmt_off + 14 : fmt_off + 16] = struct.pack("<H", 0)  # bits
+    with pytest.raises(ValueError):
+        parse_audio_header(bytes(zeroed))
+
+    ieee = bytearray(wav)
+    ieee[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float tag
+    with pytest.raises(ValueError):
+        parse_audio_header(bytes(ieee))
+
+    # fmt declares 16 bytes but the container is cut mid-chunk
+    truncated = wav[: fmt_off + 10]
+    with pytest.raises(ValueError):
+        parse_audio_header(truncated)

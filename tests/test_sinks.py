@@ -152,3 +152,35 @@ def test_publish_version_atomic_promotion(spark, oracle_sf_dir, tmp_path):
     # the next publish is version 3 regardless of the stale staging dir
     v3 = publish_version(spark, docs.where("doc_id < 10"), root)
     assert v3 == 3 and read_published(spark, root).count() == 10
+
+
+def test_publish_version_survives_orphaned_version_dir(spark, oracle_sf_dir, tmp_path):
+    """Crash AFTER the rename but BEFORE the pointer swap: v{n} exists on
+    disk while the pointer still says n-1. The next publish must step to
+    n+1 (never collide with the orphan), readers must keep resolving the
+    committed version throughout, and the orphan stays as unadvertised
+    garbage."""
+    import os
+
+    from synth_timeseries_data_spark.sinks import (
+        latest_version,
+        publish_version,
+        read_published,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    root = str(tmp_path / "pub")
+    docs = load(spark, oracle_sf_dir, "documents")
+    assert publish_version(spark, docs.where("doc_id < 50"), root) == 1
+
+    # simulate the wedge: a fully-written v2 that never got the pointer
+    orphan = os.path.join(root, "v2")
+    docs.where("doc_id < 5").write.parquet(orphan)
+    assert latest_version(root) == 1
+    assert read_published(spark, root).count() == 50
+
+    v = publish_version(spark, docs.where("doc_id < 200"), root)
+    assert v == 3 and latest_version(root) == 3
+    assert read_published(spark, root).count() == 200
+    # the orphan is untouched garbage
+    assert spark.read.parquet(orphan).count() == 5
