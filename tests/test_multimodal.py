@@ -209,3 +209,42 @@ def test_parse_audio_header_rejects_degenerate_fmt_and_non_pcm():
     truncated = wav[: fmt_off + 10]
     with pytest.raises(ValueError):
         parse_audio_header(truncated)
+
+
+def test_header_parsers_never_raise_anything_but_valueerror():
+    """Fuzz the one-exception contract: over arbitrary byte strings (and
+    mutated valid containers), both header parsers either return their
+    documented tuple of ints/str or raise ValueError — never
+    struct.error, ZeroDivisionError, or IndexError. This is the contract
+    a corpus-filtering pass relies on when it wraps the parse in one
+    except clause."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from synth_timeseries_data_spark.queries.multimodal import (
+        make_wav,
+        parse_audio_header,
+        parse_image_header,
+    )
+
+    wav = make_wav(b"fuzz payload bytes", 2, 16000)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=96),
+            # mutations of a valid container hit the deep branches
+            st.tuples(
+                st.integers(0, len(wav) - 1), st.binary(min_size=1, max_size=6)
+            ).map(lambda t: wav[: t[0]] + t[1] + wav[t[0] + len(t[1]) :]),
+        )
+    )
+    def _check(payload):
+        for parser in (parse_audio_header, parse_image_header):
+            try:
+                out = parser(payload)
+            except ValueError:
+                continue
+            assert isinstance(out, tuple)
+
+    _check()
