@@ -206,7 +206,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # explode/hash machinery under a new statistic) enters by demoting
 # vec_topk_pq (r06-green; its PQ code/ADC arithmetic is additionally
 # pinned result-equal to the round-7 persisted-index path every session
-# in test_scale_techniques.py).
+# in test_scale_techniques.py). dedup_spans (91st — sub-document span
+# excision, the RefinedWeb apply move at span grain) enters by demoting
+# csv_roundtrip (r06-green; untouched in round 7 beyond the FLOOR.md
+# component A/Bs, and its committer/readback machinery stays in-window
+# structurally identical via... none — the jsonl/partitioned roundtrips
+# in the demoted tail share its class and all three replay bit-exactly
+# every session).
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -214,6 +220,7 @@ _DEMOTED = (
     "bpe_pairs",
     "char_entropy",
     "contamination_check",
+    "csv_roundtrip",
     "decontam_ngram",
     "dedup_firstseen",
     "doc_chunks",

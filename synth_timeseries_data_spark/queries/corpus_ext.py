@@ -1320,3 +1320,99 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence explode and a doc-keyed rollup; the oracle keeps the
     naive DISTINCT + MIN + join form as the independent definition."""
     return _spark_docs(spark, sf_dir, _NOVELTY_SPARK)
+
+
+# --------------------------------------------------------------------------
+# dedup_spans: sub-document exact-substring dedup APPLY (round 7) — remove
+# the verbatim 8-token spans whose corpus-first occurrence is in an earlier
+# document and rebuild the cleaned text (the RefinedWeb/MassiveText move:
+# near-dup docs get dropped, repeated SPANS get excised).
+# --------------------------------------------------------------------------
+
+
+def _dedup_spans_sql(d) -> str:
+    # A token position is COVERED iff it lies inside some 8-token run
+    # whose min-doc_id occurrence is in an EARLIER doc (the first
+    # occurrence keeps its copy — the keep-first rule at span grain).
+    # Cleaned text is rebuilt relationally (kept tokens re-joined in
+    # position order) so both engines use plain anti-join + ordered
+    # string aggregation — no indexed-lambda dialect divergence. The only
+    # data-proportional shuffles: the run-keyed window that stamps each
+    # position with its run's first doc (position rows ≈ token count),
+    # the covered-position DISTINCT, and the per-doc rebuild aggregation.
+    run = _novelty_run_expr(d)
+    ws = d["split"]("text")
+    if d is _SPARK_D:
+        tok_rel = (
+            "SELECT doc_id, pos + 1 AS t, tok FROM allw "
+            "LATERAL VIEW posexplode(ws) AS pos, tok"
+        )
+        j_expand = f"LATERAL VIEW explode(sequence(0, {_DC_K - 1})) AS j"
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('t', k.t, 'tok', k.tok))), s -> s.tok), ' ')"
+        )
+    else:
+        tok_rel = (
+            "SELECT doc_id, t, ws[t] AS tok FROM allw, "
+            "unnest(generate_series(1, len(ws))) AS u(t)"
+        )
+        j_expand = f", unnest(generate_series(0, {_DC_K - 1})) AS ju(j)"
+        rebuild = "string_agg(k.tok, ' ' ORDER BY k.t)"
+    return f"""{_novelty_head(d)},
+    ph AS (SELECT doc_id, i, {run} AS h FROM pos),
+    fh AS (
+      SELECT doc_id, i,
+             MIN(doc_id) OVER (PARTITION BY h) AS first_doc
+      FROM ph
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, i + j AS t
+      FROM fh {j_expand}
+      WHERE doc_id > first_doc
+    ),
+    allw AS (
+      SELECT doc_id, {ws} AS ws FROM {d['pdocs']} WHERE text IS NOT NULL
+    ),
+    toks AS ({tok_rel}),
+    kept AS (
+      SELECT tk.doc_id, tk.t, tk.tok
+      FROM toks tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.t = tk.t
+      WHERE c.t IS NULL
+    ),
+    rebuilt AS (
+      SELECT k.doc_id, COUNT(*) AS n_kept, {rebuild} AS clean_text
+      FROM kept k GROUP BY k.doc_id
+    ),
+    base AS (SELECT doc_id, {d['len']('ws')} AS n_tokens FROM allw)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """
+
+
+_SPANS_SPARK, _SPANS_DUCK = _dual(_dedup_spans_sql)
+
+
+@register("dedup_spans", _SPANS_DUCK)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: exact-substring dedup at SPAN grain — every verbatim
+    8-token run whose first corpus occurrence (min doc_id) is in an
+    earlier document is excised, and the cleaned text is rebuilt from the
+    surviving tokens in order (doc-level near-dup dedup drops whole docs;
+    this is the complementary RefinedWeb-style move for boilerplate and
+    quoted spans). Returns doc_id, n_tokens, n_removed, clean_text — the
+    first occurrence always keeps its copy, overlapping stale spans union
+    their coverage, and a fully-covered doc comes back with empty text
+    rather than disappearing. Docs under 8 tokens pass through verbatim.
+
+    Scale shape: position rows ≈ token count flow through ONE run-keyed
+    window exchange (stamping each position with its run's first doc);
+    coverage expansion is a bounded ×8 explode of STALE positions only;
+    the rebuild is an anti-join plus one doc-keyed ordered aggregation.
+    Nothing is quadratic in anything; boilerplate-heavy corpora skew the
+    run-key window the same way any hot key does (salt or split the hot
+    run's partition)."""
+    return _spark_docs(spark, sf_dir, _SPANS_SPARK)

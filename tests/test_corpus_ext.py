@@ -885,3 +885,48 @@ def test_ngram_novelty_planted_copy_and_accounting(spark, tmp_path):
     assert rows[4].n_runs == 5 and rows[4].n_novel == 5
     distinct_runs = 13 + 2 + 5
     assert sum(r.n_novel for r in rows.values()) == distinct_runs
+
+
+def test_dedup_spans_planted_semantics(spark, tmp_path):
+    """Span-grain keep-first semantics on a crafted corpus: the first
+    occurrence keeps its text, a verbatim copy is fully excised, a doc
+    embedding the copied span plus fresh tokens keeps exactly the fresh
+    tokens (overlap unioned), and a short doc (<8 tokens) passes through
+    verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"w{i}" for i in range(12))  # 12 tokens, 5 runs
+    fresh_prefix = "p1 p2 p3"
+    texts = {
+        1: base,
+        2: base,                              # full copy -> all excised
+        3: fresh_prefix + " " + base,         # leading fresh tokens kept?
+        4: "tiny doc",                        # <8 tokens -> passthrough
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["dedup_spans"].build(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].n_removed == 0 and rows[1].clean_text == base
+    assert rows[2].n_removed == 12 and rows[2].clean_text == ""
+    # doc 3: every base token sits in some stale run; the three fresh
+    # prefix tokens start runs that extend into base tokens, so those
+    # runs are FIRST occurrences (novel) — but base tokens are still
+    # covered via the runs fully inside base. Fresh tokens survive.
+    assert rows[3].clean_text == fresh_prefix
+    assert rows[3].n_removed == 12
+    assert rows[4].n_removed == 0 and rows[4].clean_text == "tiny doc"

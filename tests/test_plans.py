@@ -409,3 +409,13 @@ def test_ngram_novelty_single_pass_no_join(spark, oracle_sf_dir):
     assert "Join" not in plan
     assert "partial_" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_dedup_spans_bounded_expansion_no_cartesian(spark, oracle_sf_dir):
+    """Span excision: one run-keyed window stamps first docs, coverage
+    expands stale positions by a bounded x8 only, the rebuild is an
+    anti-join + one doc aggregation — nothing cartesian, no corpus-wide
+    sort-merge beyond the window/rebuild sorts."""
+    plan = _plan(spark, "dedup_spans", oracle_sf_dir)
+    assert "Cartesian" not in plan
+    assert "partial_" in plan
