@@ -209,10 +209,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # in test_scale_techniques.py). dedup_spans (91st — sub-document span
 # excision, the RefinedWeb apply move at span grain) enters by demoting
 # csv_roundtrip (r06-green; untouched in round 7 beyond the FLOOR.md
-# component A/Bs, and its committer/readback machinery stays in-window
-# structurally identical via... none — the jsonl/partitioned roundtrips
-# in the demoted tail share its class and all three replay bit-exactly
-# every session).
+# component A/Bs). ACCEPTED TRADE-OFF: with csv_roundtrip demoted the
+# IO-roundtrip class (csv/jsonl/partitioned) has NO representative in
+# the capped driver window this round — all three are r06-green,
+# structurally one class (FileFormatWriter + readback + agg), replay
+# bit-exactly in the local gate every session, and rotate back next
+# round under the alternation scheme.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.

@@ -1332,16 +1332,22 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_spans_sql(d) -> str:
     # A token position is COVERED iff it lies inside some 8-token run
-    # whose min-doc_id occurrence is in an EARLIER doc (the first
-    # occurrence keeps its copy — the keep-first rule at span grain).
-    # Cleaned text is rebuilt relationally (kept tokens re-joined in
-    # position order) so both engines use plain anti-join + ordered
-    # string aggregation — no indexed-lambda dialect divergence. The only
-    # data-proportional shuffles: the run-keyed window that stamps each
-    # position with its run's first doc (position rows ≈ token count),
-    # the covered-position DISTINCT, and the per-doc rebuild aggregation.
+    # whose min-doc_id occurrence is in an EARLIER doc — the rule is
+    # DOC-grain: every occurrence inside the min doc is kept (within-doc
+    # repeats survive there; see the docstring). Cleaned text is rebuilt
+    # relationally (kept tokens re-joined in position order) so both
+    # engines use plain anti-join + ordered string aggregation — no
+    # indexed-lambda dialect divergence — and ONLY for TOUCHED docs: the
+    # token explode / coverage anti-join / ordered rebuild are semi-joined
+    # to the distinct covered doc set, while untouched and NULL-text docs
+    # flow straight from the base scan (original text / NULL signals, row
+    # always preserved). Data-proportional shuffles: the run-keyed window
+    # stamping each position with its run's first doc (position rows ≈
+    # token count), the covered-position DISTINCT, and the touched-docs
+    # rebuild exchange.
     run = _novelty_run_expr(d)
     ws = d["split"]("text")
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
     if d is _SPARK_D:
         tok_rel = (
             "SELECT doc_id, pos + 1 AS t, tok FROM allw "
@@ -1371,8 +1377,11 @@ def _dedup_spans_sql(d) -> str:
       FROM fh {j_expand}
       WHERE doc_id > first_doc
     ),
+    covd AS (SELECT DISTINCT doc_id FROM cov),
     allw AS (
-      SELECT doc_id, {ws} AS ws FROM {d['pdocs']} WHERE text IS NOT NULL
+      SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
+      WHERE text IS NOT NULL
+        AND doc_id IN (SELECT doc_id FROM covd)
     ),
     toks AS ({tok_rel}),
     kept AS (
@@ -1384,12 +1393,21 @@ def _dedup_spans_sql(d) -> str:
       SELECT k.doc_id, COUNT(*) AS n_kept, {rebuild} AS clean_text
       FROM kept k GROUP BY k.doc_id
     ),
-    base AS (SELECT doc_id, {d['len']('ws')} AS n_tokens FROM allw)
+    base AS (SELECT doc_id, {d['len'](ws)} AS n_tokens, text
+             FROM {d['pdocs']})
     SELECT b.doc_id,
            CAST(b.n_tokens AS BIGINT) AS n_tokens,
-           CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
-           COALESCE(r.clean_text, '') AS clean_text
-    FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+           CASE WHEN b.n_tokens IS NULL THEN CAST(NULL AS BIGINT)
+                WHEN c.doc_id IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+           END AS n_removed,
+           CASE WHEN b.n_tokens IS NULL THEN CAST(NULL AS {strcast})
+                WHEN c.doc_id IS NULL THEN b.text
+                ELSE COALESCE(r.clean_text, '')
+           END AS clean_text
+    FROM base b
+    LEFT JOIN covd c ON c.doc_id = b.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
     """
 
 
@@ -1403,10 +1421,17 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier document is excised, and the cleaned text is rebuilt from the
     surviving tokens in order (doc-level near-dup dedup drops whole docs;
     this is the complementary RefinedWeb-style move for boilerplate and
-    quoted spans). Returns doc_id, n_tokens, n_removed, clean_text — the
-    first occurrence always keeps its copy, overlapping stale spans union
-    their coverage, and a fully-covered doc comes back with empty text
-    rather than disappearing. Docs under 8 tokens pass through verbatim.
+    quoted spans). Returns doc_id, n_tokens, n_removed, clean_text — one
+    row per input doc, ALWAYS: overlapping stale spans union their
+    coverage, a fully-covered doc comes back with empty text rather than
+    disappearing, docs under 8 tokens and untouched docs pass through
+    verbatim (fast path: they never enter the rebuild pipeline), and a
+    NULL-text doc keeps its row with NULL signals (the curate-workflow
+    convention). The keep-first rule is DOC-grain: every occurrence
+    inside the run's min-doc_id document survives — within-document
+    repeats are NOT excised there (that is repetition_ratio's signal and
+    a different, position-grain rule whose overlapping-occurrence
+    semantics are ambiguous; pinned by the planted test).
 
     Scale shape: position rows ≈ token count flow through ONE run-keyed
     window exchange (stamping each position with its run's first doc);

@@ -930,3 +930,46 @@ def test_dedup_spans_planted_semantics(spark, tmp_path):
     assert rows[3].clean_text == fresh_prefix
     assert rows[3].n_removed == 12
     assert rows[4].n_removed == 0 and rows[4].clean_text == "tiny doc"
+
+
+def test_dedup_spans_doc_grain_null_and_fastpath(spark, tmp_path):
+    """Pins the three contract edges: (a) DOC-grain keep-first — a block
+    repeated WITHIN the min doc survives in full there (and is excised
+    from later docs); (b) a NULL-text doc keeps its row with NULL
+    signals; (c) an untouched doc returns its original text verbatim
+    through the fast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    block = " ".join(f"b{i}" for i in range(8))
+    texts = {
+        1: block + " " + block,          # within-doc repeat, min doc
+        2: block,                        # later doc -> excised
+        3: None,                         # NULL text
+        4: " ".join(f"z{i}" for i in range(10)),  # untouched
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) if texts[i] else 0 for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["dedup_spans"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}  # NULL-text row preserved
+    assert rows[1].n_removed == 0 and rows[1].clean_text == texts[1]
+    assert rows[2].n_removed == 8 and rows[2].clean_text == ""
+    assert rows[3].n_tokens is None and rows[3].n_removed is None
+    assert rows[3].clean_text is None
+    assert rows[4].n_removed == 0 and rows[4].clean_text == texts[4]
