@@ -39,6 +39,11 @@ _QUERIES = (
     "unigram_xent",
     "dsir_weights",
     "length_percentiles",
+    # round-7 additions with float-derived micro-int columns: the budget
+    # cumsum/quantization, the jaccard mass, the novelty ratio
+    "token_budget_sample",
+    "source_overlap",
+    "ngram_novelty",
 )
 
 _DOPS = (1, 7, 64)
