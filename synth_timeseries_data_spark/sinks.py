@@ -441,3 +441,62 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(
         os.path.join(root, published_info(root)["path"])
     )
+
+
+def rollback(root: str, version: int) -> None:
+    """Atomically re-point ``root`` at an EXISTING prior version — the
+    incident lever versioning exists for (a bad curation run shipped;
+    readers must see v{n-1} again NOW, with no data movement). Same
+    pointer-swap discipline as publish; refuses a version whose directory
+    is missing. The abandoned newer versions stay on disk for forensics
+    until pruned."""
+    import json
+
+    target = os.path.join(root, f"v{version}")
+    if not os.path.isdir(target):
+        raise FileNotFoundError(f"no published version directory {target}")
+    from .queries.llm_pipeline import _parquet_rows
+
+    pointer = {
+        "version": version,
+        "path": f"v{version}",
+        "n_rows": _parquet_rows(target),
+    }
+    tmp_ptr = os.path.join(root, f"_tmp_{_LATEST}_{os.getpid()}")
+    with open(tmp_ptr, "w") as f:
+        f.write(json.dumps(pointer))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(root, _LATEST))
+
+
+def prune_versions(root: str, keep_last: int = 2) -> list:
+    """Retention: delete version directories older than the newest
+    ``keep_last`` — EXCEPT the committed one, which is never touched no
+    matter how old (a rollback can point arbitrarily far back). Also
+    removes crashed-publish staging litter (`_tmp_*`). Returns the list
+    of removed directory names. Readers racing a prune of an OLD version
+    were already off the committed path — the one directory a correct
+    reader can be inside is protected."""
+    import re
+    import shutil
+
+    committed = latest_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for name in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d+)", name))
+        and os.path.isdir(os.path.join(root, name))
+    )
+    cutoff = versions[-keep_last] if len(versions) > keep_last else 0
+    removed = []
+    for v in versions:
+        if v < cutoff and v != committed:
+            shutil.rmtree(os.path.join(root, f"v{v}"))
+            removed.append(f"v{v}")
+    for name in os.listdir(root):
+        if name.startswith("_tmp_") and name != _LATEST:
+            path = os.path.join(root, name)
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+            removed.append(name)
+    return removed

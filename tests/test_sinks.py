@@ -184,3 +184,44 @@ def test_publish_version_survives_orphaned_version_dir(spark, oracle_sf_dir, tmp
     assert read_published(spark, root).count() == 200
     # the orphan is untouched garbage
     assert spark.read.parquet(orphan).count() == 5
+
+
+def test_rollback_and_prune_lifecycle(spark, oracle_sf_dir, tmp_path):
+    """Publish v1..v4, roll back to v2 (readers see v2 instantly, no data
+    movement), then prune keep_last=1: the committed v2 survives no
+    matter its age, staging litter goes, and the newest version dir is
+    kept."""
+    import os
+
+    from synth_timeseries_data_spark.sinks import (
+        latest_version,
+        prune_versions,
+        publish_version,
+        read_published,
+        rollback,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    root = str(tmp_path / "pub")
+    docs = load(spark, oracle_sf_dir, "documents")
+    for n in (10, 20, 30, 40):
+        publish_version(spark, docs.where(f"doc_id < {n}"), root)
+    assert latest_version(root) == 4
+
+    rollback(root, 2)
+    assert latest_version(root) == 2
+    assert read_published(spark, root).count() == 20
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        rollback(root, 9)
+
+    os.makedirs(os.path.join(root, "_tmp_v9_123"))
+    removed = prune_versions(root, keep_last=1)
+    # v2 is committed (survives despite being old); v4 is newest (kept);
+    # v1, v3 and the staging litter go
+    assert sorted(removed) == ["_tmp_v9_123", "v1", "v3"]
+    assert read_published(spark, root).count() == 20
+    assert os.path.isdir(os.path.join(root, "v4"))
+    # a later publish continues from the on-disk max, not the pointer
+    assert publish_version(spark, docs.where("doc_id < 5"), root) == 5
