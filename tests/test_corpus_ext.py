@@ -973,3 +973,69 @@ def test_dedup_spans_doc_grain_null_and_fastpath(spark, tmp_path):
     assert rows[3].n_tokens is None and rows[3].n_removed is None
     assert rows[3].clean_text is None
     assert rows[4].n_removed == 0 and rows[4].clean_text == texts[4]
+
+
+def test_dedup_spans_matches_python_reimpl_on_random_corpora(spark, tmp_path):
+    """Full-rule differential on three seeded corpora built from a shared
+    phrase pool (so cross-doc 8-gram overlap abounds): an independent
+    python reimplementation of the coverage rule (run = 8-token tuple,
+    first_doc = min doc_id, cover stale occurrences, rebuild in order)
+    must agree row-for-row with the Spark plan."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for seed in (5, 17, 31):
+        rng = random.Random(seed)
+        phrases = [
+            [f"s{p}w{i}" for i in range(10)] for p in range(6)
+        ]
+        docs = {}
+        for doc_id in range(1, 25):
+            toks: list = []
+            for _ in range(rng.randint(1, 4)):
+                toks += rng.choice(phrases)
+                if rng.random() < 0.5:
+                    toks.append(f"n{doc_id}x{len(toks)}")
+            docs[doc_id] = " ".join(toks)
+        out = tmp_path / f"rc_{seed}"
+        out.mkdir()
+        ids = sorted(docs)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([docs[i] for i in ids]),
+                    "lang": pa.array(["en"] * len(ids)),
+                    "source": pa.array(["s"] * len(ids)),
+                    "n_chars": pa.array(
+                        [len(docs[i]) for i in ids], pa.int64()
+                    ),
+                }
+            ),
+            str(out / "documents.parquet"),
+        )
+        # independent reimplementation
+        first: dict = {}
+        for doc_id in ids:
+            ws = docs[doc_id].split(" ")
+            for i in range(len(ws) - 7):
+                run = tuple(ws[i : i + 8])
+                first.setdefault(run, doc_id)
+        expected = {}
+        for doc_id in ids:
+            ws = docs[doc_id].split(" ")
+            covered = set()
+            for i in range(len(ws) - 7):
+                if first[tuple(ws[i : i + 8])] < doc_id:
+                    covered.update(range(i, i + 8))
+            kept = [w for t, w in enumerate(ws) if t not in covered]
+            expected[doc_id] = (len(ws), len(covered), " ".join(kept))
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in all_queries()["dedup_spans"]
+            .build(spark, str(out))
+            .collect()
+        }
+        assert got == expected, seed
