@@ -1344,7 +1344,16 @@ def _dedup_spans_sql(d) -> str:
     # always preserved). Data-proportional shuffles: the run-keyed window
     # stamping each position with its run's first doc (position rows ≈
     # token count), the covered-position DISTINCT, and the touched-docs
-    # rebuild exchange.
+    # rebuild exchange. The window form was CHOSEN over two-phase
+    # MIN-by-h + join-back: measured at sf1, the join planner broadcasts
+    # the run relation (run-cardinality ~ corpus-proportional) and OOMs
+    # the driver — the fact-proportional-broadcast failure class the
+    # sf100 ladder first caught; a hint-pinned shuffle join survives but
+    # pays the position relation through the h exchange TWICE (Spark
+    # inlines the ph CTE per consumer). A hot boilerplate run skews the
+    # window's h partition; the window is a sortless full-partition MIN,
+    # so the skewed task streams linearly — AQE skew handling and, past
+    # that, two-level (h, salt) partial MINs are the levers.
     run = _novelty_run_expr(d)
     ws = d["split"]("text")
     strcast = "STRING" if d is _SPARK_D else "VARCHAR"
