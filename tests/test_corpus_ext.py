@@ -1039,3 +1039,51 @@ def test_dedup_spans_matches_python_reimpl_on_random_corpora(spark, tmp_path):
             .collect()
         }
         assert got == expected, seed
+
+
+def test_dedup_spans_hot_boilerplate_run_stays_linear(spark, tmp_path):
+    """Skew stress: ONE boilerplate block shared by 80% of 2000 docs (the
+    hot-h window partition). The query must finish promptly (the window
+    is a sortless full-partition MIN — candidate work is linear in
+    occurrences, never pairwise) and excise the block everywhere except
+    the min doc."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    block = " ".join(f"hot{i}" for i in range(8))
+    docs = {}
+    for doc_id in range(1, 2001):
+        own = " ".join(f"d{doc_id}w{i}" for i in range(8))
+        docs[doc_id] = (block + " " + own) if doc_id % 5 else own
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(docs[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    t0 = time.time()
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["dedup_spans"].build(spark, str(tmp_path)).collect()
+    }
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"hot-run corpus took {elapsed:.1f}s"
+    carriers = [i for i in ids if i % 5]
+    first_carrier = carriers[0]
+    assert rows[first_carrier].n_removed == 0  # min doc keeps the block
+    # every later carrier loses the block and ONLY the block: the 8 own
+    # tokens survive (the bridging runs block+own are first occurrences)
+    later = carriers[1]
+    assert rows[later].n_removed == 8
+    assert rows[later].clean_text == " ".join(f"d{later}w{i}" for i in range(8))
+    total_removed = sum(rows[i].n_removed for i in ids)
+    assert total_removed == 8 * (len(carriers) - 1)
