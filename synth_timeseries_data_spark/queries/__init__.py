@@ -214,7 +214,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the capped driver window this round — all three are r06-green,
 # structurally one class (FileFormatWriter + readback + agg), replay
 # bit-exactly in the local gate every session, and rotate back next
-# round under the alternation scheme.
+# round under the alternation scheme. embed_decontam (92nd — semantic
+# cross-split contamination, the embedding-space complement of
+# decontam_ngram) enters by demoting embed_neardup (r06-green, and its
+# ENTIRE banded-LSH pair relation — candidates through the fused cosine
+# verify — is embedded verbatim inside the in-window embed_decontam
+# oracle, so an embed_neardup regression still turns a driver row red).
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -227,6 +232,7 @@ _DEMOTED = (
     "dedup_firstseen",
     "doc_chunks",
     "doc_fingerprint",
+    "embed_neardup",
     "domain_mix",
     "edge_tensor",
     "gopher_rules",

@@ -1450,3 +1450,95 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-key window the same way any hot key does (salt or split the hot
     run's partition)."""
     return _spark_docs(spark, sf_dir, _SPANS_SPARK)
+
+
+# --------------------------------------------------------------------------
+# embed_decontam: SEMANTIC cross-split contamination (round 7) — test-split
+# vectors whose embedding sits near a train-split vector. decontam_ngram
+# catches verbatim leakage; this is its embedding-space complement (a
+# paraphrased or re-encoded copy shares no 8-gram but keeps its cosine).
+# --------------------------------------------------------------------------
+
+
+def _vec_split_case(d, col: str) -> str:
+    """The SAME deterministic md5-bucket split rule as hash_split, applied
+    to a vector id — one definition of 'which split is this row in' for
+    the embeddings table."""
+    from .llm_pipeline import _hex2int
+
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(
+        d, f"SUBSTR(md5(CONCAT('split|', CAST({col} AS {strcast}))), 1, 15)"
+    )
+    return (
+        f"CASE WHEN {bucket} % 100 < 80 THEN 'train' "
+        f"WHEN {bucket} % 100 >= 90 THEN 'test' END"
+    )
+
+
+def _embed_decontam_duck() -> str:
+    from .llm_pipeline import _ND_DUCK
+
+    return f"""
+    WITH p AS (SELECT * FROM ( {_ND_DUCK} ) p0),
+    s AS (
+      SELECT p.*, {_vec_split_case(_DUCK_D, 'p.vec_a')} AS split_a,
+             {_vec_split_case(_DUCK_D, 'p.vec_b')} AS split_b
+      FROM p
+    )
+    SELECT CASE WHEN split_a = 'test' THEN vec_a ELSE vec_b END AS test_vec,
+           CASE WHEN split_a = 'test' THEN vec_b ELSE vec_a END AS train_vec,
+           CASE WHEN split_a = 'test' THEN label_a ELSE label_b END
+             AS test_label,
+           CASE WHEN split_a = 'test' THEN label_b ELSE label_a END
+             AS train_label,
+           cos_sim
+    FROM s
+    WHERE (split_a = 'test' AND split_b = 'train')
+       OR (split_a = 'train' AND split_b = 'test')
+    """
+
+
+@register("embed_decontam", _embed_decontam_duck())
+def embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: semantic benchmark decontamination — test-split vectors
+    (hash_split's exact md5-bucket rule on vec_id) whose embedding is
+    near-duplicate to a TRAIN-split vector, with the pair oriented
+    test→train. Catches the leakage decontam_ngram cannot: a paraphrased
+    or re-encoded copy shares no verbatim 8-gram but keeps its cosine.
+
+    Scale shape: rides embed_neardup's banded hyperplane LSH session
+    index verbatim (bucket-equality candidates, fused exact-cosine
+    verify — its ENTIRE pair relation is embedded in this entry's
+    oracle, so the demoted embed_neardup row keeps driver coverage); the
+    split stamp is a stateless hash projection on the pair relation
+    (near-dup-proportional), so the decontam filter adds zero
+    corpus-scale work."""
+    from pyspark.sql import functions as F
+
+    from .llm_pipeline import embed_neardup
+
+    pairs = embed_neardup(spark, sf_dir)
+    sa = F.expr(_vec_split_case(_SPARK_D, "vec_a"))
+    sb = F.expr(_vec_split_case(_SPARK_D, "vec_b"))
+    s = pairs.withColumn("split_a", sa).withColumn("split_b", sb)
+    t = s.where(
+        ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        | ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+    )
+    a_is_test = F.col("split_a") == "test"
+    return t.select(
+        F.when(a_is_test, F.col("vec_a")).otherwise(F.col("vec_b")).alias(
+            "test_vec"
+        ),
+        F.when(a_is_test, F.col("vec_b")).otherwise(F.col("vec_a")).alias(
+            "train_vec"
+        ),
+        F.when(a_is_test, F.col("label_a")).otherwise(F.col("label_b")).alias(
+            "test_label"
+        ),
+        F.when(a_is_test, F.col("label_b")).otherwise(F.col("label_a")).alias(
+            "train_label"
+        ),
+        "cos_sim",
+    )

@@ -1087,3 +1087,31 @@ def test_dedup_spans_hot_boilerplate_run_stays_linear(spark, tmp_path):
     assert rows[later].clean_text == " ".join(f"d{later}w{i}" for i in range(8))
     total_removed = sum(rows[i].n_removed for i in ids)
     assert total_removed == 8 * (len(carriers) - 1)
+
+
+def test_embed_decontam_is_the_cross_split_slice_of_neardup(spark, oracle_sf_dir):
+    """Every reported pair must be a test->train orientation of an
+    embed_neardup pair under hash_split's exact md5-bucket rule, and ALL
+    such cross-split pairs must be reported (none dropped)."""
+    import hashlib
+
+    got = {
+        (r.test_vec, r.train_vec): r.cos_sim
+        for r in all_queries()["embed_decontam"].build(spark, oracle_sf_dir).collect()
+    }
+    pairs = all_queries()["embed_neardup"].build(spark, oracle_sf_dir).collect()
+
+    def bucket(v):
+        return int(hashlib.md5(f"split|{v}".encode()).hexdigest()[:15], 16) % 100
+
+    def split(v):
+        b = bucket(v)
+        return "train" if b < 80 else ("test" if b >= 90 else None)
+
+    expected = {}
+    for p in pairs:
+        sa, sb = split(p.vec_a), split(p.vec_b)
+        if {sa, sb} == {"test", "train"}:
+            t, tr = (p.vec_a, p.vec_b) if sa == "test" else (p.vec_b, p.vec_a)
+            expected[(t, tr)] = p.cos_sim
+    assert got == expected and len(got) > 0
