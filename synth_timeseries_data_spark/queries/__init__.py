@@ -216,10 +216,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # bit-exactly in the local gate every session, and rotate back next
 # round under the alternation scheme. embed_decontam (92nd — semantic
 # cross-split contamination, the embedding-space complement of
-# decontam_ngram) enters by demoting embed_neardup (r06-green, and its
-# ENTIRE banded-LSH pair relation — candidates through the fused cosine
-# verify — is embedded verbatim inside the in-window embed_decontam
-# oracle, so an embed_neardup regression still turns a driver row red).
+# decontam_ngram) enters by demoting embed_neardup (r06-green; its
+# banded-LSH machinery runs inside the in-window embed_decontam oracle,
+# though only the CROSS-SPLIT slice of the pair relation is value-hashed
+# there — full-relation coverage stays with the bit-exact session replay
+# in tests/test_oracle.py and the recall pins in test_ann_recall.py,
+# the same footing as every other demoted entry).
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -232,9 +234,9 @@ _DEMOTED = (
     "dedup_firstseen",
     "doc_chunks",
     "doc_fingerprint",
-    "embed_neardup",
     "domain_mix",
     "edge_tensor",
+    "embed_neardup",
     "gopher_rules",
     "hash_split",
     "jsonl_roundtrip",

@@ -41,6 +41,7 @@ from ..functions.detrand import lcg_uniform_sql
 from . import register
 from .llm_pipeline import (
     _DUCK_D,
+    _ND_DUCK,
     _Q_COMPOSITE,
     _SPARK_D,
     _STOPWORDS,
@@ -1464,8 +1465,6 @@ def _vec_split_case(d, col: str) -> str:
     """The SAME deterministic md5-bucket split rule as hash_split, applied
     to a vector id — one definition of 'which split is this row in' for
     the embeddings table."""
-    from .llm_pipeline import _hex2int
-
     strcast = "STRING" if d is _SPARK_D else "VARCHAR"
     bucket = _hex2int(
         d, f"SUBSTR(md5(CONCAT('split|', CAST({col} AS {strcast}))), 1, 15)"
@@ -1477,8 +1476,6 @@ def _vec_split_case(d, col: str) -> str:
 
 
 def _embed_decontam_duck() -> str:
-    from .llm_pipeline import _ND_DUCK
-
     return f"""
     WITH p AS (SELECT * FROM ( {_ND_DUCK} ) p0),
     s AS (
@@ -1509,9 +1506,10 @@ def embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides embed_neardup's banded hyperplane LSH session
     index verbatim (bucket-equality candidates, fused exact-cosine
-    verify — its ENTIRE pair relation is embedded in this entry's
-    oracle, so the demoted embed_neardup row keeps driver coverage); the
-    split stamp is a stateless hash projection on the pair relation
+    verify; note the oracle value-hashes only the CROSS-SPLIT slice of
+    the pair relation — embed_neardup's full-relation coverage stays
+    with its own session replay and recall pins); the split stamp is a
+    stateless hash projection on the pair relation
     (near-dup-proportional), so the decontam filter adds zero
     corpus-scale work."""
     from pyspark.sql import functions as F

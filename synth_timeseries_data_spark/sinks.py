@@ -470,16 +470,29 @@ def rollback(root: str, version: int) -> None:
     os.replace(tmp_ptr, os.path.join(root, _LATEST))
 
 
-def prune_versions(root: str, keep_last: int = 2) -> list:
-    """Retention: delete version directories older than the newest
-    ``keep_last`` — EXCEPT the committed one, which is never touched no
-    matter how old (a rollback can point arbitrarily far back). Also
-    removes crashed-publish staging litter (`_tmp_*`). Returns the list
-    of removed directory names. Readers racing a prune of an OLD version
-    were already off the committed path — the one directory a correct
-    reader can be inside is protected."""
+def prune_versions(
+    root: str, keep_last: int = 2, tmp_age_s: float = 3600.0
+) -> list:
+    """Retention, anchored at the COMMITTED version: keep the committed
+    version plus the ``keep_last - 1`` versions immediately below it
+    (the rollback margin), delete everything else — including versions
+    ABOVE the committed one, which only exist when a rollback abandoned
+    them (the bad ship; prune is when their forensics window ends).
+    ``keep_last=0`` keeps only the committed version. Anchoring at the
+    pointer rather than the newest directory means a rollback never
+    causes retention to destroy the remaining GOOD history while
+    preserving the known-bad tip. Also removes crashed-publish staging
+    litter (`_tmp_*`) — but only entries older than ``tmp_age_s``
+    (default 1 h), so a retention job racing a LIVE publish/rollback
+    cannot delete its in-flight staging dir or tmp pointer; like publish,
+    prune assumes one WRITER at a time, and the age guard is the safety
+    net for a scheduler that breaks that contract. Returns the removed
+    names. Readers racing a prune of an old version were already off the
+    committed path — the one directory a correct reader can be inside is
+    protected."""
     import re
     import shutil
+    import time
 
     committed = latest_version(root)
     versions = sorted(
@@ -488,15 +501,20 @@ def prune_versions(root: str, keep_last: int = 2) -> list:
         if (m := re.fullmatch(r"v(\d+)", name))
         and os.path.isdir(os.path.join(root, name))
     )
-    cutoff = versions[-keep_last] if len(versions) > keep_last else 0
+    at_or_below = [v for v in versions if v <= committed]
+    keep = set(at_or_below[-keep_last:] if keep_last > 0 else [])
+    keep.add(committed)
     removed = []
     for v in versions:
-        if v < cutoff and v != committed:
+        if v not in keep:
             shutil.rmtree(os.path.join(root, f"v{v}"))
             removed.append(f"v{v}")
+    now = time.time()
     for name in os.listdir(root):
-        if name.startswith("_tmp_") and name != _LATEST:
+        if name.startswith("_tmp_"):
             path = os.path.join(root, name)
+            if now - os.path.getmtime(path) < tmp_age_s:
+                continue  # possibly a live publish; leave it
             (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
             removed.append(name)
     return removed

@@ -1076,7 +1076,11 @@ def test_dedup_spans_hot_boilerplate_run_stays_linear(spark, tmp_path):
         for r in all_queries()["dedup_spans"].build(spark, str(tmp_path)).collect()
     }
     elapsed = time.time() - t0
-    assert elapsed < 60, f"hot-run corpus took {elapsed:.1f}s"
+    # generous smoke bound (loaded CI / cold JVM tolerant) — the real
+    # linearity evidence is the sf10/sf100 ladder in COVERAGE.md; a
+    # pairwise blowup at 1600 carriers would be ~2.5M candidate rows vs
+    # ~1.6k and blows far past this
+    assert elapsed < 180, f"hot-run corpus took {elapsed:.1f}s"
     carriers = [i for i in ids if i % 5]
     first_carrier = carriers[0]
     assert rows[first_carrier].n_removed == 0  # min doc keeps the block

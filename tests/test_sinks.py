@@ -216,12 +216,21 @@ def test_rollback_and_prune_lifecycle(spark, oracle_sf_dir, tmp_path):
     with pytest.raises(FileNotFoundError):
         rollback(root, 9)
 
-    os.makedirs(os.path.join(root, "_tmp_v9_123"))
-    removed = prune_versions(root, keep_last=1)
-    # v2 is committed (survives despite being old); v4 is newest (kept);
-    # v1, v3 and the staging litter go
-    assert sorted(removed) == ["_tmp_v9_123", "v1", "v3"]
+    stale = os.path.join(root, "_tmp_v9_123")
+    os.makedirs(stale)
+    os.utime(stale, (1, 1))  # old enough for the live-publish age guard
+    fresh = os.path.join(root, "_tmp_v8_456")
+    os.makedirs(fresh)  # recent mtime: a possibly-live publish, spared
+    removed = prune_versions(root, keep_last=2)
+    # retention anchors at the COMMITTED v2: keep v2 + the rollback
+    # margin below it (v1); the rollback-abandoned v3/v4 (the bad ship)
+    # and the AGED staging litter go; the fresh staging dir is spared
+    assert sorted(removed) == ["_tmp_v9_123", "v3", "v4"]
     assert read_published(spark, root).count() == 20
-    assert os.path.isdir(os.path.join(root, "v4"))
-    # a later publish continues from the on-disk max, not the pointer
-    assert publish_version(spark, docs.where("doc_id < 5"), root) == 5
+    assert os.path.isdir(os.path.join(root, "v1"))
+    assert os.path.isdir(fresh)
+    # keep_last=0 keeps only the committed version
+    assert prune_versions(root, keep_last=0) == ["v1"]
+    assert read_published(spark, root).count() == 20
+    # a later publish continues past every version ever seen on disk
+    assert publish_version(spark, docs.where("doc_id < 5"), root) == 3
