@@ -44,6 +44,11 @@ _QUERIES = (
     "token_budget_sample",
     "source_overlap",
     "ngram_novelty",
+    # round-7 late additions: the decontam cosine (ROUND-6 double) and
+    # the span rebuild (exact strings, but the window/semi-join plan must
+    # not reorder coverage under a different DOP)
+    "embed_decontam",
+    "dedup_spans",
 )
 
 _DOPS = (1, 7, 64)
