@@ -533,10 +533,16 @@ def lsh_ingest_stream(
     rebuild (`build_lsh_index`), or dedup the cells table on vec_id,
     before trusting probes after an unclean restart. Returns the
     started StreamingQuery."""
+    import uuid
+
     schema = spark.read.parquet(embeds_dir).schema
+    # Per-stream view suffix: two concurrent ingest streams in one session
+    # must not stomp each other's batch view mid-query (the same fix
+    # minhash_delta_pairs carries for its doc-agg view).
+    stream_tag = uuid.uuid4().hex[:12]
 
     def _append(batch: DataFrame, _epoch_id: int) -> None:
-        view = "_lsh_ingest_batch"
+        view = f"_lsh_ingest_batch_{stream_tag}"
         batch.createOrReplaceTempView(view)
         _lsh_cells_df(batch.sparkSession, None, src=view).write.mode(
             "append"
@@ -900,6 +906,8 @@ def novelty_ingest_stream(
     at-least-once per batch (same caveat as lsh_ingest_stream: recover
     from an unclean restart with a `build_runs_index` rebuild before
     trusting the feed). Returns the started StreamingQuery."""
+    import uuid
+
     from ..queries import corpus_ext as cx
     from ..queries import llm_pipeline as lp
 
@@ -907,10 +915,13 @@ def novelty_ingest_stream(
     schema = spark.read.parquet(docs_dir).schema
     d = lp._SPARK_D
     run = cx._novelty_run_expr(d)
+    # Per-stream view suffix — same concurrent-streams fix as
+    # lsh_ingest_stream / minhash_delta_pairs.
+    stream_tag = uuid.uuid4().hex[:12]
 
     def _probe_and_append(batch: DataFrame, _epoch_id: int) -> None:
         s = batch.sparkSession
-        view = "_nv_ingest_batch"
+        view = f"_nv_ingest_batch_{stream_tag}"
         batch.createOrReplaceTempView(view)
         head = cx._novelty_head(d, src=view)
         if not s.catalog.tableExists(runs_table):
@@ -923,7 +934,7 @@ def novelty_ingest_stream(
         # new-runs append: materialize it once (the minhash_delta_pairs
         # device — as a CTE the explode/hash pass would re-run per
         # consumer), with a per-batch view name dropped before returning.
-        g_view = f"_nv_ingest_g_{_epoch_id}"
+        g_view = f"_nv_ingest_g_{stream_tag}_{_epoch_id}"
         s.sql(
             head
             + f" SELECT {run} AS h, collect_set(doc_id) AS ds"

@@ -305,6 +305,12 @@ def parse_audio_header(payload: bytes) -> tuple[int, int, int, int]:
                     raise ValueError("fmt chunk too short")
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
+                if pos + 8 + size > len(payload):
+                    # Declared sample bytes exceed the container — a
+                    # truncated file. Reporting n_frames from the declared
+                    # size would promise frames that aren't there; fail
+                    # loudly like every other inconsistency here.
+                    raise ValueError("truncated data chunk")
                 data_size = size
             pos += 8 + size + (size % 2)  # chunks are word-aligned
     except struct.error as exc:

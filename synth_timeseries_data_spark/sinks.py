@@ -381,6 +381,7 @@ def publish_version(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     os.rename(staging, final)
+    _fsync_dir(root)  # version rename durable BEFORE the pointer names it
     pointer = {
         "version": version,
         "path": f"v{version}",
@@ -392,7 +393,26 @@ def publish_version(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_ptr, os.path.join(root, _LATEST))
+    _fsync_dir(root)
     return version
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY fd — POSIX durability for the renames inside it.
+    Without this, a pointer rename can survive power loss while the
+    version-directory rename it advertises does not (both live in the
+    same dirent table, but the kernel may flush them independently).
+    Best-effort on platforms whose directories reject O_RDONLY fsync."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _next_version(root: str) -> int:
@@ -468,6 +488,7 @@ def rollback(root: str, version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_ptr, os.path.join(root, _LATEST))
+    _fsync_dir(root)
 
 
 def prune_versions(
@@ -486,14 +507,19 @@ def prune_versions(
     (default 1 h), so a retention job racing a LIVE publish/rollback
     cannot delete its in-flight staging dir or tmp pointer; like publish,
     prune assumes one WRITER at a time, and the age guard is the safety
-    net for a scheduler that breaks that contract. Returns the removed
-    names. Readers racing a prune of an old version were already off the
-    committed path — the one directory a correct reader can be inside is
-    protected."""
+    net for a scheduler that breaks that contract. The same age guard
+    protects a LIVE publish caught between its directory rename and its
+    pointer swap: a v{n} ABOVE the committed version younger than
+    ``tmp_age_s`` may be about to be advertised, so it is skipped —
+    deleting it would let the imminent pointer swap name a missing
+    directory. Returns the removed names. Readers racing a prune of an
+    old version were already off the committed path — the one directory
+    a correct reader can be inside is protected."""
     import re
     import shutil
     import time
 
+    now = time.time()
     committed = latest_version(root)
     versions = sorted(
         int(m.group(1))
@@ -507,9 +533,11 @@ def prune_versions(
     removed = []
     for v in versions:
         if v not in keep:
-            shutil.rmtree(os.path.join(root, f"v{v}"))
+            path = os.path.join(root, f"v{v}")
+            if v > committed and now - os.path.getmtime(path) < tmp_age_s:
+                continue  # possibly a live publish mid-promotion; leave it
+            shutil.rmtree(path)
             removed.append(f"v{v}")
-    now = time.time()
     for name in os.listdir(root):
         if name.startswith("_tmp_"):
             path = os.path.join(root, name)

@@ -210,6 +210,13 @@ def test_parse_audio_header_rejects_degenerate_fmt_and_non_pcm():
     with pytest.raises(ValueError):
         parse_audio_header(truncated)
 
+    # data chunk declares more sample bytes than the container holds —
+    # a truncated file; n_frames must NOT be reported from the declared
+    # size (it would promise frames that aren't there).
+    cut = wav[:-2]  # drop trailing sample bytes, keep the declared size
+    with pytest.raises(ValueError):
+        parse_audio_header(cut)
+
 
 def test_header_parsers_never_raise_anything_but_valueerror():
     """Fuzz the one-exception contract: over arbitrary byte strings (and

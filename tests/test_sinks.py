@@ -221,11 +221,21 @@ def test_rollback_and_prune_lifecycle(spark, oracle_sf_dir, tmp_path):
     os.utime(stale, (1, 1))  # old enough for the live-publish age guard
     fresh = os.path.join(root, "_tmp_v8_456")
     os.makedirs(fresh)  # recent mtime: a possibly-live publish, spared
+    # v3/v4 sit ABOVE the committed v2 with fresh mtimes — exactly the
+    # shape of a LIVE publish caught between its directory rename and
+    # its pointer swap, so the age guard must spare them too (deleting
+    # a live one would let the imminent pointer swap advertise a
+    # missing directory).
     removed = prune_versions(root, keep_last=2)
-    # retention anchors at the COMMITTED v2: keep v2 + the rollback
-    # margin below it (v1); the rollback-abandoned v3/v4 (the bad ship)
-    # and the AGED staging litter go; the fresh staging dir is spared
-    assert sorted(removed) == ["_tmp_v9_123", "v3", "v4"]
+    assert removed == ["_tmp_v9_123"]
+    assert os.path.isdir(os.path.join(root, "v3"))
+    # Once their forensics window ends (aged past tmp_age_s) the
+    # rollback-abandoned v3/v4 go; retention anchors at the COMMITTED
+    # v2: keep v2 + the rollback margin below it (v1).
+    os.utime(os.path.join(root, "v3"), (1, 1))
+    os.utime(os.path.join(root, "v4"), (1, 1))
+    removed = prune_versions(root, keep_last=2)
+    assert sorted(removed) == ["v3", "v4"]
     assert read_published(spark, root).count() == 20
     assert os.path.isdir(os.path.join(root, "v1"))
     assert os.path.isdir(fresh)
