@@ -49,6 +49,7 @@ from .llm_pipeline import (
     _hex2int,
     _indexed,
     _parquet_rows,
+    _register_docs,
     _spark_docs,
 )
 
@@ -852,6 +853,179 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bpe_encode: merge-table APPLICATION (round 8) — bpe_pairs computes the
+# merge statistic; this applies a priority-ranked merge table to every
+# document's token stream, the actual tokenization step a training
+# pipeline runs between curation and packing (pack_sequences' input).
+# --------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = 8
+
+
+def _bpe_encode_sql(d) -> str:
+    # Merge table: the top-_BPE_ENC_MERGES adjacent-token pairs by
+    # (count DESC, pair) — bpe_pairs' statistic, rank = merge priority.
+    # Application: each document's token stream is rendered as a string
+    # with a DOUBLED chr(1) boundary between tokens (and at both ends);
+    # merge k then becomes ONE engine-side REPLACE of
+    #   chr(1)·a·chr(1)chr(1)·b·chr(1)  →  chr(1)·a·' '·b·chr(1)
+    # — the doubled boundary means consecutive matches each retain a
+    # boundary char for the scanner, so one REPLACE performs exactly the
+    # left-to-right non-overlapping pass BPE-apply specifies ("a a a"
+    # under merge (a,a) → ["a a", "a"], pinned by the reimpl test), and
+    # both engines' REPLACE resumes scanning after the replacement, never
+    # inside it. Merges apply in rank order (priority), so a rank-1 merge
+    # consumes tokens a rank-2 merge would have used — BPE's tie rule.
+    # On the DUCK side the merge table rides into the expression as
+    # scalar subqueries (DuckDB materializes a multiply-referenced CTE);
+    # the SPARK side inlines the eight (a, b) pairs as string LITERALS
+    # instead — Spark re-plans an inlined CTE per scalar-subquery
+    # consumer, so the subquery form re-ran the pair aggregation 16×
+    # (measured 30.7 s vs 2.5 s at sf0.01). The literal table comes from
+    # one vocabulary²-bounded job collected as 8 planning-scalar rows
+    # (the neardup_index probe-cell precedent) in bpe_encode() below.
+    # COALESCE guards a sub-8-pair corpus (chr(2) can never match:
+    # tokens are space-split text, the boundary is chr(1)).
+    ws = d["split"]("text")
+    join = (
+        (lambda a, s: f"array_join({a}, {s})")
+        if d is _SPARK_D
+        else (lambda a, s: f"array_to_string({a}, {s})")
+    )
+    resplit = (
+        (lambda s, sep: f"split({s}, {sep})")
+        if d is _SPARK_D
+        else (lambda s, sep: f"str_split({s}, {sep})")
+    )
+    b2 = "CONCAT(chr(1), chr(1))"  # token boundary (doubled)
+    enc = f"CONCAT({b2}, {join('ws', b2)}, {b2})"
+    for k in range(1, _BPE_ENC_MERGES + 1):
+        pat = (
+            f"(SELECT CONCAT(chr(1), a, {b2}, b, chr(1)) "
+            f"FROM merges WHERE rk = {k})"
+        )
+        rep = (
+            f"(SELECT CONCAT(chr(1), a, ' ', b, chr(1)) "
+            f"FROM merges WHERE rk = {k})"
+        )
+        enc = (
+            f"REPLACE({enc}, COALESCE({pat}, chr(2)), COALESCE({rep}, ''))"
+        )
+    return f"""
+    WITH w AS (SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
+               WHERE text IS NOT NULL),
+    {_bpe_merges_cte(d)},
+    encoded AS (SELECT doc_id, {enc} AS enc FROM w),
+    stats AS (
+      SELECT doc_id,
+             CAST({d['len'](resplit('enc', b2))} - 2 AS BIGINT)
+               AS n_bpe_tokens,
+             md5(enc) AS enc_hash
+      FROM encoded
+    )
+    SELECT d.doc_id,
+           CAST({d['len'](d['split']('d.text'))} AS BIGINT) AS n_tokens,
+           s.n_bpe_tokens,
+           s.enc_hash
+    FROM {d['pdocs']} d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """
+
+
+def _bpe_merges_cte(d) -> str:
+    """The ranked merge-table CTEs (pairs + merges) over the ``w``
+    token-array relation — shared by the oracle's one-statement form and
+    the Spark side's collect-then-inline build."""
+    return f"""pairs AS (
+      SELECT {d['el']('ws', 'i')} AS a, {d['el']('ws', 'i + 1')} AS b
+      FROM (SELECT ws, {d['expand']('1', d['len']('ws') + ' - 1')} AS i
+            FROM w WHERE {d['len']('ws')} >= 2) t
+    ),
+    merges AS (
+      SELECT a, b, ROW_NUMBER() OVER (ORDER BY n DESC, a, b) AS rk
+      FROM (SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT {_BPE_ENC_MERGES}) g
+    )"""
+
+
+def _sql_str(s: str) -> str:
+    """A standard-SQL single-quoted literal for ``s`` (quote doubling —
+    both engines; no backslash escapes, Spark treats those literally only
+    under ANSI mode)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_encode_spark_sql(merges: "list[tuple[str, str]]") -> str:
+    """The Spark apply plan with the merge table inlined as LITERALS:
+    one corpus pass of chained REPLACEs, no subqueries, no re-planned
+    CTEs. ``merges`` is rank-ordered."""
+    d = _SPARK_D
+    b1, b2 = "\x01", "\x01\x01"
+    enc = f"CONCAT({_sql_str(b2)}, array_join(ws, {_sql_str(b2)}), {_sql_str(b2)})"
+    for a, b in merges:
+        pat = _sql_str(b1 + a + b2 + b + b1)
+        rep = _sql_str(b1 + a + " " + b + b1)
+        enc = f"REPLACE({enc}, {pat}, {rep})"
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}
+               WHERE text IS NOT NULL),
+    encoded AS (SELECT doc_id, {enc} AS enc FROM w),
+    stats AS (
+      SELECT doc_id,
+             CAST(size(split(enc, {_sql_str(b2)})) - 2 AS BIGINT)
+               AS n_bpe_tokens,
+             md5(enc) AS enc_hash
+      FROM encoded
+    )
+    SELECT d.doc_id,
+           CAST(size({d['split']('d.text')}) AS BIGINT) AS n_tokens,
+           s.n_bpe_tokens,
+           s.enc_hash
+    FROM {d['pdocs']} d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """
+
+
+_BPE_ENC_DUCK = _bpe_encode_sql(_DUCK_D)
+_BPE_MERGES_SPARK = (
+    f"WITH w AS (SELECT doc_id, {_SPARK_D['split']('text')} AS ws "
+    f"FROM {_SPARK_D['pdocs']} WHERE text IS NOT NULL),\n"
+    + _bpe_merges_cte(_SPARK_D)
+    + "\nSELECT a, b FROM merges ORDER BY rk"
+)
+
+
+@register("bpe_encode", _BPE_ENC_DUCK)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: BPE merge-table APPLICATION — induce the top-8 merge
+    table from the corpus (bpe_pairs' statistic, rank = priority), then
+    encode every document: merges apply in rank order, each as one
+    left-to-right non-overlapping pass over the token stream (the
+    standard BPE-apply discipline; a higher-priority merge consumes the
+    tokens a lower one would have used). Returns doc_id, n_tokens
+    (whitespace grain, the pack_sequences input unit today),
+    n_bpe_tokens (after merging — what packing SHOULD budget on), and
+    enc_hash (md5 of the boundary-joined encoded stream — value-hashes
+    the exact token sequence without shipping it). One row per input
+    doc; NULL text passes through with NULL signals.
+
+    Scale shape: the merge table is one vocabulary²-bounded job LIMITed
+    to 8 rows, collected as planning scalars (the neardup_index
+    probe-cell precedent) and inlined into the apply plan as string
+    literals — Spark re-plans an inlined CTE per scalar-subquery
+    consumer, so the one-statement form re-ran the pair aggregation 16×
+    (measured 30.7 s vs ~3 s at sf0.01); application is then ONE corpus
+    pass of chained engine-side REPLACEs (whole-stage codegen, no
+    Python, no per-token explode on the apply side); nothing
+    fact-proportional shuffles. Pinned row-equal to an independent
+    python BPE-apply reimpl (tests/test_corpus_ext.py), including the
+    overlapping-run and merge-priority cases."""
+    _register_docs(spark, sf_dir)
+    merges = [
+        (r.a, r.b) for r in spark.sql(_BPE_MERGES_SPARK).collect()
+    ]
+    return spark.sql(_bpe_encode_spark_sql(merges))
+
+
+# --------------------------------------------------------------------------
 # gopher_rules: the published Gopher document-quality gates (Rae et al.
 # 2021, Appendix A) as per-document boolean flags + overall keep.
 # --------------------------------------------------------------------------
@@ -1268,20 +1442,24 @@ def _novelty_rollup_sql() -> str:
     """
 
 
-def _ngram_novelty_sql(d) -> str:
+def _ngram_novelty_sql(d, two_phase: bool = False) -> str:
     # A run is "novel in doc D" iff D is the min-doc_id document containing
     # it (hash discipline: see _novelty_run_expr).
     run = _novelty_run_expr(d)
     head = _novelty_head(d)
-    if d is _SPARK_D:
+    if d is _SPARK_D and not two_phase:
         # One aggregation by run hash (collect_set dedups per-doc repeats
         # in the same exchange, map-side partials), then the occurrence
         # explode is LINEAR in run occurrences — unlike the pair explode
         # in substring_dup, boilerplate runs cannot go quadratic, so no
-        # stop-gram cap is needed. At a boilerplate-heavy 100 TB corpus
-        # the hot-run set state is the one skew to watch; the two-phase
-        # alternative (h -> (min_doc) + join back on h) bounds state at
-        # one row per run at the price of a second corpus pass.
+        # stop-gram cap is needed. The one skew: a UNIVERSAL boilerplate
+        # run's collect_set holds one array proportional to corpus size
+        # in a single aggregation state row, so past _NOVELTY_TWO_PHASE
+        # documents (footer count, no job) the registry switches to the
+        # two-phase form below — h -> MIN(doc_id) + SHUFFLE_HASH join
+        # back — which bounds per-run state at ONE row at the price of a
+        # second exchange. Both forms are pinned row-equal on random and
+        # hot-boilerplate corpora (tests/test_corpus_ext.py).
         return f"""{head},
     g AS (
       SELECT {run} AS h, collect_set(doc_id) AS ds
@@ -1291,10 +1469,16 @@ def _ngram_novelty_sql(d) -> str:
       SELECT ds_doc AS doc_id, array_min(ds) AS first_doc
       FROM g LATERAL VIEW explode(ds) AS ds_doc
     )""" + _novelty_rollup_sql()
+    # Two-phase form — DuckDB's oracle definition, and the Spark plan for
+    # the large/boilerplate tier. The SHUFFLE_HASH hint (Spark only)
+    # prevents the planner broadcasting the corpus-proportional firsts
+    # relation (the measured fact-proportional-broadcast OOM class); AQE
+    # skew-join splitting divides a hot-h probe partition.
+    hint = "/*+ SHUFFLE_HASH(f) */ " if d is _SPARK_D else ""
     return f"""{head},
     runs AS (SELECT DISTINCT doc_id, {run} AS h FROM pos),
     firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM runs GROUP BY h)
-    SELECT r.doc_id,
+    SELECT {hint}r.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_runs,
            CAST(SUM(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
@@ -1307,6 +1491,25 @@ def _ngram_novelty_sql(d) -> str:
 
 
 _NOVELTY_SPARK, _NOVELTY_DUCK = _dual(_ngram_novelty_sql)
+_NOVELTY_SPARK_2P = _ngram_novelty_sql(_SPARK_D, two_phase=True)
+
+# Above this many documents (footer count, no job) ngram_novelty switches
+# to the two-phase form: the single-pass collect_set holds one array per
+# run proportional to that run's occurrence count — a universal
+# boilerplate run makes that ONE aggregation-state row corpus-sized, and
+# the explode of that one giant array then runs in ONE task. Measured
+# (interleaved, FLOOR.md §r8; hot = 8-token block on 80% of docs):
+#   sf1  uniform (50k):   single 1.08 s   two-phase 1.68 s
+#   sf1  hot     (50k):   single 3.40 s   two-phase 2.02 s
+#   sf10 uniform (500k):  single 4.43 s   two-phase 6.32 s
+#   sf10 hot     (500k):  single 259 s    two-phase 9.07 s   (29×)
+# Unlike dedup_spans' window (which spills gracefully and wins every
+# tier), the single-pass form's hot-run failure is superlinear and
+# ultimately OOM (the state array cannot spill row-internally), while
+# the two-phase form's uniform-tier loss is a bounded ~1.4×. The gate
+# sits between the measured tiers: fixtures keep the single-pass win,
+# anything bigger takes the bounded plan.
+_NOVELTY_TWO_PHASE_ROWS = 100_000
 
 
 @register("ngram_novelty", _NOVELTY_DUCK)
@@ -1319,7 +1522,19 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass on Spark: the explode feeds a single hash-keyed aggregation
     (per-doc dedup + first-doc min in the collect_set), then a linear
     occurrence explode and a doc-keyed rollup; the oracle keeps the
-    naive DISTINCT + MIN + join form as the independent definition."""
+    naive DISTINCT + MIN + join form as the independent definition.
+    Past _NOVELTY_TWO_PHASE_ROWS documents the Spark side switches to
+    that two-phase form itself (DISTINCT + MIN-by-h + SHUFFLE_HASH join
+    back): per-run aggregation state drops from one occurrence-sized
+    array to one row, so a universal boilerplate run can no longer make
+    a single state row corpus-sized; AQE's skew-join splitting divides
+    the hot-h probe partition that replaces it. Both forms pinned
+    row-equal on random and hot-boilerplate corpora
+    (tests/test_corpus_ext.py); measured crossover in FLOOR.md §r8."""
+    from ..sources.tables import table_rows
+
+    if table_rows(sf_dir, "documents") > _NOVELTY_TWO_PHASE_ROWS:
+        return _spark_docs(spark, sf_dir, _NOVELTY_SPARK_2P)
     return _spark_docs(spark, sf_dir, _NOVELTY_SPARK)
 
 
@@ -1331,7 +1546,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _dedup_spans_sql(d) -> str:
+def _dedup_spans_sql(d, agg_form: bool = False) -> str:
     # A token position is COVERED iff it lies inside some 8-token run
     # whose min-doc_id occurrence is in an EARLIER doc — the rule is
     # DOC-grain: every occurrence inside the min doc is kept (within-doc
@@ -1353,8 +1568,19 @@ def _dedup_spans_sql(d) -> str:
     # pays the position relation through the h exchange TWICE (Spark
     # inlines the ph CTE per consumer). A hot boilerplate run skews the
     # window's h partition; the window is a sortless full-partition MIN,
-    # so the skewed task streams linearly — AQE skew handling and, past
-    # that, two-level (h, salt) partial MINs are the levers.
+    # so the skewed task streams linearly (buffering/spilling the hot h's
+    # positions in ONE task). Past _SPANS_AGG_ROWS documents the SPARK
+    # side switches to ``agg_form`` (the dedup_spans docstring has the
+    # measured A/B): GROUP BY h replaces the window — Spark's hash
+    # aggregate partial-aggregates map-side, which IS the two-level
+    # (h, salt) MIN with salt = map task, so the hot run reduces to
+    # ≤ #tasks partial rows before the exchange — then the run relation
+    # joins back to ph under a SHUFFLE_HASH hint (a broadcast would be
+    # fact-proportional, the measured sf1 OOM) where AQE's skew-join
+    # splitting can divide the hot-h probe partition across tasks. The
+    # price is the position pass (scan+explode+hash) running twice
+    # (Spark inlines the ph CTE per consumer; the exchanges differ — one
+    # carries the partial aggregate — so ReusedExchange cannot fire).
     run = _novelty_run_expr(d)
     ws = d["split"]("text")
     strcast = "STRING" if d is _SPARK_D else "VARCHAR"
@@ -1375,13 +1601,22 @@ def _dedup_spans_sql(d) -> str:
         )
         j_expand = f", unnest(generate_series(0, {_DC_K - 1})) AS ju(j)"
         rebuild = "string_agg(k.tok, ' ' ORDER BY k.t)"
-    return f"""{_novelty_head(d)},
-    ph AS (SELECT doc_id, i, {run} AS h FROM pos),
+    if agg_form:
+        fh = """
+    runs AS (SELECT h, MIN(doc_id) AS first_doc FROM ph GROUP BY h),
+    fh AS (
+      SELECT /*+ SHUFFLE_HASH(r) */ p.doc_id, p.i, r.first_doc
+      FROM ph p JOIN runs r ON p.h = r.h
+    )"""
+    else:
+        fh = """
     fh AS (
       SELECT doc_id, i,
              MIN(doc_id) OVER (PARTITION BY h) AS first_doc
       FROM ph
-    ),
+    )"""
+    return f"""{_novelty_head(d)},
+    ph AS (SELECT doc_id, i, {run} AS h FROM pos),{fh},
     cov AS (
       SELECT DISTINCT doc_id, i + j AS t
       FROM fh {j_expand}
@@ -1422,6 +1657,29 @@ def _dedup_spans_sql(d) -> str:
 
 
 _SPANS_SPARK, _SPANS_DUCK = _dual(_dedup_spans_sql)
+_SPANS_SPARK_AGG = _dedup_spans_sql(_SPARK_D, agg_form=True)
+
+# Above this many documents (parquet footer count, no job — the
+# sliding_agg precedent) the Spark side switches from the run-keyed
+# window to the agg+SHUFFLE_HASH-join form. Measured (interleaved
+# min-of-3, scripts/spans_ab_r08.py, full-plan eval; hot = one 8-token
+# block carried by 80% of docs, the aac4508 stress shape at scale):
+#   sf1  uniform (50k docs):   window 1.51 s   agg 2.18 s
+#   sf1  hot     (50k docs):   window 2.57 s   agg 3.54 s
+#   sf10 uniform (500k docs):  window 7.18 s   agg 9.03 s
+#   sf10 hot     (500k docs):  window 16.0 s   agg 25.4 s
+# The WINDOW wins every measured tier INCLUDING hot boilerplate — the
+# agg form's second position pass (scan+explode+hash ×2) costs more
+# than the hot h partition, which the window streams/spills in one task
+# (at sf10-hot that task holds 400k ~50 B rows, well under spill
+# pressure). The agg form is therefore gated to the regime the ladder
+# cannot reach: where ONE run's occurrence rows make the single-task
+# window buffer the stage straggler (~GB-scale, ≥ tens of millions of
+# carrier docs) — there the AQE-splittable SHUFFLE_HASH join divides
+# the hot partition while the window cannot. 20M docs ≈ a universal
+# run buffering ~1 GB in one task; below that every measurement says
+# window.
+_SPANS_AGG_ROWS = 20_000_000
 
 
 @register("dedup_spans", _SPANS_DUCK)
@@ -1447,9 +1705,19 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange (stamping each position with its run's first doc);
     coverage expansion is a bounded ×8 explode of STALE positions only;
     the rebuild is an anti-join plus one doc-keyed ordered aggregation.
-    Nothing is quadratic in anything; boilerplate-heavy corpora skew the
-    run-key window the same way any hot key does (salt or split the hot
-    run's partition)."""
+    Nothing is quadratic in anything. Boilerplate-heavy corpora skew the
+    run-key window (the hot h buffers in ONE task), so past
+    _SPANS_AGG_ROWS documents (footer count, no job) the first-doc stamp
+    switches to the agg + SHUFFLE_HASH-join form: map-side partial
+    aggregation is the two-level (h, salt) MIN, and AQE skew-join
+    splitting divides the hot-h probe partition — at the price of the
+    position pass running twice. The two forms are pinned row-equal on
+    random and hot-boilerplate corpora (tests/test_corpus_ext.py); the
+    measured crossover is recorded in FLOOR.md §r8."""
+    from ..sources.tables import table_rows
+
+    if table_rows(sf_dir, "documents") > _SPANS_AGG_ROWS:
+        return _spark_docs(spark, sf_dir, _SPANS_SPARK_AGG)
     return _spark_docs(spark, sf_dir, _SPANS_SPARK)
 
 

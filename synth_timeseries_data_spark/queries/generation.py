@@ -440,3 +440,94 @@ def scm_generate_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_long_linear_series(
         spark, n_points=100_000, n_vars=4, max_lag=2, n_segments=32
     )
+
+
+# --------------------------------------------------------------------------
+# scm_output_stats: value-hashed attestation of sweep OUTPUT (round 8,
+# VERDICT r07 item 7). The four sweep umbrellas are rows-only at the
+# driver (seeded-numpy recurrences are not SQL); their numeric fidelity
+# is pinned by the golden corpus, but no driver row ever value-hashed
+# what the DISTRIBUTED sweep path emits. This entry closes that: the
+# Spark side runs the real applyInPandas sweep for ONE config and
+# aggregates its output; the oracle aggregates the SAME config generated
+# by the kernel directly (driver-side numpy, persisted once to parquet at
+# registration — deterministic seed-42 content, atomic publish). A green
+# value hash therefore certifies sweep path ≡ kernel, per variable,
+# FLOOR-micro exact.
+# --------------------------------------------------------------------------
+
+_SCM_OUT_CFG = ("a1", 500, 4, 2, "gaussian")  # family, n, v, lag, noise
+_SCM_OUT_VERSION = "v1"  # bump when kernel/config semantics change
+
+
+def _scm_output_path() -> str:
+    import os
+    import tempfile
+
+    fam, n, v, lag, noise = _SCM_OUT_CFG
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"scm_output_{fam}_n{n}_v{v}_l{lag}_{noise}_{_SCM_OUT_VERSION}.parquet",
+    )
+
+
+def _scm_output_publish() -> str:
+    """Write the oracle anchor file (kernel output for _SCM_OUT_CFG, long
+    form) if absent — atomic tmp+replace, deterministic content, so
+    concurrent registrations and stale readers are all safe."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _scm_output_path()
+    if os.path.exists(path):
+        return path
+    fam, n, v, lag, noise = _SCM_OUT_CFG
+    wide = _COMPLETE_KERNELS[fam](n, v, lag, noise, None, None, None)
+    long = _melt_wide(fam, f"{fam}_n{n}_v{v}_l{lag}_{noise}", wide)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".parquet", dir=os.path.dirname(path)
+    )
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(long, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+_SCM_OUT_AGG = """
+    SELECT var,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MIN(t) AS t_min,
+           MAX(t) AS t_max
+    FROM {src}
+    GROUP BY var
+"""
+
+
+def _scm_output_duck() -> str:
+    path = _scm_output_publish()
+    return _SCM_OUT_AGG.format(src=f"read_parquet('{path}')")
+
+
+@register("scm_output_stats", _scm_output_duck())
+def scm_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variable summary of ONE sweep config's OUTPUT, generated
+    through the real distributed path (the same applyInPandas sweep
+    scm_generate runs, restricted to one grid row) — the driver's value
+    hash compares it against the kernel's own output persisted at
+    registration, certifying that the scale-out machinery (grid pack,
+    inline, Arrow batching, melt) reproduces the sequential kernel
+    bit-exactly. FLOOR-micro exact sums; min/max are raw doubles (same
+    bits on both sides by construction)."""
+    fam, n, v, lag, noise = _SCM_OUT_CFG
+    grid = _rows(fam, [(n, v, lag, noise, None, None, None)])
+    out = _sweep(spark, grid, _complete_group(_COMPLETE_KERNELS),
+                 _COMPLETE_SCHEMA)
+    out.createOrReplaceTempView("_scm_output_one")
+    return spark.sql(_SCM_OUT_AGG.format(src="_scm_output_one"))

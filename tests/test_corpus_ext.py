@@ -1119,3 +1119,177 @@ def test_embed_decontam_is_the_cross_split_slice_of_neardup(spark, oracle_sf_dir
             t, tr = (p.vec_a, p.vec_b) if sa == "test" else (p.vec_b, p.vec_a)
             expected[(t, tr)] = p.cos_sim
     assert got == expected and len(got) > 0
+
+
+def _write_docs(tmp_path, name: str, docs: dict) -> str:
+    """documents.parquet fixture dir from {doc_id: text}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / name
+    out.mkdir()
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(docs[i]) if docs[i] is not None else 0 for i in ids],
+                    pa.int64(),
+                ),
+            }
+        ),
+        str(out / "documents.parquet"),
+    )
+    return str(out)
+
+
+def _skew_gate_corpora(tmp_path) -> list:
+    """Two corpora exercising both sides of the size/skew gates: a seeded
+    random-overlap corpus and a hot-boilerplate corpus (one 8-token block
+    carried by 80% of docs — the single-task window-partition /
+    corpus-sized collect_set shape), plus NULL-text and short docs."""
+    import random
+
+    rng = random.Random(13)
+    phrases = [[f"p{p}w{i}" for i in range(10)] for p in range(5)]
+    rand_docs: dict = {}
+    for doc_id in range(1, 40):
+        toks: list = []
+        for _ in range(rng.randint(1, 3)):
+            toks += rng.choice(phrases)
+            if rng.random() < 0.4:
+                toks.append(f"n{doc_id}x{len(toks)}")
+        rand_docs[doc_id] = " ".join(toks)
+    rand_docs[40] = None  # NULL text
+    rand_docs[41] = "tiny doc"  # under the 8-token run width
+
+    block = " ".join(f"hot{i}" for i in range(8))
+    hot_docs = {}
+    for doc_id in range(1, 301):
+        own = " ".join(f"d{doc_id}w{i}" for i in range(8))
+        hot_docs[doc_id] = (block + " " + own) if doc_id % 5 else own
+
+    return [
+        _write_docs(tmp_path, "rand", rand_docs),
+        _write_docs(tmp_path, "hot", hot_docs),
+    ]
+
+
+def test_dedup_spans_window_and_agg_forms_row_equal(spark, tmp_path):
+    """The size-gated first-doc-stamp forms (run-keyed window vs
+    GROUP BY h + SHUFFLE_HASH join back) must be row-identical on both a
+    random-overlap corpus and the hot-boilerplate skew shape — the gate
+    may only ever change the plan, never a value."""
+    from synth_timeseries_data_spark.queries.corpus_ext import (
+        _SPANS_SPARK,
+        _SPANS_SPARK_AGG,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _register_docs,
+    )
+
+    for sf_dir in _skew_gate_corpora(tmp_path):
+        _register_docs(spark, sf_dir)
+        key = lambda r: (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+        a = sorted(map(key, spark.sql(_SPANS_SPARK).collect()))
+        b = sorted(map(key, spark.sql(_SPANS_SPARK_AGG).collect()))
+        assert a == b and len(a) > 0, sf_dir
+
+
+def test_ngram_novelty_single_and_two_phase_forms_row_equal(spark, tmp_path):
+    """The size-gated novelty forms (single-pass collect_set vs two-phase
+    DISTINCT + MIN-by-h + SHUFFLE_HASH join) must be row-identical on
+    both gate corpora; the two-phase form bounds per-run aggregation
+    state at one row even for the universal boilerplate run."""
+    from synth_timeseries_data_spark.queries.corpus_ext import (
+        _NOVELTY_SPARK,
+        _NOVELTY_SPARK_2P,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _register_docs,
+    )
+
+    for sf_dir in _skew_gate_corpora(tmp_path):
+        _register_docs(spark, sf_dir)
+        key = lambda r: (r.doc_id, r.n_runs, r.n_novel, r.novelty_micro)
+        a = sorted(map(key, spark.sql(_NOVELTY_SPARK).collect()))
+        b = sorted(map(key, spark.sql(_NOVELTY_SPARK_2P).collect()))
+        assert a == b and len(a) > 0, sf_dir
+
+
+def _bpe_apply_reimpl(texts: dict, n_merges: int = 8) -> dict:
+    """Independent plain-python BPE-apply: induce the top-n adjacent-pair
+    merge table by (count DESC, pair), then apply merges in rank order,
+    each as one left-to-right non-overlapping pass."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in texts.values():
+        if t is None:
+            continue
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            counts[(ws[i], ws[i + 1])] += 1
+    merges = sorted(counts, key=lambda p: (-counts[p], p))[:n_merges]
+
+    out = {}
+    for doc_id, t in texts.items():
+        if t is None:
+            out[doc_id] = (None, None)
+            continue
+        toks = t.split(" ")
+        for a, b in merges:
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    merged.append(a + " " + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            toks = merged
+        out[doc_id] = (len(t.split(" ")), len(toks))
+    return out
+
+
+def test_bpe_encode_matches_python_reimpl(spark, tmp_path):
+    """Differential vs the independent reimpl on corpora engineered to
+    exercise the tricky cases: overlapping runs ("a a a" under merge
+    (a, a) must yield 2 tokens, left-to-right non-overlap), merge
+    priority (the rank-1 merge consumes tokens a rank-2 merge wanted),
+    and NULL text (row preserved, NULL signals)."""
+    import random
+
+    rng = random.Random(7)
+    texts = {
+        1: "a a a a a",          # overlap: non-overlapping passes
+        2: "x y z x y z x y",    # chains across the priority order
+        3: None,                 # NULL passthrough
+        4: "solo",               # single token, no pairs
+        5: "a a b b a a b b",
+    }
+    # bulk: random text over a tiny vocab so pair counts are dense and
+    # the rank order is exercised deep into the table
+    vocab = ["a", "b", "x", "y", "z", "q"]
+    for doc_id in range(6, 60):
+        texts[doc_id] = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(2, 30))
+        )
+    sf_dir = _write_docs(tmp_path, "bpe", texts)
+
+    expected = _bpe_apply_reimpl(texts)
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["bpe_encode"].build(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(texts)
+    for doc_id, (n_before, n_after) in expected.items():
+        r = rows[doc_id]
+        assert (r.n_tokens, r.n_bpe_tokens) == (n_before, n_after), doc_id
+    # the sanity anchors the docstring promises
+    assert rows[1].n_bpe_tokens == 3  # a a a a a -> [aa][aa][a]
+    assert rows[3].n_tokens is None and rows[3].enc_hash is None
