@@ -222,52 +222,72 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # there — full-relation coverage stays with the bit-exact session replay
 # in tests/test_oracle.py and the recall pins in test_ann_recall.py,
 # the same footing as every other demoted entry).
+# Round 8 alternates the tail again (the rounds-5/6/7 scheme; VERDICT
+# r07 item 4): the 42 r06-attested entries above ALL return to the
+# window — in particular the IO-roundtrip class (csv/jsonl/partitioned),
+# which round 7's accepted trade-off left with no in-window
+# representative, and vec_topk_pq, whose r07 contention watch item gets
+# its interleaved A/B this round — and 44 of the 50 r07-green entries
+# rotate out. The 6 r07 entries KEPT in-window are the ones round 8
+# touches or whose plans the judge audits every round: dedup_spans and
+# ngram_novelty (both grew size/skew-gated alternative forms this round
+# — the gate must be attested on the form the driver actually runs),
+# multimodal_audio (the WAV truncation validation landed in its parse
+# path), curate_decisions (the publish/prune lifecycle under it gained
+# the fsync + live-publish guards), and the dedup flagships
+# dedup_clusters + asof_lag. New round-8 entries bpe_encode (93rd —
+# BPE merge-table application, the tokenization step between curation
+# and packing) and scm_output_stats (94th — the distributed sweep
+# path's output value-hashed against the kernel's own, closing VERDICT
+# r07 residue item 2) enter in-window, which is exactly 42 + 6 + 2 = 50.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
-    "bpe_pairs",
-    "char_entropy",
-    "contamination_check",
-    "csv_roundtrip",
-    "decontam_ngram",
-    "dedup_firstseen",
-    "doc_chunks",
-    "doc_fingerprint",
-    "domain_mix",
-    "edge_tensor",
-    "embed_neardup",
-    "gopher_rules",
-    "hash_split",
-    "jsonl_roundtrip",
-    "lag_features",
-    "lang_id",
-    "minhash_dedup",
-    "multimodal_framesample",
-    "ngram_jaccard",
-    "noise_mixture",
-    "pack_sequences",
-    "parse_edges",
-    "partitioned_roundtrip",
-    "pii_redact",
-    "quality_score",
-    "repetition_ratio",
-    "retention_cohorts",
-    "session_agg",
-    "simhash",
-    "sliding_agg",
-    "stratified_sample",
-    "substring_dup",
-    "tfidf_topterms",
-    "text_stats",
-    "topk_value",
-    "ts_diff",
-    "tumbling_agg",
-    "unigram_xent",
-    "vec_topk_pq",
-    "vec_topk",
-    "vec_topk_ivf",
-    "vec_topk_lsh",
+    "block_mask",
+    "config_grid",
+    "corpus_filter",
+    "corr_matrix",
+    "decode_edges",
+    "docs_by_lang",
+    "dsir_weights",
+    "edge_confusion",
+    "edge_scores",
+    "embed_decontam",
+    "encode_links",
+    "funnel",
+    "irregular_ts",
+    "lagged_matrix",
+    "length_percentiles",
+    "mcar_mask",
+    "metrics_rollup",
+    "missing_pattern",
+    "missing_profile",
+    "multimodal_features",
+    "neardup_survivors",
+    "nonlinear_proj",
+    "order_set_ops",
+    "parse_edges_udtf",
+    "parse_lagged_names",
+    "plot_frames",
+    "pretty_edges",
+    "props_parse",
+    "revenue_by_nation",
+    "rolling_median",
+    "rolling_stats",
+    "sampling_hist",
+    "semdedup",
+    "shd_reversal",
+    "shd_xor",
+    "source_overlap",
+    "summary_stats",
+    "tcdf_edges",
+    "tetrad_edges",
+    "token_budget_sample",
+    "token_count",
+    "trend_fit",
+    "trend_season",
+    "validate_links",
 )
 
 

@@ -1733,7 +1733,19 @@ def vec_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compressed scan touches no float vectors and the re-rank fetches
     exactly {R} of them. Exact-duplicate retrieval (a planted copy of the
     query has the provably minimal ADC) and recall@10 vs exact L2 are
-    pinned in tests/test_ann_recall.py.""".replace("{R}", str(_PQ_SHORTLIST))
+    pinned in tests/test_ann_recall.py.
+
+    Probe shape (round 8, the r07 serving-index move folded back): the
+    query's 128-entry ADC table is also session-materialized and read as
+    planning scalars, then inlined as a BIGINT array literal — scoring
+    becomes one lookup-aggregate scan of the codes relation with NO qd
+    join and no per-call dists job; the re-rank explodes only the {R}
+    shortlist survivors' floats (fetched by the shortlist join BEFORE
+    the posexplode), never the corpus. The r08 interleaved A/B measured
+    the old qd-join form's steady state at 0.72 s vs this form's
+    ~0.35 s at sf0.1 (FLOOR.md §r8); result-equality to the persisted
+    pq_topk_indexed path stays pinned every session
+    (test_scale_techniques.py).""".replace("{R}", str(_PQ_SHORTLIST))
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     _indexed(
         spark,
@@ -1742,11 +1754,62 @@ def vec_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _pq_dists_sql(_SPARK_D, "")
         + _PQ_CODES_TAIL,
     ).createOrReplaceTempView("pq_codes")
-    return spark.sql(
+    adc_rows = _indexed(
+        spark,
+        f"pq_qd|{sf_dir}",
         f"WITH comps AS ({_PQ_POSEXP_SPARK}),"
         + _pq_dists_sql(_SPARK_D, "WHERE vec_id = 0")
-        + ",\n    qd AS (SELECT m, c, d2 FROM dists),"
-        + _pq_tail(_SPARK_D, "pq_codes")
+        + "\n    SELECT m, c, d2 FROM dists",
+    ).collect()
+    if len(adc_rows) != _PQ_M * _PQ_K:
+        raise ValueError(
+            f"query vector (vec_id 0) or the {_PQ_K} codebook anchors "
+            f"not found in {sf_dir}'s embeddings "
+            f"({len(adc_rows)}/{_PQ_M * _PQ_K} ADC entries)"
+        )
+    adc = [0] * (_PQ_M * _PQ_K)
+    for r in adc_rows:
+        adc[r["m"] * _PQ_K + r["c"]] = r["d2"]
+    adc_lit = "array(" + ", ".join(f"{v}L" for v in adc) + ")"
+    micro = (
+        "CAST(FLOOR((cv.x - qc.qx) * (cv.x - qc.qx) * 1000000.0) AS BIGINT)"
+    )
+    return spark.sql(
+        f"""
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(SUM(element_at({adc_lit}, m * {_PQ_K} + c + 1))
+                  AS BIGINT) AS adc_d2_micro
+      FROM pq_codes
+      WHERE vec_id != 0
+      GROUP BY vec_id
+    ),
+    short AS (
+      SELECT vec_id FROM scored
+      ORDER BY adc_d2_micro, vec_id LIMIT {_PQ_SHORTLIST}
+    ),
+    qc AS (
+      SELECT pos + 1 AS dim, CAST(x AS DOUBLE) AS qx
+      FROM (SELECT * FROM embeddings WHERE vec_id = 0)
+      LATERAL VIEW posexplode(embedding) AS pos, x
+    ),
+    sv AS (
+      SELECT e.vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x
+      FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+      LATERAL VIEW posexplode(e.embedding) AS pos, x
+    ),
+    rerank AS (
+      SELECT cv.vec_id, CAST(SUM({micro}) AS BIGINT) AS l2_d2_micro
+      FROM sv cv JOIN qc ON qc.dim = cv.dim
+      GROUP BY cv.vec_id
+    ),
+    top AS (
+      SELECT vec_id, l2_d2_micro FROM rerank
+      ORDER BY l2_d2_micro, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, e.label, t.l2_d2_micro
+    FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+    """
     )
 
 
