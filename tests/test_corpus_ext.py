@@ -1293,3 +1293,62 @@ def test_bpe_encode_matches_python_reimpl(spark, tmp_path):
     # the sanity anchors the docstring promises
     assert rows[1].n_bpe_tokens == 3  # a a a a a -> [aa][aa][a]
     assert rows[3].n_tokens is None and rows[3].enc_hash is None
+
+
+def test_bpe_train_matches_python_reimpl(spark, tmp_path):
+    """Differential vs an independent python BPE TRAINING reimpl (argmax
+    pair -> merge everywhere -> recount, 8 rounds): later rounds must be
+    able to select pairs involving already-merged tokens — the property
+    bpe_pairs' single-pass count cannot express."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(23)
+    texts = {}
+    # heavy "a b" so ("a b", "c") becomes selectable after round 1
+    for doc_id in range(1, 30):
+        toks = []
+        for _ in range(rng.randint(3, 12)):
+            toks += ["a", "b", "c"] if rng.random() < 0.6 else [
+                rng.choice(["x", "y", "z"])
+            ]
+        texts[doc_id] = " ".join(toks)
+    texts[30] = None
+    sf_dir = _write_docs(tmp_path, "bpetrain", texts)
+
+    # independent reimpl
+    docs = {
+        i: t.split(" ") for i, t in texts.items() if t is not None
+    }
+    expected = []
+    for rk in range(1, 9):
+        counts: Counter = Counter()
+        for toks in docs.values():
+            for j in range(len(toks) - 1):
+                counts[(toks[j], toks[j + 1])] += 1
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p))
+        expected.append((rk, a, b, counts[(a, b)]))
+        for i, toks in docs.items():
+            merged, j = [], 0
+            while j < len(toks):
+                if j + 1 < len(toks) and toks[j] == a and toks[j + 1] == b:
+                    merged.append(a + " " + b)
+                    j += 2
+                else:
+                    merged.append(toks[j])
+                    j += 1
+            docs[i] = merged
+
+    got = [
+        (r.rk, r.a, r.b, r.n)
+        for r in all_queries()["bpe_train"]
+        .build(spark, sf_dir)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == expected
+    # the training-only property: some selected pair involves a merged
+    # (space-containing) token — proof the recount saw merged tokens
+    assert any(" " in a or " " in b for _, a, b, _ in got)
