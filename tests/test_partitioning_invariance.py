@@ -49,6 +49,13 @@ _QUERIES = (
     # not reorder coverage under a different DOP)
     "embed_decontam",
     "dedup_spans",
+    # round-8 additions: the sweep-output FLOOR-micro aggregation (its
+    # partial-combine tree varies with DOP over applyInPandas output) and
+    # the BPE apply (merge table is session-memoized — fixed across DOP
+    # switches by design — but the apply pass, the re-split token counts
+    # and the md5 hashes re-run at each DOP)
+    "scm_output_stats",
+    "bpe_encode",
 )
 
 _DOPS = (1, 7, 64)
