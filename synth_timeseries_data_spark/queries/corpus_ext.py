@@ -1243,9 +1243,15 @@ def pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; packing itself stays 64-way bucket-parallel (no global
     running sum). The Spark side reuses the registry bpe_encode plan via
     a temp view so the two entries can never desync."""
-    enc = bpe_encode(spark, sf_dir)
-    enc.createOrReplaceTempView("_pack_bpe_enc")
-    return spark.sql("WITH " + _pack_bpe_tail(_SPARK_D, "_pack_bpe_enc"))
+    import uuid
+
+    # per-call view name: two concurrent builds in one session must not
+    # stomp each other's relation (the lsh_ingest_stream precedent)
+    view = f"_pack_bpe_enc_{uuid.uuid4().hex[:12]}"
+    bpe_encode(spark, sf_dir).createOrReplaceTempView(view)
+    df = spark.sql("WITH " + _pack_bpe_tail(_SPARK_D, view))
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -1302,13 +1308,17 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange over doc-proportional rows; at 100 TB the window
     partitions by language — the natural corpus shard key — and the rank
     is a streaming frame."""
+    import uuid
+
     from .llm_pipeline import unigram_xent
 
-    xent = unigram_xent(spark, sf_dir)
-    xent.createOrReplaceTempView("_ppl_xent")
-    return _spark_docs(
-        spark, sf_dir, "WITH " + _ppl_buckets_tail(_SPARK_D, "_ppl_xent")
+    view = f"_ppl_xent_{uuid.uuid4().hex[:12]}"
+    unigram_xent(spark, sf_dir).createOrReplaceTempView(view)
+    df = _spark_docs(
+        spark, sf_dir, "WITH " + _ppl_buckets_tail(_SPARK_D, view)
     )
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -525,9 +525,15 @@ def scm_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline, Arrow batching, melt) reproduces the sequential kernel
     bit-exactly. FLOOR-micro exact sums; min/max are raw doubles (same
     bits on both sides by construction)."""
+    import uuid
+
     fam, n, v, lag, noise = _SCM_OUT_CFG
     grid = _rows(fam, [(n, v, lag, noise, None, None, None)])
     out = _sweep(spark, grid, _complete_group(_COMPLETE_KERNELS),
                  _COMPLETE_SCHEMA)
-    out.createOrReplaceTempView("_scm_output_one")
-    return spark.sql(_SCM_OUT_AGG.format(src="_scm_output_one"))
+    # per-call view name (concurrent-builds hygiene)
+    view = f"_scm_output_one_{uuid.uuid4().hex[:12]}"
+    out.createOrReplaceTempView(view)
+    df = spark.sql(_SCM_OUT_AGG.format(src=view))
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df
