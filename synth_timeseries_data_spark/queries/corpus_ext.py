@@ -1577,6 +1577,50 @@ def _token_budget_sql(d) -> str:
 
 _TOKBUDGET_SPARK, _TOKBUDGET_DUCK = _dual(_token_budget_sql)
 
+# The Spark side's budget branch as its own statement: everything through
+# b, emitting one (source, src_budget) row per source. Collected as
+# planning scalars (n_sources rows — dozens at any real scale) and
+# inlined into the selection statement, which saves the second corpus
+# pass (Spark re-plans the inlined t CTE per consumer) plus the b-join
+# stage waves. Session-materialized per corpus like the PQ ADC table.
+_TOKBUDGET_BUDGETS_SPARK = (
+    _TOKBUDGET_SPARK[: _TOKBUDGET_SPARK.rindex("SELECT r.doc_id")]
+    + "SELECT source, src_budget FROM b"
+)
+assert "src_budget FROM b" in _TOKBUDGET_BUDGETS_SPARK
+
+# Guard: a pathological corpus with thousands of sources would bloat the
+# literal map — past this the join form is the right plan anyway.
+_TOKBUDGET_INLINE_MAX_SOURCES = 1000
+
+
+def _token_budget_spark_inlined(budgets: "list[tuple[str, int]]") -> str:
+    """The selection statement with the budget table inlined as a map
+    literal — ONE corpus pass, window, filter; no join."""
+    d = _SPARK_D
+    pairs = ", ".join(
+        f"{_sql_str(s)}, {int(v)}L" for s, v in budgets
+    )
+    budget = f"element_at(map({pairs}), r.source)"
+    head = _TOKBUDGET_SPARK[: _TOKBUDGET_SPARK.index(",\n    src AS (")]
+    assert head.rstrip().endswith(")")
+    return f"""{head},
+    r AS (
+      SELECT doc_id, source, n_tok, q_micro,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY q_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.n_tok AS BIGINT) AS n_tokens,
+           r.q_micro, r.cum_tokens, {budget} AS src_budget
+    FROM r
+    WHERE r.cum_tokens <= {budget}
+    """
+
 
 @register("token_budget_sample", _TOKBUDGET_DUCK)
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,20 +1632,35 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per SELECTED document with its budget audit trail (q_micro,
     cum_tokens, src_budget).
 
-    Scale shape: two pruned corpus passes (the budget branch aggregates
-    per-doc tokens with map-side partials, so only ~n_sources rows reach
-    its exchange; the selection branch feeds the one data-proportional
-    shuffle — the window exchange on source for the running total); the
-    budget table is n_sources rows joined back (broadcast at any scale,
-    plan-verified BroadcastHashJoin). Sharing one exchange between the
-    branches was measured and rejected: column pruning makes the subtrees
-    differ, so Catalyst cannot reuse the exchange, and the double-frame
-    window form ran 0.84 s vs 0.64 s for this plan at sf0.1. A skewed
-    giant source is the same skew the window already handles for
-    length_percentiles — at 100 TB the greedy fill inside one source is
-    exactly as parallel as one sort-partition, the honest cost of a
-    cross-document cumulative constraint."""
-    return _spark_docs(spark, sf_dir, _TOKBUDGET_SPARK)
+    Scale shape (round 8, the vec_topk_pq planning-scalar move): the
+    budget branch — per-source token sums through the temperature-0.5
+    quantization, ~n_sources rows — is session-materialized and
+    collected as planning scalars, then inlined into the selection
+    statement as a map literal: the steady-state plan is ONE corpus pass
+    feeding the one data-proportional shuffle (the source-keyed window
+    for the running total), a map lookup instead of the b-join, and no
+    second corpus pass (Spark re-plans the inlined t CTE per consumer —
+    the join form paid the scan+composite twice; measured 0.52 s → see
+    FLOOR.md §r8). Falls back to the one-statement join form past
+    _TOKBUDGET_INLINE_MAX_SOURCES (a literal map over thousands of
+    sources is the wrong plan). Earlier rejected alternative (sharing
+    one exchange between branches via a double-frame window: 0.84 s vs
+    0.64 s) stays rejected. A skewed giant source is the same skew the
+    window already handles for length_percentiles — at 100 TB the greedy
+    fill inside one source is exactly as parallel as one sort-partition,
+    the honest cost of a cross-document cumulative constraint."""
+    _register_docs(spark, sf_dir)
+    budgets = [
+        (r.source, r.src_budget)
+        for r in _indexed(
+            spark, f"tokbudget|{sf_dir}", _TOKBUDGET_BUDGETS_SPARK
+        ).collect()
+    ]
+    if len(budgets) > _TOKBUDGET_INLINE_MAX_SOURCES:
+        return _spark_docs(spark, sf_dir, _TOKBUDGET_SPARK)
+    return _spark_docs(
+        spark, sf_dir, _token_budget_spark_inlined(sorted(budgets))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -363,13 +363,13 @@ def test_repetition_ratio_zero_shuffle_projection(spark, oracle_sf_dir):
     assert "Join" not in plan and "HashAggregate" not in plan
 
 
-def test_token_budget_broadcasts_budget_no_sort_merge(spark, oracle_sf_dir):
-    """The per-source budget table joins back as a broadcast (never a
-    sort-merge of the corpus against n_sources rows), the only sort is the
-    cumsum window's, and nothing goes cartesian."""
+def test_token_budget_inlined_plan_has_no_joins(spark, oracle_sf_dir):
+    """Round 8: the budget table rides in as a collected map literal, so
+    the selection plan has NO join at all — one corpus pass into the
+    cumsum window (its sort is the only sort), a map lookup where the
+    broadcast join used to be, nothing cartesian."""
     plan = _plan(spark, "token_budget_sample", oracle_sf_dir)
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
     assert "Cartesian" not in plan
     assert plan.count("Sort ") == 1
 
