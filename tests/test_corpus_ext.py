@@ -1401,3 +1401,37 @@ def test_perplexity_buckets_tercile_properties(spark, oracle_sf_dir):
             assert max(
                 r.xent_nats for r in rs if r.ppl_bucket == "head"
             ) <= min(r.xent_nats for r in rs if r.ppl_bucket == "tail"), lang
+
+
+def test_skew_gates_switch_forms_past_thresholds(spark, oracle_sf_dir, monkeypatch):
+    """The size gates must actually fire: with the footer count
+    monkeypatched past each threshold, dedup_spans' plan switches to the
+    agg+join form (a SortMergeJoin/ShuffledHashJoin appears where the
+    window was) and ngram_novelty's drops the collect_set aggregation;
+    at the real fixture size both run their small-tier forms."""
+    from synth_timeseries_data_spark.queries import corpus_ext as cx
+
+    qs = all_queries()
+
+    def plan(name):
+        return (
+            qs[name]
+            .build(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # real fixture (500 docs): window / collect_set forms
+    assert "Window" in plan("dedup_spans")
+    assert "collect_set" in plan("ngram_novelty")
+
+    monkeypatch.setattr(
+        "synth_timeseries_data_spark.sources.tables.table_rows",
+        lambda sf_dir, name: 2**40,
+    )
+    big_spans = plan("dedup_spans")
+    assert "ShuffledHashJoin" in big_spans
+    big_nov = plan("ngram_novelty")
+    assert "collect_set" not in big_nov
+    assert "ShuffledHashJoin" in big_nov
