@@ -1307,13 +1307,29 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a shuffle join past the vocab threshold) plus ONE lang-keyed
     window exchange over doc-proportional rows; at 100 TB the window
     partitions by language — the natural corpus shard key — and the rank
-    is a streaming frame."""
+    is a streaming frame. The per-doc score relation is
+    session-materialized (the pipeline posture: LM quality signals are
+    computed once and persisted as a table every downstream selector
+    reads — here the session-index analog of that table)."""
     import uuid
 
-    from .llm_pipeline import unigram_xent
+    from .llm_pipeline import (
+        _VOCAB_BCAST_DOCS_BYTES,
+        _XENT_SPARK,
+        _XENT_SPARK_SHUFFLE,
+        _docs_disk_bytes,
+    )
 
+    _register_docs(spark, sf_dir)
+    xent_sql = (
+        _XENT_SPARK
+        if _docs_disk_bytes(sf_dir) < _VOCAB_BCAST_DOCS_BYTES
+        else _XENT_SPARK_SHUFFLE
+    )
     view = f"_ppl_xent_{uuid.uuid4().hex[:12]}"
-    unigram_xent(spark, sf_dir).createOrReplaceTempView(view)
+    _indexed(spark, f"pplxent|{sf_dir}", xent_sql).createOrReplaceTempView(
+        view
+    )
     df = _spark_docs(
         spark, sf_dir, "WITH " + _ppl_buckets_tail(_SPARK_D, view)
     )
