@@ -318,6 +318,7 @@ def all_queries() -> dict[str, Query]:
     from . import projections  # noqa: F401
     from . import llm_pipeline  # noqa: F401
     from . import corpus_ext  # noqa: F401
+    from . import corpus_mining  # noqa: F401
     from . import generation  # noqa: F401
 
     # The driver verifies registry entries in order and may cap how many it

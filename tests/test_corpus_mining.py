@@ -1,0 +1,112 @@
+"""Semantic properties of the round-8 corpus-mining operators beyond the
+oracle gate: a brute-force winnowing reimplementation pin, the MOSS
+coverage guarantee on planted shared runs, and (as the module grows)
+repetition/line-dedup/k-means semantics on planted corpora."""
+
+from __future__ import annotations
+
+import hashlib
+
+from synth_timeseries_data_spark.queries import all_queries
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5
+_WIN_W = 4
+_POS = 1 << 24
+
+
+def _winnow_py(tokens: list[str]) -> set[tuple[int, int]]:
+    """Independent brute-force winnowing: returns {(fp, pos)} selected by
+    taking each w-window's minimum composite (rightmost-min tie rule)."""
+    n = len(tokens) - _WIN_K + 1
+    if n < 1:
+        return set()
+    v = []
+    for i in range(1, n + 1):
+        gram = " ".join(tokens[i - 1 : i - 1 + _WIN_K])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:9], 16)
+        v.append(h * _POS + (_POS - 1 - i))
+    out = set()
+    ends = range(_WIN_W, n + 1) if n >= _WIN_W else [n]
+    for p in ends:
+        wv = min(v[max(0, p - _WIN_W) : p])
+        out.add((wv // _POS, _POS - 1 - (wv % _POS)))
+    return out
+
+
+def test_winnowing_matches_bruteforce_on_fixture(spark, oracle_sf_dir):
+    """Every (doc, fp, pos) from the Spark plan must equal the independent
+    python winnowing of that doc's tokens — including short docs that only
+    emit their partial-window minimum."""
+    from synth_timeseries_data_spark.sources import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, oracle_sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    rows = all_queries()["winnowing"].build(spark, oracle_sf_dir).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add((r.fp, r.pos))
+    expect = {
+        d: _winnow_py(t.split(" "))
+        for d, t in texts.items()
+        if len(t.split(" ")) >= _WIN_K
+    }
+    assert got == {d: s for d, s in expect.items() if s}
+
+
+def test_winnowing_guarantee_on_planted_shared_run(spark):
+    """The MOSS guarantee: two documents sharing a w+k-1 = 8-token run share
+    at least one selected fingerprint (that is the property a
+    fingerprint-only dedup index relies on)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = "x1 x2 x3 " + shared + " x4 x5 x6 x7 x8 x9"
+    b = "y1 y2 y3 y4 y5 y6 " + shared + " y7 y8"
+    fa, fb = _winnow_py(a.split(" ")), _winnow_py(b.split(" "))
+    assert {f for f, _ in fa} & {f for f, _ in fb}
+    # and the engine agrees with the reimpl on the planted docs
+    spark.sql(
+        f"SELECT * FROM (VALUES (1, '{a}'), (2, '{b}')) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _WINNOW_SPARK,
+        )
+
+        rows = spark.sql(_WINNOW_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    got = {1: set(), 2: set()}
+    for r in rows:
+        got[r.doc_id].add((r.fp, r.pos))
+    assert got == {1: fa, 2: fb}
+
+
+def test_winnowing_short_doc_partial_window(spark):
+    """A doc with fewer grams than one window still emits exactly its
+    minimum (coverage for short docs); a doc under k tokens emits nothing."""
+    short = "a b c d e f"  # 6 tokens -> 2 grams < w
+    tiny = "a b c"  # under k -> no grams
+    spark.sql(
+        f"SELECT * FROM (VALUES (1, '{short}'), (2, '{tiny}'))"
+        " AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _WINNOW_SPARK,
+        )
+
+        rows = spark.sql(_WINNOW_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.fp, r.pos))
+    assert set(by_doc) == {1}
+    assert by_doc[1] == _winnow_py(short.split(" "))
+    assert len(by_doc[1]) == 1

@@ -419,3 +419,14 @@ def test_dedup_spans_bounded_expansion_no_cartesian(spark, oracle_sf_dir):
     plan = _plan(spark, "dedup_spans", oracle_sf_dir)
     assert "Cartesian" not in plan
     assert "partial_" in plan
+
+
+def test_winnowing_single_exchange_distinct_collapses(spark, oracle_sf_dir):
+    """Winnowing's whole pipeline rides ONE exchange: the doc-keyed
+    partitioning feeds the per-doc window sort AND satisfies the final
+    DISTINCT's clustered distribution (doc_id is a subset of its keys), so
+    no second shuffle exists. The scan is pruned to (doc_id, text)."""
+    plan = _plan(spark, "winnowing", oracle_sf_dir)
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert plan.count("Window") == 1
+    assert "lang" not in plan and "source" not in plan
