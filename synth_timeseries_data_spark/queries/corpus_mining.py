@@ -125,3 +125,283 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst recognizes (plan-asserted in tests/test_plans.py). Nothing
     is corpus-quadratic; fingerprint volume is ~0.4× gram volume."""
     return _spark_docs(spark, sf_dir, _WINNOW_SPARK)
+
+
+# --------------------------------------------------------------------------
+# gopher_repetition: the Gopher repetition-filter table (Rae et al. 2021,
+# Table A1) — the within-document repetition signals applied alongside
+# gopher_rules' shape gates. Thresholds are the paper's: duplicate-line
+# fraction <= 0.30, duplicate-line character fraction <= 0.20, top
+# {2,3,4}-gram character fractions <= {0.20, 0.18, 0.16}, duplicate
+# {5,10}-gram coverage <= {0.15, 0.10}. Two documented variants vs the
+# paper's prose: n-gram "characters" count the space-joined gram string
+# (top-gram char mass = count x length, which can exceed 1 on pathological
+# repetition — the standard open implementations' definition), and
+# duplicate-n-gram coverage is measured at TOKEN grain (fraction of token
+# positions inside any occurrence of a within-doc repeated n-gram,
+# overlap-unioned — the exact-coverage discipline dedup_spans uses).
+# --------------------------------------------------------------------------
+
+
+def _seq1(size_expr: str) -> str:
+    """1..size as an array, EMPTY when size = 0 (Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0], not [] — this guard is load-bearing)."""
+    return f"IF({size_expr} = 0, array(), sequence(1, {size_expr}))"
+
+
+_BL = "CAST({} AS BIGINT)"
+
+
+def _mode_char_mass(garr: str) -> str:
+    """Fold over the SORTED gram array -> char mass (count x char length)
+    of the modal gram; ties go to the lexicographically smallest gram
+    (strictly-greater update over an ascending sort). Zero-shuffle: the
+    whole mode computation is one O(m log m) per-row expression."""
+    one, zero = _BL.format(1), _BL.format(0)
+    upd = f"IF(x <=> acc.prev, acc.run + {one}, {one})"
+    return (
+        f"aggregate(array_sort({garr}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', {zero}, "
+        f"'best', {zero}, 'bestg', CAST(NULL AS STRING)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {upd}, "
+        f"'best', GREATEST({upd}, acc.best), "
+        f"'bestg', IF({upd} > acc.best, x, acc.bestg)), "
+        f"acc -> IF(acc.best > 0, "
+        f"acc.best * CAST(LENGTH(acc.bestg) AS BIGINT), {zero}))"
+    )
+
+
+def _dup_starts(garr: str) -> str:
+    """Sorted start positions of grams occurring >= 2 times in the doc:
+    sort (gram, pos) structs, flag entries equal to a neighbor, collect
+    their positions. O(m log m) per row, no quadratic membership scan."""
+    sp = (
+        f"array_sort(transform({_seq1(f'size({garr})')}, "
+        f"i -> named_struct('g', element_at({garr}, i), 'i', i)))"
+    )
+    return (
+        f"array_sort(filter(transform({_seq1(f'size(spx)')}, j -> "
+        f"IF((j > 1 AND element_at(spx, j).g = element_at(spx, j - 1).g) "
+        f"OR (j < size(spx) AND element_at(spx, j).g = "
+        f"element_at(spx, j + 1).g), element_at(spx, j).i, "
+        f"CAST(NULL AS INT))), x -> x IS NOT NULL))".replace("spx", sp)
+    )
+
+
+def _interval_union(starts_arr: str, n: int) -> str:
+    """Union length of [i, i+n-1] intervals over SORTED starts — the
+    classic end-pointer sweep as one fold (exact overlap handling)."""
+    zero, one = _BL.format(0), _BL.format(1)
+    end = f"CAST(i + {n - 1} AS BIGINT)"
+    return (
+        f"aggregate({starts_arr}, named_struct('e', {zero}, 'c', {zero}), "
+        f"(acc, i) -> named_struct('e', GREATEST(acc.e, {end}), "
+        f"'c', acc.c + GREATEST({zero}, "
+        f"{end} - GREATEST(CAST(i AS BIGINT), acc.e + {one}) + {one})), "
+        f"acc -> acc.c)"
+    )
+
+
+_GREP_NS_TOP = (2, 3, 4)
+_GREP_NS_DUP = (5, 10)
+_GREP_LIMITS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_tok_frac": 0.15,
+    "dup10_tok_frac": 0.10,
+}
+
+
+def _grep_tail() -> str:
+    """Shared final projection: ok_* flags + keep from the raw fractions."""
+    oks = ",\n           ".join(
+        f"{c} <= {lim} AS ok_{c.split('_frac')[0]}"
+        for c, lim in _GREP_LIMITS.items()
+    )
+    keep = " AND ".join(f"{c} <= {lim}" for c, lim in _GREP_LIMITS.items())
+    return f"""
+    SELECT doc_id, n_words, n_lines,
+           dup_line_frac, dup_line_char_frac,
+           top2_char_frac, top3_char_frac, top4_char_frac,
+           dup5_tok_frac, dup10_tok_frac,
+           {oks},
+           {keep} AS keep
+    FROM fr
+    """
+
+
+def _gopher_repetition_sql(d) -> str:
+    if d is _SPARK_D:
+        grams = {
+            n: (
+                f"IF(size(ws) >= {n}, "
+                f"transform({_seq1(f'size(ws) - {n - 1}')}, "
+                f"i -> array_join(slice(ws, i, {n}), ' ')), array())"
+            )
+            for n in _GREP_NS_TOP + _GREP_NS_DUP
+        }
+        dupline_ch = (
+            "aggregate(array_sort(lines), "
+            "named_struct('prev', CAST(NULL AS STRING), "
+            f"'ch', {_BL.format(0)}), "
+            "(acc, x) -> named_struct('prev', x, 'ch', acc.ch + "
+            f"IF(x <=> acc.prev, CAST(LENGTH(x) AS BIGINT), "
+            f"{_BL.format(0)})), acc -> acc.ch)"
+        )
+        gcols = ",\n             ".join(
+            f"{g} AS g{n}" for n, g in grams.items()
+        )
+        dcols = ",\n             ".join(
+            f"{_dup_starts(f'g{n}')} AS d{n}" for n in _GREP_NS_DUP
+        )
+        tops = ",\n           ".join(
+            f"CAST({_mode_char_mass(f'g{n}')} AS DOUBLE) / nch "
+            f"AS top{n}_char_frac"
+            for n in _GREP_NS_TOP
+        )
+        covs = ",\n           ".join(
+            f"CAST({_interval_union(f'd{n}', n)} AS DOUBLE) / n_words "
+            f"AS dup{n}_tok_frac"
+            for n in _GREP_NS_DUP
+        )
+        return f"""
+    WITH t AS (
+      SELECT doc_id, split(text, ' ') AS ws, split(text, '\\n') AS lines,
+             CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS nch
+      FROM {d['pdocs']} WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, nch, lines,
+             CAST(size(ws) AS BIGINT) AS n_words,
+             {gcols}
+      FROM t
+    ),
+    du AS (
+      SELECT doc_id, nch, lines, n_words, g2, g3, g4,
+             {dcols}
+      FROM g
+    ),
+    fr AS (
+      SELECT doc_id, n_words,
+           CAST(size(lines) AS BIGINT) AS n_lines,
+           CAST(size(lines) - size(array_distinct(lines)) AS DOUBLE)
+             / size(lines) AS dup_line_frac,
+           CAST({dupline_ch} AS DOUBLE) / nch AS dup_line_char_frac,
+           {tops},
+           {covs}
+      FROM du
+    )
+    {_grep_tail()}
+    """
+    # DuckDB oracle: the independent RELATIONAL form — explode grams and
+    # lines, GROUP BY counts, window mode pick, distinct-position coverage.
+    gctes = []
+    for n in _GREP_NS_TOP + _GREP_NS_DUP:
+        gctes.append(
+            f"""g{n} AS (
+      SELECT doc_id, i,
+             {_joinarr(d, _slice(d, 'ws', 'i', n))} AS g
+      FROM t, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)
+      WHERE len(ws) >= {n}
+    )"""
+        )
+    tops = []
+    for n in _GREP_NS_TOP:
+        gctes.append(
+            f"""t{n} AS (
+      SELECT doc_id, c * LENGTH(g) AS chtop FROM (
+        SELECT doc_id, g, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rn
+        FROM g{n} GROUP BY doc_id, g
+      ) WHERE rn = 1
+    )"""
+        )
+        tops.append(
+            f"CAST(COALESCE(t{n}.chtop, 0) AS DOUBLE) / b.nch "
+            f"AS top{n}_char_frac"
+        )
+    covs = []
+    for n in _GREP_NS_DUP:
+        gctes.append(
+            f"""c{n} AS (
+      SELECT doc_id, COUNT(DISTINCT i + j) AS cov
+      FROM (SELECT g.doc_id, g.i FROM g{n} g
+            JOIN (SELECT doc_id, g FROM g{n}
+                  GROUP BY doc_id, g HAVING COUNT(*) >= 2) dd
+              ON dd.doc_id = g.doc_id AND dd.g = g.g),
+           unnest(generate_series(0, {n - 1})) AS ju(j)
+      GROUP BY doc_id
+    )"""
+        )
+        covs.append(
+            f"CAST(COALESCE(c{n}.cov, 0) AS DOUBLE) / b.n_words "
+            f"AS dup{n}_tok_frac"
+        )
+    joins = "\n    ".join(
+        f"LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id" for n in _GREP_NS_TOP
+    ) + "\n    " + "\n    ".join(
+        f"LEFT JOIN c{n} ON c{n}.doc_id = b.doc_id" for n in _GREP_NS_DUP
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS ws,
+             str_split(text, chr(10)) AS lines,
+             CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS nch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, nch, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / len(lines) AS dup_line_frac
+      FROM t
+    ),
+    lx AS (SELECT doc_id, l FROM t, unnest(lines) AS u(l)),
+    ld AS (
+      SELECT doc_id, SUM((c - 1) * LENGTH(l)) AS dupch
+      FROM (SELECT doc_id, l, COUNT(*) AS c FROM lx GROUP BY doc_id, l)
+      GROUP BY doc_id
+    ),
+    {','.join(gctes)},
+    fr AS (
+      SELECT b.doc_id, b.n_words, b.n_lines, b.dup_line_frac,
+           CAST(COALESCE(ld.dupch, 0) AS DOUBLE) / b.nch
+             AS dup_line_char_frac,
+           {','.join(tops)},
+           {','.join(covs)}
+      FROM b
+      LEFT JOIN ld ON ld.doc_id = b.doc_id
+      {joins}
+    )
+    {_grep_tail()}
+    """
+
+
+_GREP_SPARK, _GREP_DUCK = _dual(_gopher_repetition_sql)
+
+
+@register("gopher_repetition", _GREP_DUCK)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: the Gopher REPETITION filter table (Rae et al. 2021,
+    Table A1) — duplicate-line fraction and character fraction, top
+    {2,3,4}-gram character fractions (char mass of the modal gram; ties
+    break to the lexicographically smallest), and duplicate-{5,10}-gram
+    coverage (fraction of token positions inside any occurrence of a
+    within-doc repeated n-gram, overlap-unioned exactly via an interval
+    sweep), each with its paper-threshold ok_* flag and the combined
+    keep. Complements gopher_rules' shape gates; together they are the
+    full Gopher quality pre-filter.
+
+    Scale shape: the Spark side is a ZERO-SHUFFLE projection (the
+    repetition_ratio precedent taken further) — mode counts, duplicate
+    detection, and interval unions all run as O(m log m) per-row
+    array_sort + fold expressions, so the corpus is scanned once and
+    nothing exchanges at any scale; the DuckDB oracle keeps the
+    independent explode + GROUP BY + window relational form as the
+    semantics check. Every fraction is an exact-integer quotient emitted
+    as a raw double (bit-identical across engines)."""
+    return _spark_docs(spark, sf_dir, _GREP_SPARK)

@@ -110,3 +110,96 @@ def test_winnowing_short_doc_partial_window(spark):
     assert set(by_doc) == {1}
     assert by_doc[1] == _winnow_py(short.split(" "))
     assert len(by_doc[1]) == 1
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition
+# ---------------------------------------------------------------------------
+
+
+def _grep_py(text: str) -> dict:
+    """Independent reimplementation of the repetition table."""
+    ws = text.split(" ")
+    lines = text.split("\n")
+    nch = max(len(text), 1)
+    out = {
+        "n_words": len(ws),
+        "n_lines": len(lines),
+        "dup_line_frac": (len(lines) - len(set(lines))) / len(lines),
+    }
+    from collections import Counter
+
+    lc = Counter(lines)
+    out["dup_line_char_frac"] = (
+        sum((c - 1) * len(l) for l, c in lc.items()) / nch
+    )
+    for n in (2, 3, 4):
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if grams:
+            gc = Counter(grams)
+            # tie -> lexicographically smallest gram
+            bestc = max(gc.values())
+            bestg = min(g for g, c in gc.items() if c == bestc)
+            out[f"top{n}_char_frac"] = bestc * len(bestg) / nch
+        else:
+            out[f"top{n}_char_frac"] = 0.0
+    for n in (5, 10):
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        gc = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if gc[g] >= 2:
+                covered.update(range(i, i + n))
+        out[f"dup{n}_tok_frac"] = len(covered) / len(ws)
+    return out
+
+
+def test_gopher_repetition_matches_reimpl_on_planted_docs(spark):
+    """Planted docs with duplicate lines, a dominant 2-gram, and
+    overlapping duplicate 5-grams (the overlap-union case the interval
+    sweep must get right) must match the independent python table."""
+    docs = {
+        1: "the cat sat\nhello world\nthe cat sat\nbye",
+        2: "a b a b a b a b c d e f g h i j k l m n o p",
+        3: "x y z w v x y z w v x y z w v q r s t u",  # overlapping dup 5-grams
+        4: "one line only with ten distinct little words here now",
+    }
+    vals = ", ".join(
+        f"({k}, '{v}'" + ")" for k, v in docs.items()
+    ).replace("\n", "\\n")
+    spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _GREP_SPARK,
+        )
+
+        rows = {r.doc_id: r.asDict() for r in spark.sql(_GREP_SPARK).collect()}
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    assert set(rows) == set(docs)
+    for d, text in docs.items():
+        exp = _grep_py(text)
+        got = rows[d]
+        for k, v in exp.items():
+            assert got[k] == v, (d, k, got[k], v)
+
+
+def test_gopher_repetition_fixture_thresholds_consistent(spark, oracle_sf_dir):
+    """On the fixture, keep must equal the AND of the ok_* flags and each
+    flag must equal its fraction-vs-threshold comparison."""
+    rows = (
+        all_queries()["gopher_repetition"].build(spark, oracle_sf_dir).collect()
+    )
+    assert rows
+    from synth_timeseries_data_spark.queries.corpus_mining import _GREP_LIMITS
+
+    for r in rows:
+        d = r.asDict()
+        oks = []
+        for col, lim in _GREP_LIMITS.items():
+            flag = "ok_" + col.split("_frac")[0]
+            assert d[flag] == (d[col] <= lim), (r.doc_id, col)
+            oks.append(d[flag])
+        assert d["keep"] == all(oks), r.doc_id

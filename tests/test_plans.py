@@ -430,3 +430,13 @@ def test_winnowing_single_exchange_distinct_collapses(spark, oracle_sf_dir):
     assert plan.count("Exchange") == 1, plan[:1500]
     assert plan.count("Window") == 1
     assert "lang" not in plan and "source" not in plan
+
+
+def test_gopher_repetition_zero_shuffle_projection(spark, oracle_sf_dir):
+    """The whole repetition table (mode counts, dup detection, interval
+    unions) is per-row fold expressions: one corpus scan, no exchange
+    beyond the fixture spread, no joins, no window."""
+    plan = _plan(spark, "gopher_repetition", oracle_sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # only the documents_par spread
+    assert plan.count("Scan parquet") == 1
