@@ -405,3 +405,132 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics check. Every fraction is an exact-integer quotient emitted
     as a raw double (bit-identical across engines)."""
     return _spark_docs(spark, sf_dir, _GREP_SPARK)
+
+
+# --------------------------------------------------------------------------
+# line_dedup: corpus-wide LINE-grain dedup (the C4 move — Raffel et al.
+# 2020 discard repeated lines corpus-wide; CCNet dedups on normalized
+# paragraph hashes). Completes the dedup grain ladder: document grain
+# (minhash/simhash/embed), span grain (dedup_spans), line grain (here).
+# Keep-first discipline matches dedup_spans: the occurrence in the line's
+# min-doc_id document survives (ALL its occurrences there — doc-grain
+# rule), later docs lose theirs and their text is rebuilt.
+# --------------------------------------------------------------------------
+
+_LD_MIN_TOKS = 4  # lines under this many tokens are exempt (headers etc.)
+
+
+def _ld_norm(d, line: str) -> str:
+    """CCNet-style line normalization for the dedup hash: lowercase,
+    digits stripped, outer whitespace trimmed."""
+    flags = "" if d is _SPARK_D else ", 'g'"
+    return f"TRIM(regexp_replace(LOWER({line}), '[0-9]'{flags}, ''))"
+
+
+def _line_dedup_sql(d) -> str:
+    spark = d is _SPARK_D
+    lines = "split(text, '\\n')" if spark else "str_split(text, chr(10))"
+    strcast = "STRING" if spark else "VARCHAR"
+    if spark:
+        lx = (
+            "SELECT doc_id, p0 + 1 AS p, line FROM dl "
+            "LATERAL VIEW posexplode(lines) AS p0, line"
+        )
+        kx = (
+            "SELECT doc_id, p0 + 1 AS p, line FROM tl "
+            "LATERAL VIEW posexplode(lines) AS p0, line"
+        )
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('p', k.p, 'line', k.line))), s -> s.line), '\\n')"
+        )
+    else:
+        lx = (
+            "SELECT doc_id, p, lines[p] AS line FROM dl, "
+            "unnest(generate_series(1, len(lines))) AS u(p)"
+        )
+        kx = (
+            "SELECT doc_id, p, lines[p] AS line FROM tl, "
+            "unnest(generate_series(1, len(lines))) AS u(p)"
+        )
+        rebuild = "string_agg(k.line, chr(10) ORDER BY k.p)"
+    norm = _ld_norm(d, "line")
+    eligible = (
+        f"{d['len'](d['split']('line'))} >= {_LD_MIN_TOKS} AND {norm} != ''"
+    )
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, {lines} AS lines FROM {d['pdocs']}
+      WHERE text IS NOT NULL
+    ),
+    lx AS ({lx}),
+    el AS (
+      SELECT doc_id, p, md5({norm}) AS h FROM lx WHERE {eligible}
+    ),
+    fh AS (
+      SELECT doc_id, p, MIN(doc_id) OVER (PARTITION BY h) AS first_doc
+      FROM el
+    ),
+    rem AS (SELECT doc_id, p FROM fh WHERE doc_id > first_doc),
+    covd AS (SELECT DISTINCT doc_id FROM rem),
+    tl AS (
+      SELECT doc_id, {lines} AS lines FROM {d['pdocs']}
+      WHERE text IS NOT NULL
+        AND doc_id IN (SELECT doc_id FROM covd)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.line
+      FROM ({kx}) k LEFT JOIN rem r ON r.doc_id = k.doc_id AND r.p = k.p
+      WHERE r.p IS NULL
+    ),
+    rebuilt AS (
+      SELECT k.doc_id, COUNT(*) AS n_kept, {rebuild} AS clean_text
+      FROM kept k GROUP BY k.doc_id
+    ),
+    base AS (SELECT doc_id, {d['len'](lines)} AS n_lines, text
+             FROM {d['pdocs']})
+    SELECT b.doc_id,
+           CAST(b.n_lines AS BIGINT) AS n_lines,
+           CASE WHEN b.n_lines IS NULL THEN CAST(NULL AS BIGINT)
+                WHEN c.doc_id IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(b.n_lines - COALESCE(r.n_kept, 0) AS BIGINT)
+           END AS n_removed,
+           CASE WHEN b.n_lines IS NULL THEN CAST(NULL AS {strcast})
+                WHEN c.doc_id IS NULL THEN b.text
+                ELSE COALESCE(r.clean_text, '')
+           END AS clean_text
+    FROM base b
+    LEFT JOIN covd c ON c.doc_id = b.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """
+
+
+_LD_SPARK, _LD_DUCK = _dual(_line_dedup_sql)
+
+
+@register("line_dedup", _LD_DUCK)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: corpus-wide LINE-grain exact dedup (the C4/CCNet move —
+    C4 discards lines repeated across the corpus; CCNet hashes normalized
+    paragraphs). A line occurrence is removed iff its normalized hash
+    (lowercased, digits stripped, trimmed — so '© 2023 Acme' and
+    '© 2024 acme' collide) first occurs in an EARLIER document; every
+    occurrence in the min-doc_id document survives (doc-grain keep-first,
+    the dedup_spans discipline). Lines under 4 tokens and lines empty
+    after normalization are exempt (navigation/header fragments are
+    repetition_ratio's signal, not corpus boilerplate). Returns doc_id,
+    n_lines, n_removed, clean_text — one row per input doc ALWAYS:
+    untouched docs pass through verbatim (fast path, never entering the
+    rebuild), a fully-removed doc returns empty text, NULL text keeps its
+    row with NULL signals.
+
+    Scale shape: line rows (≪ token rows — this is dedup_spans' machinery
+    at a coarser grain) flow through ONE hash-keyed sortless window MIN
+    stamping each occurrence with its first doc; the rebuild is an
+    anti-join plus one doc-keyed ordered aggregation over TOUCHED docs
+    only. A universal boilerplate line skews the window's h partition
+    exactly like dedup_spans' hot run — same lever applies (the
+    agg+SHUFFLE_HASH form past the single-task-buffer regime); at the
+    line grain the hot partition is lines-proportional, an order of
+    magnitude lighter than the span case. Nothing quadratic anywhere."""
+    return _spark_docs(spark, sf_dir, _LD_SPARK)

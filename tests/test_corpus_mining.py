@@ -203,3 +203,106 @@ def test_gopher_repetition_fixture_thresholds_consistent(spark, oracle_sf_dir):
             assert d[flag] == (d[col] <= lim), (r.doc_id, col)
             oks.append(d[flag])
         assert d["keep"] == all(oks), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_py(docs: dict[int, str | None]) -> dict[int, tuple]:
+    """Independent reimpl: normalized-hash keep-first line dedup."""
+    import re
+
+    def norm(l: str) -> str:
+        return re.sub(r"[0-9]", "", l.lower()).strip()
+
+    first: dict[str, int] = {}
+    for d in sorted(docs):
+        t = docs[d]
+        if t is None:
+            continue
+        for l in t.split("\n"):
+            nl = norm(l)
+            if len(l.split(" ")) >= 4 and nl != "":
+                first.setdefault(nl, d)
+    out = {}
+    for d, t in docs.items():
+        if t is None:
+            out[d] = (None, None, None)
+            continue
+        lines = t.split("\n")
+        kept = [
+            l
+            for l in lines
+            if not (
+                len(l.split(" ")) >= 4
+                and norm(l) != ""
+                and first[norm(l)] < d
+            )
+        ]
+        out[d] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+def test_line_dedup_planted_semantics(spark):
+    """Keep-first at doc grain (within-keeper repeats survive), the
+    normalization collisions (case, digits), short-line exemption, full
+    removal -> empty text, NULL passthrough, and untouched fast path."""
+    boiler = "the quick brown fox jumps"
+    docs = {
+        1: boiler + "\nunique line one here okay\n" + boiler,
+        2: "intro text something else okay\n" + boiler + "\nanother unique line entirely",
+        3: boiler.upper() + "\nmore stuff",
+        4: boiler,
+        5: None,
+        6: "short one\nshort one",
+        7: "copyright 2023 acme corp inc\nbody a b c d e",
+        8: "copyright 2024 ACME corp inc\nbody f g h i j",
+    }
+    exp = _line_dedup_py(docs)
+    vals = ", ".join(
+        f"({k}, " + ("CAST(NULL AS STRING))" if v is None else f"'{v}')")
+        for k, v in docs.items()
+    ).replace("\n", "\\n")
+    spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _LD_SPARK,
+        )
+
+        rows = {
+            r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+            for r in spark.sql(_LD_SPARK).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    assert rows == exp
+    # spot-check the planted intents explicitly
+    assert rows[1][1] == 0  # keeper: both repeats survive
+    assert rows[2][1] == 1 and boiler not in rows[2][2]
+    assert rows[3][1] == 1  # case-normalized collision
+    assert rows[4] == (1, 1, "")  # fully removed, row preserved
+    assert rows[5] == (None, None, None)
+    assert rows[6][1] == 0  # short-line exemption
+    assert rows[8][1] == 1  # digit-stripped collision
+
+
+def test_line_dedup_fixture_row_preserving(spark, oracle_sf_dir):
+    """One output row per input doc, and accounting holds: n_removed
+    between 0 and n_lines, clean_text line count = n_lines - n_removed."""
+    from synth_timeseries_data_spark.sources import load
+
+    n_docs = load(spark, oracle_sf_dir, "documents").count()
+    rows = all_queries()["line_dedup"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r.n_lines is None:
+            continue
+        assert 0 <= r.n_removed <= r.n_lines
+        n_kept = len(r.clean_text.split("\n")) if r.clean_text != "" else 0
+        assert n_kept == r.n_lines - r.n_removed or (
+            r.n_removed == 0 and n_kept == r.n_lines
+        )
