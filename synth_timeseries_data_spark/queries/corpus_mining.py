@@ -534,3 +534,145 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     line grain the hot partition is lines-proportional, an order of
     magnitude lighter than the span case. Nothing quadratic anywhere."""
     return _spark_docs(spark, sf_dir, _LD_SPARK)
+
+
+# --------------------------------------------------------------------------
+# kmeans_embed: explicit Lloyd k-means over the embedding column — the
+# coarse clustering semdedup / vec_topk_ivf consume as a GIVEN (their
+# centroids are deterministic LCG stand-ins), here produced as a
+# first-class oracle-checked relation: deterministic seeding (the K
+# smallest vec_ids), a fixed iteration budget unrolled into ONE declarative
+# statement (no driver loop, no collect), and the FLOOR-micro integer
+# discipline end to end so assignments can never diverge from summation
+# order or engine.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIMS = 64
+
+
+def _km_fold(d, ea: str, cw: str) -> str:
+    """Exact squared-distance as a BIGINT micro sum: per-dim FLOOR-micro
+    terms accumulated left-to-right (order-independent integer adds)."""
+    term = (
+        f"CAST(FLOOR((element_at({ea}, i) - element_at({cw}, i)) * "
+        f"(element_at({ea}, i) - element_at({cw}, i)) * 1000000.0) "
+        f"AS BIGINT)"
+        if d is _SPARK_D
+        else f"CAST(FLOOR(({ea}[i] - {cw}[i]) * ({ea}[i] - {cw}[i]) * "
+        f"1000000.0) AS BIGINT)"
+    )
+    if d is _SPARK_D:
+        return (
+            f"aggregate(sequence(1, {_KM_DIMS}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + {term})"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(1, {_KM_DIMS}), "
+        f"i -> {term}))"
+    )
+
+
+def _kmeans_sql(d) -> str:
+    spark = d is _SPARK_D
+    posexp = (
+        "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
+        if spark
+        else "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
+    )
+    to_double = (
+        "transform(embedding, x -> CAST(x AS DOUBLE))"
+        if spark
+        else "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    )
+    cent_arr = (
+        "transform(array_sort(collect_list(named_struct('dim', dim, "
+        "'w', w))), s -> s.w)"
+        if spark
+        else "list(w ORDER BY dim)"
+    )
+    idiv = "DIV" if spark else "//"
+    # centroid coordinate: exact-integer numerator over a double product
+    # (CAST both operands — a bare 1000000.0 is DECIMAL in DuckDB and
+    # flips the division onto the exact-decimal path, the documented
+    # cross-engine divergence class)
+    w_mean = (
+        "CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE))"
+    )
+    ctes = [
+        f"""v AS (SELECT vec_id, {to_double} AS ea FROM embeddings),
+    comps AS ({posexp}),
+    sel8 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+    sel AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+      FROM sel8
+    ),
+    c0 AS (SELECT s.c, e.ea AS cw FROM v e JOIN sel s ON s.vec_id = e.vec_id)"""
+    ]
+    for t in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{t} AS (
+      SELECT e.vec_id, MIN({_km_fold(d, 'e.ea', 'ct.cw')} * {_KM_K} + ct.c)
+               AS kk
+      FROM v e CROSS JOIN c{t - 1} ct
+      GROUP BY e.vec_id
+    )"""
+        )
+        if t < _KM_ITERS:
+            ctes.append(
+                f"""c{t} AS (
+      SELECT c, {cent_arr} AS cw
+      FROM (SELECT a.kk % {_KM_K} AS c, p.dim, {w_mean} AS w
+            FROM comps p JOIN a{t} a ON a.vec_id = p.vec_id
+            GROUP BY a.kk % {_KM_K}, p.dim) m
+      GROUP BY c
+    )"""
+            )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id,
+           CAST(kk % {_KM_K} AS INT) AS cluster,
+           CAST(kk {idiv} {_KM_K} AS BIGINT) AS d2_micro
+    FROM a{_KM_ITERS}
+    """
+    )
+
+
+_KM_SPARK, _KM_DUCK = _dual(_kmeans_sql)
+
+
+@register("kmeans_embed", _KM_DUCK)
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: explicit Lloyd k-means over the embedding column (K=8,
+    3 iterations) — document clustering as a first-class relation (the
+    step a curriculum/mixture pipeline runs between embedding and
+    domain_mix, and the trained counterpart of the LCG coarse centroids
+    vec_topk_ivf/semdedup stand on). Deterministic end to end: seeds are
+    the K smallest vec_ids' vectors, every distance is a FLOOR-micro
+    BIGINT sum (order-independent), the argmin is encoded arithmetically
+    (min over d2*K + c — the winnowing composite device, so ties break
+    to the lowest cluster id with no engine-specific min_by rule), and
+    centroid means are exact-integer numerators over double denominators.
+    A cluster that loses all members simply drops out of the next round's
+    centroid relation. Returns (vec_id, cluster, d2_micro) after the
+    final assignment.
+
+    Scale shape: the fixed iteration budget is UNROLLED into one
+    declarative statement — no driver loop, no collect; Catalyst sees the
+    whole lineage. Per iteration: the assignment is a CROSS JOIN against
+    the K-row centroid array relation (broadcast — K·dims doubles) whose
+    n·K fold rows partial-aggregate map-side down to one row per vector
+    before the exchange, and the centroid update is one (c, dim)-keyed
+    aggregation over the component explode (k·d rows out). Nothing is
+    corpus-quadratic; the expensive stage is n·K codegen'd 64-term folds
+    per iteration, the textbook k-means cost."""
+    from ..sources import load
+
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_KM_SPARK)

@@ -306,3 +306,69 @@ def test_line_dedup_fixture_row_preserving(spark, oracle_sf_dir):
         assert n_kept == r.n_lines - r.n_removed or (
             r.n_removed == 0 and n_kept == r.n_lines
         )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embed
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_py(vecs: dict[int, list[float]], k: int = 8, iters: int = 3):
+    """Independent numpy-free Lloyd reimpl with the same micro-int
+    discipline: FLOOR-micro squared distances, d2*K+c argmin encoding,
+    FLOOR-micro coordinate means."""
+    import math
+
+    def d2(a, b):
+        return sum(
+            int(math.floor((x - y) * (x - y) * 1e6)) for x, y in zip(a, b)
+        )
+
+    cents = {
+        c: [float(x) for x in vecs[v]]
+        for c, v in enumerate(sorted(vecs)[:k])
+    }
+    assign = {}
+    for _ in range(iters):
+        assign = {
+            v: min((d2(e, cw) * k + c) for c, cw in cents.items())
+            for v, e in vecs.items()
+        }
+        members: dict[int, list] = {}
+        for v, kk in assign.items():
+            members.setdefault(kk % k, []).append(vecs[v])
+        cents = {
+            c: [
+                sum(int(math.floor(float(x) * 1e6)) for x in col)
+                / (len(col) * 1e6)
+                for col in zip(*ms)
+            ]
+            for c, ms in members.items()
+        }
+    return {v: (kk % k, kk // k) for v, kk in assign.items()}
+
+
+def test_kmeans_embed_matches_reimpl_on_fixture(spark, oracle_sf_dir):
+    """Every (vec_id, cluster, d2_micro) must equal the independent pure-
+    python Lloyd run — seeding, micro distances, tie rule and means."""
+    from synth_timeseries_data_spark.sources import load
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, oracle_sf_dir, "embeddings").collect()
+    }
+    exp = _kmeans_py(vecs)
+    rows = all_queries()["kmeans_embed"].build(spark, oracle_sf_dir).collect()
+    got = {r.vec_id: (r.cluster, r.d2_micro) for r in rows}
+    assert got == exp
+
+
+def test_kmeans_embed_partitions_all_vectors(spark, oracle_sf_dir):
+    """Every vector gets exactly one cluster in [0, K)."""
+    from synth_timeseries_data_spark.sources import load
+
+    n = load(spark, oracle_sf_dir, "embeddings").count()
+    rows = all_queries()["kmeans_embed"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) == n
+    assert {r.vec_id for r in rows} == set(range(n))
+    assert all(0 <= r.cluster < 8 for r in rows)

@@ -440,3 +440,15 @@ def test_gopher_repetition_zero_shuffle_projection(spark, oracle_sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1  # only the documents_par spread
     assert plan.count("Scan parquet") == 1
+
+
+def test_kmeans_embed_broadcasts_centroids_no_sortmerge(spark, oracle_sf_dir):
+    """Each Lloyd iteration's assignment joins the K-row centroid relation
+    by broadcast (nested-loop for the cross join) and partial-aggregates
+    the argmin map-side; nothing sort-merges and no corpus-wide
+    single-partition window exists (seeds come from a LIMIT top-k)."""
+    plan = _plan(spark, "kmeans_embed", oracle_sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # one per iteration
+    assert "partial_min" in plan
+    assert "TakeOrderedAndProject" in plan
