@@ -676,3 +676,68 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_KM_SPARK)
+
+
+# --------------------------------------------------------------------------
+# tokenizer_stats: per-language fertility/compression of the BPE surface —
+# the metric tokenizer training actually reads (how many merged tokens a
+# word costs per language, how many characters a token carries). Rides
+# bpe_encode's session-memoized merge table on the Spark side; the oracle
+# recomputes the merges inside one statement (bpe_encode's own oracle
+# discipline).
+# --------------------------------------------------------------------------
+
+
+def _tok_stats_tail(enc_rel: str) -> str:
+    """Shared aggregation over an encode relation (doc_id, n_tokens,
+    n_bpe_tokens) joined back to documents for lang/chars. All outputs are
+    exact-integer aggregates or their raw-double quotients."""
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / SUM(e.n_tokens)
+             AS tokens_per_word,
+           CAST(SUM(d.n_chars) AS DOUBLE) / SUM(e.n_bpe_tokens)
+             AS chars_per_token
+    FROM {enc_rel} e
+    JOIN documents d ON d.doc_id = e.doc_id
+    WHERE d.text IS NOT NULL
+    GROUP BY d.lang
+    """
+
+
+def _tok_stats_duck() -> str:
+    from .corpus_ext import _BPE_ENC_DUCK
+
+    return f"WITH enc AS ({_BPE_ENC_DUCK}) " + _tok_stats_tail("enc")
+
+
+@register("tokenizer_stats", _tok_stats_duck())
+def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: per-language tokenizer statistics over the BPE surface —
+    document/word/merged-token/char totals plus tokens_per_word (the
+    fertility analog: merged tokens per whitespace word, <= 1 since the
+    corpus-induced merges only join words) and chars_per_token (the
+    compression a context-window budget actually feels per language).
+    This is the table a tokenizer-training loop reads to decide whether a
+    language is under-served by the merge table (high tokens_per_word =
+    few merges apply there).
+
+    Scale shape: bpe_encode's one map-only REPLACE pass (merge table =
+    session-memoized planning scalars) followed by a lang-keyed partial
+    aggregation — the join back to documents is doc_id-equi over the
+    same scan lineage and the output is language-cardinality-bounded."""
+    import uuid
+
+    from .corpus_ext import bpe_encode
+    from .llm_pipeline import _register_docs
+
+    _register_docs(spark, sf_dir)
+    view = f"_tok_stats_enc_{uuid.uuid4().hex[:12]}"
+    bpe_encode(spark, sf_dir).createOrReplaceTempView(view)
+    df = spark.sql(_tok_stats_tail(view))
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df

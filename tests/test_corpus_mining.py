@@ -372,3 +372,40 @@ def test_kmeans_embed_partitions_all_vectors(spark, oracle_sf_dir):
     assert len(rows) == n
     assert {r.vec_id for r in rows} == set(range(n))
     assert all(0 <= r.cluster < 8 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_stats
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_stats_consistent_with_bpe_encode(spark, oracle_sf_dir):
+    """Per-language totals must equal the lang-grouped sums of the
+    bpe_encode relation, and the quotients must be exactly their ratio
+    (merges only join words, so tokens_per_word <= 1)."""
+    from synth_timeseries_data_spark.sources import load
+
+    enc = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in all_queries()["bpe_encode"].build(spark, oracle_sf_dir).collect()
+    }
+    langs = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in load(spark, oracle_sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    exp: dict[str, list] = {}
+    for d, (lang, nch) in langs.items():
+        w, b = enc[d]
+        agg = exp.setdefault(lang, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += w
+        agg[2] += b
+        agg[3] += nch
+    rows = all_queries()["tokenizer_stats"].build(spark, oracle_sf_dir).collect()
+    assert {r.lang for r in rows} == set(exp)
+    for r in rows:
+        nd, w, b, ch = exp[r.lang]
+        assert (r.n_docs, r.n_words, r.n_bpe_tokens, r.n_chars) == (nd, w, b, ch)
+        assert r.tokens_per_word == b / w and r.tokens_per_word <= 1.0
+        assert r.chars_per_token == ch / b
