@@ -249,6 +249,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # sinks hardening under its workflow is unit-tested in test_sinks.py,
 # and its composition replays in the session gate) join the demoted
 # tail.
+# Later in round 8, five MORE operators land (winnowing, gopher_repetition,
+# line_dedup, kmeans_embed, tokenizer_stats — queries/corpus_mining.py), and
+# the window arithmetic binds: the 42 r06-attested entries CANNOT leave (their
+# last green row is two records back — demoting them would break the one-round
+# invariant the moment CORRECTNESS_r08.json lands), so only the three
+# r07-green keeps are invariant-clean demotions. dedup_spans, ngram_novelty
+# and multimodal_audio join the tail (their round-8 size/skew gates do not
+# change fixture-scale plans — both forms are pinned row-equal in pytest, so
+# driver attestation of the gated form adds nothing at sf0.01), freeing 3
+# slots: winnowing (98th), gopher_repetition (99th) and kmeans_embed (100th)
+# enter in-window. line_dedup and tokenizer_stats run rows-only AT THE DRIVER
+# this round (50-cap arithmetic, not SQL-expressibility — their full DuckDB
+# oracles live in queries/corpus_mining.py and are bit-exactly replayed every
+# session by tests/test_corpus_mining.py with the same canon compare); round 9
+# should register their oracles and rotate them into the window.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
@@ -261,6 +276,7 @@ _DEMOTED = (
     "curate_decisions",
     "dedup_clusters",
     "decode_edges",
+    "dedup_spans",
     "docs_by_lang",
     "dsir_weights",
     "edge_confusion",
@@ -275,8 +291,10 @@ _DEMOTED = (
     "metrics_rollup",
     "missing_pattern",
     "missing_profile",
+    "multimodal_audio",
     "multimodal_features",
     "neardup_survivors",
+    "ngram_novelty",
     "nonlinear_proj",
     "order_set_ops",
     "parse_edges_udtf",

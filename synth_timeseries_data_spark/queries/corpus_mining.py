@@ -508,7 +508,7 @@ def _line_dedup_sql(d) -> str:
 _LD_SPARK, _LD_DUCK = _dual(_line_dedup_sql)
 
 
-@register("line_dedup", _LD_DUCK)
+@register("line_dedup", None)
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: corpus-wide LINE-grain exact dedup (the C4/CCNet move —
     C4 discards lines repeated across the corpus; CCNet hashes normalized
@@ -715,7 +715,21 @@ def _tok_stats_duck() -> str:
     return f"WITH enc AS ({_BPE_ENC_DUCK}) " + _tok_stats_tail("enc")
 
 
-@register("tokenizer_stats", _tok_stats_duck())
+# line_dedup and tokenizer_stats register ROWS-ONLY at the driver THIS ROUND
+# purely by 50-slot window arithmetic (see the rotation ledger in
+# queries/__init__.py) — not SQL-expressibility: their full DuckDB oracles
+# (_LD_DUCK above, _TOK_STATS_DUCK below) are bit-exactly replayed every
+# session by tests/test_corpus_mining.py with the driver's own canon
+# compare, and they also carry the weakest marginal driver-hash signal of
+# the round-8 additions (the fixture has no newlines, so line_dedup's
+# fixture row set is dominated by the untouched fast path; tokenizer_stats
+# embeds bpe_encode's relation, whose oracle is already window-attested
+# through pack_bpe). Round 9: swap these oracles into @register and rotate
+# them in-window.
+_TOK_STATS_DUCK = _tok_stats_duck()
+
+
+@register("tokenizer_stats", None)
 def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: per-language tokenizer statistics over the BPE surface —
     document/word/merged-token/char totals plus tokens_per_word (the

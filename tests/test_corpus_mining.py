@@ -409,3 +409,32 @@ def test_tokenizer_stats_consistent_with_bpe_encode(spark, oracle_sf_dir):
         assert (r.n_docs, r.n_words, r.n_bpe_tokens, r.n_chars) == (nd, w, b, ch)
         assert r.tokens_per_word == b / w and r.tokens_per_word <= 1.0
         assert r.chars_per_token == ch / b
+
+
+# ---------------------------------------------------------------------------
+# Session-level bit-exact oracle pins for the two driver-rows-only entries
+# (window arithmetic, not SQL-expressibility — see queries/__init__.py's
+# rotation ledger): the SAME canon compare the driver's value hash uses.
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_oracle_bit_exact(spark, duck, oracle_sf_dir):
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.corpus_mining import _LD_DUCK
+
+    spark_pdf = all_queries()["line_dedup"].build(spark, oracle_sf_dir).toPandas()
+    duck_pdf = duck.execute(_LD_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "line_dedup")
+
+
+def test_tokenizer_stats_oracle_bit_exact(spark, duck, oracle_sf_dir):
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _TOK_STATS_DUCK,
+    )
+
+    spark_pdf = (
+        all_queries()["tokenizer_stats"].build(spark, oracle_sf_dir).toPandas()
+    )
+    duck_pdf = duck.execute(_TOK_STATS_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "tokenizer_stats")
