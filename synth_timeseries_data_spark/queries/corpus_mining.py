@@ -171,20 +171,30 @@ def _mode_char_mass(garr: str) -> str:
     )
 
 
-def _dup_starts(garr: str) -> str:
-    """Sorted start positions of grams occurring >= 2 times in the doc:
-    sort (gram, pos) structs, flag entries equal to a neighbor, collect
-    their positions. O(m log m) per row, no quadratic membership scan."""
-    sp = (
+def _struct_sort(garr: str) -> str:
+    """(gram, pos) structs sorted by (g, i) — MATERIALIZED AS A COLUMN by
+    the caller before _dup_starts reads it: inlining this expression into
+    the neighbor-flag lambda re-evaluates the full sort per element
+    (measured: 15.3 s steady at sf0.1 for the inlined form vs sub-second
+    materialized — exactly the quadratic the sort exists to avoid;
+    Spark does not CSE across nested higher-order functions)."""
+    return (
         f"array_sort(transform({_seq1(f'size({garr})')}, "
         f"i -> named_struct('g', element_at({garr}, i), 'i', i)))"
     )
+
+
+def _dup_starts(spx: str) -> str:
+    """Sorted start positions of grams occurring >= 2 times, from a
+    PRE-SORTED struct column ``spx`` (see _struct_sort): flag entries
+    equal to a neighbor, collect their positions. O(m log m) per row, no
+    quadratic membership scan."""
     return (
-        f"array_sort(filter(transform({_seq1(f'size(spx)')}, j -> "
-        f"IF((j > 1 AND element_at(spx, j).g = element_at(spx, j - 1).g) "
-        f"OR (j < size(spx) AND element_at(spx, j).g = "
-        f"element_at(spx, j + 1).g), element_at(spx, j).i, "
-        f"CAST(NULL AS INT))), x -> x IS NOT NULL))".replace("spx", sp)
+        f"array_sort(filter(transform({_seq1(f'size({spx})')}, j -> "
+        f"IF((j > 1 AND element_at({spx}, j).g = element_at({spx}, j - 1).g) "
+        f"OR (j < size({spx}) AND element_at({spx}, j).g = "
+        f"element_at({spx}, j + 1).g), element_at({spx}, j).i, "
+        f"CAST(NULL AS INT))), x -> x IS NOT NULL))"
     )
 
 
@@ -254,8 +264,11 @@ def _gopher_repetition_sql(d) -> str:
         gcols = ",\n             ".join(
             f"{g} AS g{n}" for n, g in grams.items()
         )
+        spcols = ",\n             ".join(
+            f"{_struct_sort(f'g{n}')} AS sp{n}" for n in _GREP_NS_DUP
+        )
         dcols = ",\n             ".join(
-            f"{_dup_starts(f'g{n}')} AS d{n}" for n in _GREP_NS_DUP
+            f"{_dup_starts(f'sp{n}')} AS d{n}" for n in _GREP_NS_DUP
         )
         tops = ",\n           ".join(
             f"CAST({_mode_char_mass(f'g{n}')} AS DOUBLE) / nch "
@@ -279,10 +292,15 @@ def _gopher_repetition_sql(d) -> str:
              {gcols}
       FROM t
     ),
+    sp AS (
+      SELECT doc_id, nch, lines, n_words, g2, g3, g4,
+             {spcols}
+      FROM g
+    ),
     du AS (
       SELECT doc_id, nch, lines, n_words, g2, g3, g4,
              {dcols}
-      FROM g
+      FROM sp
     ),
     fr AS (
       SELECT doc_id, n_words,
@@ -554,20 +572,20 @@ _KM_DIMS = 64
 
 def _km_fold(d, ea: str, cw: str) -> str:
     """Exact squared-distance as a BIGINT micro sum: per-dim FLOOR-micro
-    terms accumulated left-to-right (order-independent integer adds)."""
-    term = (
-        f"CAST(FLOOR((element_at({ea}, i) - element_at({cw}, i)) * "
-        f"(element_at({ea}, i) - element_at({cw}, i)) * 1000000.0) "
-        f"AS BIGINT)"
-        if d is _SPARK_D
-        else f"CAST(FLOOR(({ea}[i] - {cw}[i]) * ({ea}[i] - {cw}[i]) * "
-        f"1000000.0) AS BIGINT)"
-    )
+    terms accumulated left-to-right (order-independent integer adds).
+    Spark side pairs the arrays with zip_with instead of indexed
+    element_at lookups — measured 6.3 -> 4.4 s steady at the 50k-vector
+    tier (interleaved A/B), identical per-term arithmetic and order."""
     if d is _SPARK_D:
         return (
-            f"aggregate(sequence(1, {_KM_DIMS}), CAST(0 AS BIGINT), "
-            f"(acc, i) -> acc + {term})"
+            f"aggregate(zip_with({ea}, {cw}, (x, y) -> "
+            f"CAST(FLOOR((x - y) * (x - y) * 1000000.0) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, z) -> acc + z)"
         )
+    term = (
+        f"CAST(FLOOR(({ea}[i] - {cw}[i]) * ({ea}[i] - {cw}[i]) * "
+        f"1000000.0) AS BIGINT)"
+    )
     return (
         f"list_sum(list_transform(generate_series(1, {_KM_DIMS}), "
         f"i -> {term}))"
@@ -647,6 +665,102 @@ def _kmeans_sql(d) -> str:
 _KM_SPARK, _KM_DUCK = _dual(_kmeans_sql)
 
 
+# Past this many vectors the Spark side switches from the unrolled SQL
+# fold (interpreted higher-order functions evaluate ~770M lambda terms at
+# the 500k tier — measured 40.9 s steady) to the numpy-assignment loop
+# below (vectorized (n,K,dims) distance tensor per Arrow batch; the
+# driver reads only planning scalars — K*dims centroid sums per round,
+# the bpe_train discipline). Gate scales (500/5k vectors) keep the
+# oracle-identical declarative form; the two forms are pinned row-equal
+# at the 50k tier (tests/test_corpus_mining.py).
+_KM_NUMPY_ROWS = 20_000
+
+
+def _km_assign_numpy(df, cents):
+    """One Lloyd assignment pass as Arrow-batched mapInPandas: the EXACT
+    arithmetic of _km_fold, vectorized — float64 (x-w)^2 * 1e6 floored to
+    int64 per dim (IEEE-identical to the SQL form term by term), summed
+    exactly, argmin encoded as MIN(d2*K + c)."""
+    import numpy as np
+    import pandas as pd
+
+    C = cents  # (k, dims) float64; closure-captured, k*dims scalars
+    ks = np.arange(C.shape[0], dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            diff = E[:, None, :] - C[None, :, :]
+            d2 = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
+            kk = (d2 * C.shape[0] + ks[None, :]).min(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "kk": kk})
+
+    return df.mapInPandas(assign, schema="vec_id long, kk long")
+
+
+def _kmeans_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form: per-round numpy assignment + one SQL micro-mean
+    aggregation whose K*dims result rows are the only driver reads."""
+    import numpy as np
+
+    from ..sources import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.orderBy("vec_id").limit(_KM_K).collect()
+    cents = {
+        c: np.asarray(r.embedding, dtype=np.float64)
+        for c, r in enumerate(seeds)
+    }
+    import uuid
+
+    for t in range(1, _KM_ITERS + 1):
+        C = np.stack([cents[c] for c in sorted(cents)])
+        cmap = sorted(cents)  # row -> cluster id (clusters can drop out)
+        a = _km_assign_numpy(emb, C)
+        # decode the composite against the COMPACT centroid matrix, then
+        # map back to original cluster ids
+        k = len(cmap)
+        if t == _KM_ITERS:
+            from pyspark.sql import functions as F
+
+            mapping = F.create_map(
+                *[x for i, c in enumerate(cmap) for x in (F.lit(i), F.lit(c))]
+            )
+            return a.select(
+                "vec_id",
+                mapping[(F.col("kk") % k)].cast("int").alias("cluster"),
+                (F.col("kk") / k).cast("bigint").alias("d2_micro"),
+            )
+        view = f"_km_assign_{uuid.uuid4().hex[:12]}"
+        a.createOrReplaceTempView(view)
+        emb.createOrReplaceTempView(f"{view}_e")
+        rows = spark.sql(
+            f"""
+            SELECT CAST(a.kk % {k} AS INT) AS c, p.dim,
+                   SUM(CAST(FLOOR(p.x * 1000000.0) AS BIGINT)) AS sx,
+                   COUNT(*) AS n
+            FROM (SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x
+                  FROM {view}_e LATERAL VIEW posexplode(embedding) AS pos, x
+                 ) p
+            JOIN {view} a ON a.vec_id = p.vec_id
+            GROUP BY a.kk % {k}, p.dim
+            """
+        ).collect()  # K*dims planning scalars, never data
+        spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(f"{view}_e")
+        upd: dict[int, "np.ndarray"] = {}
+        for r in rows:
+            upd.setdefault(cmap[r.c], np.zeros(_KM_DIMS))[r.dim - 1] = (
+                float(r.sx) / (r.n * 1e6)
+            )
+        cents = upd
+    raise AssertionError("unreachable")
+
+
 @register("kmeans_embed", _KM_DUCK)
 def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: explicit Lloyd k-means over the embedding column (K=8,
@@ -663,17 +777,26 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid relation. Returns (vec_id, cluster, d2_micro) after the
     final assignment.
 
-    Scale shape: the fixed iteration budget is UNROLLED into one
-    declarative statement — no driver loop, no collect; Catalyst sees the
-    whole lineage. Per iteration: the assignment is a CROSS JOIN against
-    the K-row centroid array relation (broadcast — K·dims doubles) whose
-    n·K fold rows partial-aggregate map-side down to one row per vector
-    before the exchange, and the centroid update is one (c, dim)-keyed
-    aggregation over the component explode (k·d rows out). Nothing is
-    corpus-quadratic; the expensive stage is n·K codegen'd 64-term folds
-    per iteration, the textbook k-means cost."""
+    Scale shape, two gated forms (the sliding_agg/dedup_spans size-gate
+    discipline, footer row count, no job): at gate scales the iteration
+    budget is UNROLLED into one declarative statement — no driver loop,
+    no collect; per iteration the assignment CROSS JOINs the K-row
+    centroid array relation (broadcast) and partial-aggregates the
+    argmin map-side, the centroid update is one (c, dim)-keyed
+    aggregation (k·d rows out). Past _KM_NUMPY_ROWS vectors the
+    assignment's interpreted higher-order folds dominate (~770M lambda
+    terms at 200k vectors — measured 40.9 s steady), so the assignment
+    becomes an Arrow-batched mapInPandas computing the SAME FLOOR-micro
+    arithmetic as a vectorized (batch, K, dims) tensor — 40.9 s → ~3-6 s
+    at 200k vectors, DuckDB-parity — while each round's centroid update
+    stays the SQL micro-mean aggregation and the driver reads only its
+    K·dims planning-scalar rows (the bpe_train discipline). Forms pinned
+    row-equal at the 20k boundary tier. Nothing is corpus-quadratic."""
     from ..sources import load
+    from ..sources.tables import table_rows
 
+    if table_rows(sf_dir, "embeddings") > _KM_NUMPY_ROWS:
+        return _kmeans_numpy(spark, sf_dir)
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_KM_SPARK)
 

@@ -56,6 +56,17 @@ _QUERIES = (
     # and the md5 hashes re-run at each DOP)
     "scm_output_stats",
     "bpe_encode",
+    # round-8 continuation: kmeans' partial-MIN argmin combine trees and
+    # micro-int centroid means, winnowing's window-MIN + distinct under
+    # re-partitioned input, line_dedup's first-doc window + ordered
+    # rebuild (the dedup_spans class at line grain), the repetition
+    # table's per-row folds over re-partitioned scans, and the tokenizer
+    # rollup's integer quotients
+    "kmeans_embed",
+    "winnowing",
+    "line_dedup",
+    "gopher_repetition",
+    "tokenizer_stats",
 )
 
 _DOPS = (1, 7, 64)
