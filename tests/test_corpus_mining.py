@@ -186,6 +186,55 @@ def test_gopher_repetition_matches_reimpl_on_planted_docs(spark):
             assert got[k] == v, (d, k, got[k], v)
 
 
+def test_gopher_repetition_pandas_and_fold_forms_row_equal(spark, oracle_sf_dir):
+    """The registered mapInPandas form and the declarative fold artifact
+    must emit bit-identical rows on the fixture (the A/B that retired the
+    fold form is only valid because the forms agree)."""
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _GREP_SPARK,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _register_docs,
+    )
+
+    _register_docs(spark, oracle_sf_dir)
+    fold = {r.doc_id: tuple(r) for r in spark.sql(_GREP_SPARK).collect()}
+    got = {
+        r.doc_id: tuple(r)
+        for r in all_queries()["gopher_repetition"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    assert fold == got
+
+
+def test_gopher_repetition_pandas_form_on_planted_docs(spark):
+    """The registered (mapInPandas) path itself on planted newline/dup
+    docs — same table as the reimpl, NULL text skipped."""
+    import pandas as pd
+
+    docs = {
+        1: "the cat sat\nhello world\nthe cat sat\nbye",
+        2: "a b a b a b a b c d e f g h i j k l m n o p",
+        3: None,
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+        )
+    )
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _grep_pandas,
+    )
+
+    rows = {r.doc_id: r.asDict() for r in _grep_pandas(sdf).collect()}
+    assert set(rows) == {1, 2}  # NULL text emits no row in either form
+    for d in (1, 2):
+        exp = _grep_py(docs[d])
+        for k, v in exp.items():
+            assert rows[d][k] == v, (d, k)
+
+
 def test_gopher_repetition_fixture_thresholds_consistent(spark, oracle_sf_dir):
     """On the fixture, keep must equal the AND of the ok_* flags and each
     flag must equal its fraction-vs-threshold comparison."""

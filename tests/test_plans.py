@@ -432,14 +432,16 @@ def test_winnowing_single_exchange_distinct_collapses(spark, oracle_sf_dir):
     assert "lang" not in plan and "source" not in plan
 
 
-def test_gopher_repetition_zero_shuffle_projection(spark, oracle_sf_dir):
-    """The whole repetition table (mode counts, dup detection, interval
-    unions) is per-row fold expressions: one corpus scan, no exchange
-    beyond the fixture spread, no joins, no window."""
+def test_gopher_repetition_zero_shuffle_python_stage(spark, oracle_sf_dir):
+    """The registered repetition table is ONE Arrow-batched python stage
+    over the pruned scan: no exchange, no join, no window — the
+    char_entropy plan shape."""
     plan = _plan(spark, "gopher_repetition", oracle_sf_dir)
+    assert "MapInPandas" in plan
     assert "Join" not in plan
-    assert plan.count("Exchange") <= 1  # only the documents_par spread
+    assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+    assert "lang" not in plan and "source" not in plan
 
 
 def test_kmeans_embed_broadcasts_centroids_no_sortmerge(spark, oracle_sf_dir):
