@@ -968,3 +968,98 @@ def novelty_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprint index: MOSS candidate serving for arriving docs.
+# --------------------------------------------------------------------------
+
+# Index-side fingerprints carried by more than this many indexed documents
+# are dropped from candidate generation as non-discriminative boilerplate —
+# the decontam_ngram stop-gram device, and standard MOSS practice (a
+# universal header's fingerprint would otherwise pair every probe doc with
+# every carrier: the one quadratic this probe could have).
+WINNOW_STOP_CAP = 64
+
+
+def build_winnow_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "wn",
+    n_buckets: int = DEFAULT_BUCKETS,
+    where: "str | None" = None,
+) -> str:
+    """Build and persist the winnowing fingerprint index for ``sf_dir``'s
+    documents: ``{prefix}_fp_b`` (fp, doc_id, pos — the MOSS relation the
+    registry's `winnowing` query computes), bucketBy(fp) so the candidate
+    probe's equality join runs exchange-free on the index side. ``where``
+    restricts the indexed corpus (the already-ingested prefix). This is
+    the storage half of exact-substring dedup at serving time: ~40% of
+    gram positions instead of full shingle sets, with the shared-8-token-
+    run detection guarantee. Returns the table name."""
+    from ..queries import corpus_mining as cm
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    t = f"{prefix}_fp_b"
+    fp = spark.sql(
+        cm._winnowing_sql(lp._SPARK_D, where=where)
+    ).repartition(n_buckets, "fp")
+    write_bucketed(fp, t, "fp", n_buckets)
+    return t
+
+
+def winnow_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_table: str,
+    delta_where: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The MOSS detection step for an ARRIVING batch: winnow the delta
+    docs (registry SQL restricted to ``delta_where``), probe the persisted
+    fingerprint index by fp equality, and rank candidate pairs by the
+    number of DISTINCT shared fingerprints (a fingerprint selected at
+    several positions in both docs counts once — document identity, not
+    repetition, is the signal). READ-ONLY against the index (folding the
+    delta in is a rebuild or append, the minhash_delta_pairs contract).
+    Returns (probe_doc, index_doc, shared_fps) with shared_fps >=
+    ``min_shared``.
+
+    Scale shape: the index-side boilerplate cap (WINNOW_STOP_CAP, see
+    above) bounds per-fingerprint fan-out; the probe join is an equality
+    join on the bucketed fp (exchange-free on the index side); the pair
+    rollup is candidate-proportional — nothing is probe x index."""
+    import uuid
+
+    from ..queries import corpus_mining as cm
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    lp._register_docs(spark, sf_dir)
+    view = f"_wn_delta_{uuid.uuid4().hex[:12]}"
+    spark.sql(
+        cm._winnowing_sql(lp._SPARK_D, where=delta_where)
+    ).createOrReplaceTempView(view)
+    df = spark.sql(
+        f"""
+        WITH keep AS (
+          SELECT fp FROM {fp_table}
+          GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {WINNOW_STOP_CAP}
+        ),
+        idx AS (
+          SELECT DISTINCT i.fp, i.doc_id
+          FROM {fp_table} i JOIN keep k ON k.fp = i.fp
+        ),
+        d AS (SELECT DISTINCT doc_id, fp FROM {view})
+        SELECT d.doc_id AS probe_doc, i.doc_id AS index_doc,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM d JOIN idx i ON i.fp = d.fp
+        WHERE i.doc_id != d.doc_id
+        GROUP BY d.doc_id, i.doc_id
+        HAVING COUNT(*) >= {min_shared}
+        """
+    )
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df

@@ -60,7 +60,7 @@ _WIN_W = 4  # hashes per winnowing window
 _WIN_POS = 1 << 24
 
 
-def _winnowing_sql(d) -> str:
+def _winnowing_sql(d, where: "str | None" = None, src: "str | None" = None) -> str:
     # The rightmost-min tiebreak is ENCODED IN THE VALUE: the composite
     # v = h36 * 2^24 + (2^24 - 1 - i) — 36-bit hash + 24-bit position =
     # 60 bits, no int64 overflow — is strictly decreasing in i for equal
@@ -72,10 +72,11 @@ def _winnowing_sql(d) -> str:
     gram = _joinarr(d, _slice(d, "ws", "i", _WIN_K))
     h36 = _hex2int(d, f"SUBSTR(md5({gram}), 1, 9)")
     idiv = "DIV" if d is _SPARK_D else "//"
+    pred = f" AND ({where})" if where else ""
     return f"""
     WITH w AS (
-      SELECT doc_id, {ws} AS ws FROM {d['pdocs']}
-      WHERE text IS NOT NULL AND {d['len'](ws)} >= {_WIN_K}
+      SELECT doc_id, {ws} AS ws FROM {src or d['pdocs']}
+      WHERE text IS NOT NULL AND {d['len'](ws)} >= {_WIN_K}{pred}
     ),
     pos AS (SELECT doc_id, ws, {d['len']('ws')} - {_WIN_K - 1} AS n,
                    {d['expand']('1', d['len']('ws') + f' - {_WIN_K - 1}')} AS i

@@ -489,3 +489,58 @@ def test_novelty_ingest_stream_replays_to_full_novelty(
     # the index holds every distinct run exactly once
     n_runs = spark.sql(f"SELECT COUNT(*) AS c, COUNT(DISTINCT h) AS d FROM {table}").first()
     assert n_runs["c"] == n_runs["d"] > 0
+
+
+def test_winnow_candidates_match_bruteforce_probe(
+    spark, smoke_sf_dir, bucket_db
+):
+    """With the fingerprint index built on the already-ingested prefix,
+    winnow_candidates over the arriving batch must equal the brute-force
+    pair count computed from the registry winnowing relation (distinct
+    shared fingerprints, stop-cap applied, min_shared threshold) — the
+    MOSS detection invariant. The index side of the probe join must be
+    the bucketed scan."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        WINNOW_STOP_CAP,
+        build_winnow_index,
+        index_posture,
+        winnow_candidates,
+    )
+    from synth_timeseries_data_spark.queries import all_queries
+
+    delta = "doc_id % 5 = 3"
+    with index_posture(spark):
+        fp_t = build_winnow_index(
+            spark, smoke_sf_dir, prefix=f"{bucket_db}.wnx", n_buckets=8,
+            where=f"NOT ({delta})",
+        )
+        got = sorted(
+            tuple(r)
+            for r in winnow_candidates(
+                spark, smoke_sf_dir, fp_t, delta, min_shared=2
+            ).collect()
+        )
+    # brute force from the registry relation
+    rows = all_queries()["winnowing"].build(spark, smoke_sf_dir).collect()
+    probe: dict[int, set] = {}
+    index: dict[int, set] = {}
+    carriers: dict[int, set] = {}
+    for r in rows:
+        side = probe if r.doc_id % 5 == 3 else index
+        side.setdefault(r.doc_id, set()).add(r.fp)
+    for d, fps in index.items():
+        for f in fps:
+            carriers.setdefault(f, set()).add(d)
+    hot = {f for f, ds in carriers.items() if len(ds) > WINNOW_STOP_CAP}
+    want = []
+    for pd_, pf in probe.items():
+        shared: dict[int, int] = {}
+        for f in pf - hot:
+            for ix in carriers.get(f, ()):
+                if ix != pd_:
+                    shared[ix] = shared.get(ix, 0) + 1
+        want.extend(
+            (pd_, ix, n) for ix, n in shared.items() if n >= 2
+        )
+    assert got == sorted(want)
+    assert got  # the small-vocab fixture must actually produce candidates
