@@ -780,7 +780,7 @@ _KM_SPARK, _KM_DUCK = _dual(_kmeans_sql)
 # the bpe_train discipline). Gate scales (500/5k vectors) keep the
 # oracle-identical declarative form; the two forms are pinned row-equal
 # at the 50k tier (tests/test_corpus_mining.py).
-_KM_NUMPY_ROWS = 20_000
+_KM_NUMPY_ROWS = 10_000
 
 
 def _km_assign_numpy(df, cents):
@@ -898,7 +898,7 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 200k vectors, DuckDB-parity — while each round's centroid update
     stays the SQL micro-mean aggregation and the driver reads only its
     K·dims planning-scalar rows (the bpe_train discipline). Forms pinned
-    row-equal at the 20k boundary tier. Nothing is corpus-quadratic."""
+    row-equal at the 20k ladder tier and a 25k synthetic corpus. Nothing is corpus-quadratic."""
     from ..sources import load
     from ..sources.tables import table_rows
 
