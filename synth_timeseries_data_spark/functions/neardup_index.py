@@ -1042,8 +1042,16 @@ def winnow_candidates(
     spark.sql(
         cm._winnowing_sql(lp._SPARK_D, where=delta_where)
     ).createOrReplaceTempView(view)
-    df = spark.sql(
-        f"""
+    df = spark.sql(_winnow_probe_sql(fp_table, view, min_shared))
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df
+
+
+def _winnow_probe_sql(fp_table: str, delta_rel: str, min_shared: int) -> str:
+    """The candidate probe over a winnowed delta relation — THE single
+    definition shared by winnow_candidates and the streaming ingest so
+    the serving path can never silently diverge."""
+    return f"""
         WITH keep AS (
           SELECT fp FROM {fp_table}
           GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {WINNOW_STOP_CAP}
@@ -1052,7 +1060,7 @@ def winnow_candidates(
           SELECT DISTINCT i.fp, i.doc_id
           FROM {fp_table} i JOIN keep k ON k.fp = i.fp
         ),
-        d AS (SELECT DISTINCT doc_id, fp FROM {view})
+        d AS (SELECT DISTINCT doc_id, fp FROM {delta_rel})
         SELECT d.doc_id AS probe_doc, i.doc_id AS index_doc,
                CAST(COUNT(*) AS BIGINT) AS shared_fps
         FROM d JOIN idx i ON i.fp = d.fp
@@ -1060,6 +1068,76 @@ def winnow_candidates(
         GROUP BY d.doc_id, i.doc_id
         HAVING COUNT(*) >= {min_shared}
         """
+
+
+def winnow_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    fp_table: str,
+    out_dir: str,
+    checkpoint: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    min_shared: int = 2,
+):
+    """Streaming MOSS monitor + index maintenance: a file-source stream
+    over ``docs_dir`` (each arriving parquet file = one micro-batch of
+    documents) winnows each batch, probes its fingerprints against the
+    persisted index (candidate pairs with >= ``min_shared`` distinct
+    shared fingerprints — the dedup-candidate feed a crawl pipeline
+    consumes), appends the pairs to ``out_dir``, then appends the batch's
+    OWN fingerprints to the bucketed ``fp_table`` so the next batch is
+    matched against everything ingested so far. The table is created on
+    the first batch if absent, so a stream can build the index from
+    scratch. Pairs are INDEX-facing: two docs arriving in the SAME batch
+    are not paired with each other (a batch is one crawl increment;
+    intra-increment dedup is the registry `winnowing` query's job) — so
+    replaying a corpus one doc per batch reproduces every
+    earlier-batch pair exactly (pinned in test_scale_techniques.py).
+    Delivery is at-least-once per batch (the lsh_ingest_stream caveat:
+    recover from an unclean restart with a `build_winnow_index` rebuild
+    before trusting the feed). Returns the started StreamingQuery."""
+    import uuid
+
+    from ..queries import corpus_mining as cm
+    from ..queries import llm_pipeline as lp
+
+    _index_session_confs(spark)
+    schema = spark.read.parquet(docs_dir).schema
+    stream_tag = uuid.uuid4().hex[:12]
+
+    def _probe_and_append(batch: DataFrame, _epoch_id: int) -> None:
+        s = batch.sparkSession
+        view = f"_wn_ingest_batch_{stream_tag}"
+        batch.createOrReplaceTempView(view)
+        fps_view = f"_wn_ingest_fp_{stream_tag}_{_epoch_id}"
+        # materialize once: the fp relation feeds BOTH the probe and the
+        # index append (the minhash_delta_pairs device)
+        s.sql(
+            cm._winnowing_sql(lp._SPARK_D, src=view)
+        ).localCheckpoint().createOrReplaceTempView(fps_view)
+        if not s.catalog.tableExists(fp_table):
+            empty = s.sql(f"SELECT * FROM {fps_view} WHERE 1 = 0")
+            write_bucketed(empty, fp_table, "fp", n_buckets)
+        s.sql(
+            _winnow_probe_sql(fp_table, fps_view, min_shared)
+        ).write.mode("append").parquet(out_dir)
+        (
+            s.table(fps_view)
+            .repartition(n_buckets, "fp")
+            .write.format("parquet")
+            .mode("append")
+            .bucketBy(n_buckets, "fp")
+            .sortBy("fp")
+            .saveAsTable(fp_table)
+        )
+        s.catalog.dropTempView(fps_view)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
-    spark.catalog.dropTempView(view)  # plan resolved at sql() time
-    return df

@@ -544,3 +544,63 @@ def test_winnow_candidates_match_bruteforce_probe(
         )
     assert got == sorted(want)
     assert got  # the small-vocab fixture must actually produce candidates
+
+
+def test_winnow_ingest_stream_matches_indexed_probe(
+    spark, smoke_sf_dir, bucket_db, tmp_path
+):
+    """Two 'arriving' document files streamed through winnow_ingest_stream
+    must leave a candidate feed equal to the brute-force index-facing
+    probe (batch 1 sees an empty index; batch 2 is matched against batch
+    1 under the stop cap), and a fingerprint table equal to a batch
+    rebuild of the whole corpus."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        WINNOW_STOP_CAP,
+        index_posture,
+        winnow_ingest_stream,
+    )
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    docs = load(spark, smoke_sf_dir, "documents")
+    cut = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").first()["m"]
+    ingest = str(tmp_path / "docs_ingest_wn")
+    docs.where(f"doc_id <= {cut}").coalesce(1).write.mode("append").parquet(ingest)
+    docs.where(f"doc_id > {cut}").coalesce(1).write.mode("append").parquet(ingest)
+
+    table = f"{bucket_db}.swn_fp"
+    feed = str(tmp_path / "wn_feed")
+    with index_posture(spark):
+        q = winnow_ingest_stream(
+            spark, ingest, table, feed, str(tmp_path / "wn_ckpt"), n_buckets=8
+        )
+        assert q.awaitTermination(180)
+        got = sorted(tuple(r) for r in spark.read.parquet(feed).collect())
+        idx_rows = spark.sql(
+            f"SELECT doc_id, fp, pos FROM {table}"
+        ).collect()
+
+    fps = all_queries()["winnowing"].build(spark, smoke_sf_dir).collect()
+    # index table == batch rebuild (every doc's fingerprints, exactly once)
+    assert sorted((r.doc_id, r.fp, r.pos) for r in idx_rows) == sorted(
+        (r.doc_id, r.fp, r.pos) for r in fps
+    )
+    # feed == brute-force index-facing probe for batch 2 against batch 1
+    b1: dict[int, set] = {}
+    b2: dict[int, set] = {}
+    for r in fps:
+        (b1 if r.doc_id <= cut else b2).setdefault(r.doc_id, set()).add(r.fp)
+    carriers: dict[int, set] = {}
+    for d, f_set in b1.items():
+        for f in f_set:
+            carriers.setdefault(f, set()).add(d)
+    hot = {f for f, ds in carriers.items() if len(ds) > WINNOW_STOP_CAP}
+    want = []
+    for pd_, pf in b2.items():
+        shared: dict[int, int] = {}
+        for f in pf - hot:
+            for ix in carriers.get(f, ()):
+                shared[ix] = shared.get(ix, 0) + 1
+        want.extend((pd_, ix, n) for ix, n in shared.items() if n >= 2)
+    assert got == sorted(want)
+    assert got  # the small-vocab fixture must produce cross-batch pairs
