@@ -985,3 +985,191 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.sql(_tok_stats_tail(view))
     spark.catalog.dropTempView(view)  # plan resolved at sql() time
     return df
+
+
+# --------------------------------------------------------------------------
+# quality_classifier: a TRAINED model-based quality filter — integer-state
+# logistic regression on hashing-trick word features (the fasttext-style
+# classifier CCNet/GPT-3/LLaMA pipelines train on a curated seed corpus and
+# apply to the crawl). The weak label here is gopher_rules' word-count gate
+# (the one fixture gate with class variance — in production the label is
+# "reference corpus vs random crawl", same machinery). Everything is
+# deterministic end to end: feature weights live as FLOOR-micro BIGINTs,
+# the per-doc logit numerator is an exact integer, the sigmoid is the ONE
+# libm call and is snapped ROUND(.,9) (the char_entropy device), the
+# gradient accumulates FLOOR-micro integer terms, and the learning step is
+# an integer shift (gm DIV 16) — so five training rounds produce
+# bit-identical weights in Spark and DuckDB.
+# --------------------------------------------------------------------------
+
+_QLR_FEATS = 4096  # hashing-trick buckets
+_QLR_ROUNDS = 5
+_QLR_LR_SHIFT = 16  # integer learning step: w -= grad DIV 16
+
+
+def _qlr_fx_sql(d) -> str:
+    """Per-(doc, feature) counts + doc length — the design matrix."""
+    if d is _SPARK_D:
+        wx = (
+            f"SELECT doc_id, size(ws) AS nw, "
+            f"{_hex2int(d, 'SUBSTR(md5(w), 1, 15)')} % {_QLR_FEATS} AS f "
+            f"FROM (SELECT doc_id, {d['split']('text')} AS ws "
+            f"FROM {d['pdocs']} WHERE text IS NOT NULL) "
+            f"LATERAL VIEW explode(ws) AS w"
+        )
+    else:
+        wx = (
+            f"SELECT doc_id, len(ws) AS nw, "
+            f"{_hex2int(d, 'SUBSTR(md5(w), 1, 15)')} % {_QLR_FEATS} AS f "
+            f"FROM (SELECT doc_id, {d['split']('text')} AS ws "
+            f"FROM documents WHERE text IS NOT NULL) t, unnest(ws) AS u(w)"
+        )
+    return (
+        f"SELECT doc_id, nw, f, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM ({wx}) GROUP BY doc_id, nw, f"
+    )
+
+
+def _qlr_y_sql(d) -> str:
+    from .corpus_ext import _GOPHER_DUCK, _GOPHER_SPARK
+
+    g = _GOPHER_SPARK if d is _SPARK_D else _GOPHER_DUCK
+    return (
+        f"SELECT doc_id, CASE WHEN ok_word_count THEN 1.0 ELSE 0.0 END AS y"
+        f" FROM ({g})"
+    )
+
+
+def _qlr_round_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
+    """One training round: logit -> snapped sigmoid -> integer gradient ->
+    integer weight step. Returns the CTE chain ending in w{t}."""
+    return f"""
+    z{t} AS (
+      SELECT x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
+      FROM {fx} x LEFT JOIN {wprev} w ON w.f = x.f
+      GROUP BY x.doc_id, x.nw
+    ),
+    p{t} AS (
+      SELECT doc_id, nw, zn,
+             ROUND(1.0 / (1.0 + EXP(-(CAST(zn AS DOUBLE)
+               / (CAST(nw AS DOUBLE) * CAST(1000000.0 AS DOUBLE))))), 9)
+               AS p
+      FROM z{t}
+    ),
+    g{t} AS (
+      SELECT x.f,
+             SUM(CAST(FLOOR((p.p - y.y) * x.c / x.nw * 1000000.0)
+                 AS BIGINT)) AS gm
+      FROM {fx} x
+      JOIN p{t} p ON p.doc_id = x.doc_id
+      JOIN {y} y ON y.doc_id = x.doc_id
+      GROUP BY x.f
+    ),
+    w{t} AS {'MATERIALIZED ' if d is not _SPARK_D else ''}(
+      SELECT COALESCE(w.f, g.f) AS f,
+             COALESCE(w.wm, 0) - (COALESCE(g.gm, 0)
+               {'DIV' if d is _SPARK_D else '//'} {_QLR_LR_SHIFT}) AS wm
+      FROM {wprev} w FULL JOIN g{t} g ON g.f = w.f
+    )"""
+
+
+def _qlr_final_sql(d, fx: str, y: str, wlast: str) -> str:
+    """Score every doc with the trained weights; the keep DECISION is the
+    integer sign of the logit numerator (no libm in the decision)."""
+    t = _QLR_ROUNDS + 1
+    return f"""
+    z{t} AS (
+      SELECT x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
+      FROM {fx} x LEFT JOIN {wlast} w ON w.f = x.f
+      GROUP BY x.doc_id, x.nw
+    )
+    SELECT z.doc_id,
+           CAST(z.zn AS BIGINT) AS z_num,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(z.zn AS DOUBLE)
+             / (CAST(z.nw AS DOUBLE) * CAST(1000000.0 AS DOUBLE))))), 9)
+             AS score,
+           z.zn >= 0 AS predict_keep,
+           y.y = 1.0 AS label_keep,
+           (z.zn >= 0) = (y.y = 1.0) AS correct
+    FROM z{t} z JOIN {y} y ON y.doc_id = z.doc_id
+    """
+
+
+def _qlr_duck() -> str:
+    d = _DUCK_D
+    ctes = [
+        f"fx AS MATERIALIZED ({_qlr_fx_sql(d)})",
+        f"y AS MATERIALIZED ({_qlr_y_sql(d)})",
+        "w0 AS (SELECT CAST(NULL AS BIGINT) AS f,"
+        " CAST(NULL AS BIGINT) AS wm WHERE FALSE)",
+    ]
+    for t in range(1, _QLR_ROUNDS + 1):
+        ctes.append(_qlr_round_ctes(d, "fx", "y", f"w{t - 1}", t).strip())
+    return (
+        "WITH " + ",\n    ".join(ctes) + ","
+        + _qlr_final_sql(d, "fx", "y", f"w{_QLR_ROUNDS}")
+    )
+
+
+_QLR_DUCK = _qlr_duck()
+
+
+@register("quality_classifier", None)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: model-based quality filtering with a classifier TRAINED
+    IN-ENGINE — 5 rounds of batch logistic regression on hashing-trick
+    word features (4096 buckets), weakly supervised by gopher_rules'
+    word-count gate (stand-in for the production label "curated reference
+    vs random crawl" — the CCNet/fasttext quality-filter recipe). Returns
+    per-doc z_num (exact integer logit numerator), score (snapped
+    sigmoid), predict_keep (integer sign — no libm in the decision),
+    label_keep, correct. Driver rows-only by the 50-slot window
+    arithmetic (the line_dedup case): the full 5-round DuckDB twin
+    (_QLR_DUCK, AS MATERIALIZED per round — the bpe_train device against
+    CTE-inlining blowup) is bit-exactly replayed every session by
+    tests/test_corpus_mining.py.
+
+    Scale shape: the design matrix (doc, feature, count) is built ONCE
+    and session-materialized (Spark re-plans an inlined CTE per consumer
+    — 10 consumers across 5 rounds would re-run the explode+hash pass
+    10x, the measured bpe_encode failure class); each round is two
+    codegen'd aggregations (logit join keyed by feature against the
+    4096-row broadcast-sized weight relation; gradient keyed by feature)
+    plus a 4096-row localCheckpoint — driver coordinates rounds, weights
+    never leave the cluster, nothing is corpus-quadratic. Learnability
+    is pinned on a planted two-vocabulary corpus; cross-engine
+    bit-exactness of all five training rounds is the oracle pin."""
+    from .llm_pipeline import _indexed, _register_docs
+
+    _register_docs(spark, sf_dir)
+    d = _SPARK_D
+    fx = _indexed(spark, f"qlr_fx|{sf_dir}", _qlr_fx_sql(d))
+    yv = _indexed(spark, f"qlr_y|{sf_dir}", _qlr_y_sql(d))
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    fx.createOrReplaceTempView(f"_qlr_fx_{tag}")
+    yv.createOrReplaceTempView(f"_qlr_y_{tag}")
+    w = spark.createDataFrame([], "f bigint, wm bigint")
+    for t in range(1, _QLR_ROUNDS + 1):
+        w.createOrReplaceTempView(f"_qlr_w_{tag}_{t - 1}")
+        w = spark.sql(
+            "WITH "
+            + _qlr_round_ctes(
+                d, f"_qlr_fx_{tag}", f"_qlr_y_{tag}", f"_qlr_w_{tag}_{t - 1}", t
+            ).strip()
+            + f" SELECT f, wm FROM w{t}"
+        ).localCheckpoint()
+    w.createOrReplaceTempView(f"_qlr_w_{tag}_{_QLR_ROUNDS}")
+    out = spark.sql(
+        "WITH "
+        + _qlr_final_sql(
+            d, f"_qlr_fx_{tag}", f"_qlr_y_{tag}",
+            f"_qlr_w_{tag}_{_QLR_ROUNDS}",
+        ).strip()
+    )
+    for v in [f"_qlr_fx_{tag}", f"_qlr_y_{tag}"] + [
+        f"_qlr_w_{tag}_{t}" for t in range(_QLR_ROUNDS + 1)
+    ]:
+        spark.catalog.dropTempView(v)
+    return out

@@ -532,3 +532,54 @@ def test_kmeans_numpy_form_row_equal_past_gate(spark, tmp_path):
     )
 
     assert n > _KM_NUMPY_ROWS
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_oracle_bit_exact(spark, duck, oracle_sf_dir):
+    """All five training rounds must produce bit-identical scores across
+    engines (driver rows-only by window arithmetic — this is the full
+    canon-compare oracle pin, the line_dedup pattern)."""
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.corpus_mining import _QLR_DUCK
+
+    spark_pdf = (
+        all_queries()["quality_classifier"]
+        .build(spark, oracle_sf_dir)
+        .toPandas()
+    )
+    duck_pdf = duck.execute(_QLR_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "quality_classifier")
+
+
+def test_quality_classifier_learns_separable_corpus(spark, tmp_path):
+    """On a planted corpus where the label is vocabulary-separable (long
+    vocab-A docs pass the word-count gate, short vocab-B docs fail), five
+    rounds must reach >= 90% training accuracy — the machinery actually
+    learns, not just converges."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        words = [f"alpha{j % 7}" for j in range(60)]
+        rows.append((i, " ".join(words), "en", "webA"))
+    for i in range(40, 80):
+        words = [f"beta{j % 7}" for j in range(20)]
+        rows.append((i, " ".join(words), "en", "webB"))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]).assign(
+        n_chars=lambda d: d.text.str.len()
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = (
+        all_queries()["quality_classifier"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(out) == 80
+    labels = {r.doc_id: r.label_keep for r in out}
+    assert sum(labels.values()) == 40  # the gate splits the corpus
+    acc = sum(r.correct for r in out) / len(out)
+    assert acc >= 0.9, acc
