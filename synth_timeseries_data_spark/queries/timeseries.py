@@ -423,3 +423,85 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame op; frame arrays are bounded (≤10), so memory is O(rows·10)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ROLL_MEDIAN_SPARK)
+
+
+# --------------------------------------------------------------------------
+# interpolate_ts: linear gap-fill of a masked irregular series (round 8) —
+# the reconstruction complement of the masking family: mcar_mask PROFILES
+# the deterministic Bernoulli holes; this fills them the way downstream
+# consumers do before a model sees the series (linear interpolation from
+# the bracketing surviving observations, forward/back-fill at the series
+# edges). Uses the SAME per-cell LCG stream as mcar_mask (salt 3), so the
+# holes it fills are bit-identically the holes that query reports.
+# --------------------------------------------------------------------------
+
+_ITP_RATE = 0.2  # the rate grid's middle point (d1.py:386)
+
+
+def _interpolate_sql(spark_side: bool) -> str:
+    from ..functions.detrand import lcg_uniform_sql
+
+    u = lcg_uniform_sql("event_id", salt=3)
+    tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    if spark_side:
+        lastnn = lambda x: f"last_value({x}, true)"
+        firstnn = lambda x: f"first_value({x}, true)"
+    else:
+        lastnn = lambda x: f"last_value({x} IGNORE NULLS)"
+        firstnn = lambda x: f"first_value({x} IGNORE NULLS)"
+    return f"""
+    WITH m AS (
+      SELECT user_id, event_id, {tus} AS ts_us,
+             CASE WHEN {u} < {_ITP_RATE} THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, ts_us, v,
+             {lastnn('v')} OVER prevw AS pv,
+             {lastnn('CASE WHEN v IS NOT NULL THEN ts_us END')}
+               OVER prevw AS pt,
+             {firstnn('v')} OVER nextw AS nv,
+             {firstnn('CASE WHEN v IS NOT NULL THEN ts_us END')}
+               OVER nextw AS nt
+      FROM m
+      WINDOW prevw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             nextw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts_us,
+           v IS NULL AS was_masked,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt != pt
+                  THEN pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE)
+                       / CAST(nt - pt AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS value_filled
+    FROM w
+    """
+
+
+_ITP_DUCK = _interpolate_sql(False)
+
+
+@register("interpolate_ts", None)
+def interpolate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of the MCAR-masked event series: each masked cell
+    (the SAME deterministic Bernoulli holes mcar_mask profiles, salt-3
+    LCG stream, rate 0.2) is reconstructed from its bracketing surviving
+    observations by exact linear interpolation on the microsecond axis —
+    forward-fill past the last observation, back-fill before the first,
+    NULL only for an all-masked series. The reconstruction step every
+    downstream model consumer runs between the missingness family and a
+    training batch. Driver rows-only by the 50-slot window arithmetic
+    (the line_dedup case): the full oracle twin is bit-exactly replayed
+    every session by tests/test_corpus_mining.py's canon compare.
+
+    Scale shape: ONE series-keyed exchange feeding two ignore-nulls
+    running-value window passes over the same sort (forward bracket,
+    backward bracket — the asof_lag device), then a row-local CASE; no
+    joins, nothing series-quadratic, skew bound = longest single series.
+    The interpolation arithmetic is exact-integer time deltas cast to
+    double, so both engines emit bit-identical doubles."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_interpolate_sql(True))

@@ -583,3 +583,67 @@ def test_quality_classifier_learns_separable_corpus(spark, tmp_path):
     assert sum(labels.values()) == 40  # the gate splits the corpus
     acc = sum(r.correct for r in out) / len(out)
     assert acc >= 0.9, acc
+
+
+# ---------------------------------------------------------------------------
+# interpolate_ts (lives in timeseries.py; pinned here with the other
+# driver-rows-only canon-compare oracle pins)
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_ts_oracle_bit_exact(spark, duck, oracle_sf_dir):
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.timeseries import _ITP_DUCK
+
+    spark_pdf = (
+        all_queries()["interpolate_ts"].build(spark, oracle_sf_dir).toPandas()
+    )
+    duck_pdf = duck.execute(_ITP_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "interpolate_ts")
+
+
+def test_interpolate_ts_semantics_and_mcar_consistency(spark, oracle_sf_dir):
+    """Reimplement the gap-fill in python over the fixture series (using
+    the engine's own was_masked flags and the raw values) and require
+    exact equality; the masked-cell count must equal mcar_mask's rate-0.2
+    row, since both derive from the same salt-3 LCG stream."""
+    from synth_timeseries_data_spark.sources import load
+
+    raw = {
+        r.event_id: (r.user_id, r.value)
+        for r in load(spark, oracle_sf_dir, "events").collect()
+    }
+    rows = all_queries()["interpolate_ts"].build(spark, oracle_sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_checked = 0
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts_us, r.event_id))
+        obs = [
+            (i, r.ts_us, raw[r.event_id][1])
+            for i, r in enumerate(rs)
+            if not r.was_masked
+        ]
+        for i, r in enumerate(rs):
+            if not r.was_masked:
+                assert r.value_filled == raw[r.event_id][1]
+                continue
+            prev = max((o for o in obs if o[0] < i), default=None)
+            nxt = min((o for o in obs if o[0] > i), default=None)
+            if prev and nxt and nxt[1] != prev[1]:
+                want = prev[2] + (nxt[2] - prev[2]) * (
+                    float(r.ts_us - prev[1]) / float(nxt[1] - prev[1])
+                )
+            elif prev:
+                want = prev[2]
+            elif nxt:
+                want = nxt[2]
+            else:
+                want = None
+            assert r.value_filled == want, (r.event_id, r.value_filled, want)
+            n_checked += 1
+    assert n_checked > 100  # real interpolation happened, not passthrough
+    mcar = all_queries()["mcar_mask"].build(spark, oracle_sf_dir).collect()
+    n_missing_02 = sum(r.n_missing for r in mcar if r.rate == 0.2)
+    assert n_missing_02 == sum(r.was_masked for r in rows)
