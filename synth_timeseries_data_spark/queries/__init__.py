@@ -263,7 +263,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # this round (50-cap arithmetic, not SQL-expressibility — their full DuckDB
 # oracles live in queries/corpus_mining.py and are bit-exactly replayed every
 # session by tests/test_corpus_mining.py with the same canon compare); round 9
-# should register their oracles and rotate them into the window.
+# should register their oracles and rotate them into the window. The later
+# round-8 additions quality_classifier and interpolate_ts (and the
+# line_dedup/tokenizer_stats pair above) follow the same pattern: full
+# dual-engine oracles in their modules, canon-compare pins in
+# tests/test_corpus_mining.py, driver rows-only until a window slot opens.
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
