@@ -1173,3 +1173,76 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         spark.catalog.dropTempView(v)
     return out
+
+
+# --------------------------------------------------------------------------
+# doc_embed: hashing-trick document vectors (round 8) — the featurization
+# step that bridges the documents table into the embedding-space operators
+# when no model embeddings exist: each word contributes a deterministic
+# md5-derived weight in [-1, 1] per output dimension (a fixed random
+# projection of the bag of words — the same stand-in discipline as the LCG
+# coarse centroids; in production the map is a trained encoder, and
+# everything downstream of the (doc, dim, val) relation is unchanged).
+# Mean-pooled, exact micro-integer numerators.
+# --------------------------------------------------------------------------
+
+_DE_DIMS = 16
+
+
+def _doc_embed_sql(d) -> str:
+    spark = d is _SPARK_D
+    strcast = "STRING" if spark else "VARCHAR"
+    h = _hex2int(
+        d, f"SUBSTR(md5(CONCAT(w, '|', CAST(dim AS {strcast}))), 1, 15)"
+    )
+    if spark:
+        wx = (
+            f"SELECT doc_id, size(ws) AS nw, w FROM "
+            f"(SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']} "
+            f"WHERE text IS NOT NULL) "
+            f"LATERAL VIEW explode(ws) AS w"
+        )
+        dims = f"LATERAL VIEW explode(sequence(0, {_DE_DIMS - 1})) AS dim"
+        rel = f"FROM ({wx}) {dims}"
+    else:
+        wx = (
+            f"SELECT doc_id, len(ws) AS nw, w FROM "
+            f"(SELECT doc_id, {d['split']('text')} AS ws FROM documents "
+            f"WHERE text IS NOT NULL) t, unnest(ws) AS u(w)"
+        )
+        rel = (
+            f"FROM ({wx}) wxr, "
+            f"unnest(generate_series(0, {_DE_DIMS - 1})) AS du(dim)"
+        )
+    return f"""
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           CAST(SUM(({h} % 2000001) - 1000000) AS DOUBLE)
+             / (CAST(nw AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS val
+    {rel}
+    GROUP BY doc_id, dim, nw
+    """
+
+
+_DE_DUCK = _doc_embed_sql(_DUCK_D)
+
+
+@register("doc_embed", None)
+def doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: hashing-trick document embeddings — a fixed md5-derived
+    random projection of each document's bag of words, mean-pooled into
+    a 16-dim (doc_id, dim, val) relation with exact micro-integer
+    numerators (order-independent sums; the one double division is an
+    exact-integer quotient). The featurization bridge from the documents
+    table into the embedding-space family (ANN tiers, semdedup,
+    kmeans_embed) when no model embeddings exist; in production the
+    projection is a trained encoder and everything downstream of the
+    relation shape is unchanged. Identical texts get identical vectors
+    across engines, sessions and re-runs — the property hash_split
+    guarantees for splits, here for features. Driver rows-only by the
+    50-slot window arithmetic; full canon-compare oracle pin in the
+    suite.
+
+    Scale shape: one corpus pass — word explode x 16 dims feeds a
+    (doc, dim)-keyed partial aggregation (map-side combine shrinks the
+    exchange to 16 rows per doc); no joins, nothing quadratic."""
+    return _spark_docs(spark, sf_dir, _doc_embed_sql(_SPARK_D))

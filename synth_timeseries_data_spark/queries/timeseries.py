@@ -505,3 +505,71 @@ def interpolate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, so both engines emit bit-identical doubles."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_interpolate_sql(True))
+
+
+# --------------------------------------------------------------------------
+# outlier_flags: robust per-series anomaly detection (round 8) — the
+# median/MAD rule every series-profiling pass runs before trusting a
+# sensor: a point is anomalous iff |v - median| > 3 * MAD. Both statistics
+# use EXACT RANK arithmetic (the length_percentiles device): the median is
+# the lower-middle ELEMENT under (value, event_id) ordering — an existing
+# value, never an interpolation — and the MAD is the same rule over
+# |v - median|, so no engine-divergent percentile interpolation exists
+# anywhere and the flag comparison is a deterministic double compare.
+# --------------------------------------------------------------------------
+
+
+def _outlier_sql(spark_side: bool) -> str:
+    tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    idiv = "DIV" if spark_side else "//"
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, {tus} AS ts_us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, event_id, ts_us, value,
+             MAX(CASE WHEN rn = (n + 1) {idiv} 2 THEN value END)
+               OVER (PARTITION BY user_id) AS med
+      FROM base
+    ),
+    dev AS (
+      SELECT user_id, event_id, ts_us, value, med,
+             ABS(value - med) AS adev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ABS(value - med), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM med
+    )
+    SELECT user_id, event_id, ts_us, value, med,
+           MAX(CASE WHEN rn = (n + 1) {idiv} 2 THEN adev END)
+             OVER (PARTITION BY user_id) AS mad,
+           adev > 3 * MAX(CASE WHEN rn = (n + 1) {idiv} 2 THEN adev END)
+             OVER (PARTITION BY user_id) AS is_outlier
+    FROM dev
+    """
+
+
+_OUTLIER_DUCK = _outlier_sql(False)
+
+
+@register("outlier_flags", None)
+def outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier detection: |v - median| > 3 * MAD per
+    user series, with BOTH statistics as exact rank picks (lower-middle
+    element under a unique-key tiebreak — the length_percentiles device,
+    so no percentile interpolation can diverge between engines) and the
+    flag a plain double comparison. A constant series has MAD 0 and
+    flags nothing (strict >). Driver rows-only by the 50-slot window
+    arithmetic; full canon-compare oracle pin in the suite.
+
+    Scale shape: three window passes over ONE user-keyed exchange (two
+    value-ordered rank sorts + the full-partition MAX picks); no joins;
+    skew bound = longest single series. At 100 TB the same plan runs
+    per-partition after a series-keyed repartition — nothing is
+    corpus-global."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_outlier_sql(True))

@@ -647,3 +647,70 @@ def test_interpolate_ts_semantics_and_mcar_consistency(spark, oracle_sf_dir):
     mcar = all_queries()["mcar_mask"].build(spark, oracle_sf_dir).collect()
     n_missing_02 = sum(r.n_missing for r in mcar if r.rate == 0.2)
     assert n_missing_02 == sum(r.was_masked for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# outlier_flags / doc_embed oracle pins + semantics
+# ---------------------------------------------------------------------------
+
+
+def test_outlier_flags_oracle_bit_exact(spark, duck, oracle_sf_dir):
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.timeseries import _OUTLIER_DUCK
+
+    spark_pdf = (
+        all_queries()["outlier_flags"].build(spark, oracle_sf_dir).toPandas()
+    )
+    duck_pdf = duck.execute(_OUTLIER_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "outlier_flags")
+
+
+def test_outlier_flags_rank_median_semantics(spark, oracle_sf_dir):
+    """med/mad must be the exact lower-middle rank picks per series, and
+    the flag the plain 3*MAD rule — checked against a python reimpl."""
+    rows = all_queries()["outlier_flags"].build(spark, oracle_sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    flagged = 0
+    for _u, rs in by_user.items():
+        vals = sorted((r.value, r.event_id) for r in rs)
+        med = vals[(len(vals) + 1) // 2 - 1][0]
+        devs = sorted((abs(r.value - med), r.event_id) for r in rs)
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        for r in rs:
+            assert r.med == med and r.mad == mad
+            assert r.is_outlier == (abs(r.value - med) > 3 * mad)
+            flagged += r.is_outlier
+    assert flagged > 0
+
+
+def test_doc_embed_oracle_bit_exact_and_deterministic(spark, duck, oracle_sf_dir):
+    """Bit-exact across engines, 16 dims per doc, and identical texts map
+    to identical vectors (the hash_split-style stability property)."""
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.corpus_mining import _DE_DUCK
+
+    spark_pdf = all_queries()["doc_embed"].build(spark, oracle_sf_dir).toPandas()
+    duck_pdf = duck.execute(_DE_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "doc_embed")
+    per_doc = spark_pdf.groupby("doc_id").dim.count()
+    assert (per_doc == 16).all()
+    # planted: same text twice -> same vector
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 'a b c'), (2, 'a b c'), (3, 'x y z'))"
+        " AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _doc_embed_sql,
+            _SPARK_D,
+        )
+
+        out = spark.sql(_doc_embed_sql(_SPARK_D)).collect()
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    v = {}
+    for r in out:
+        v.setdefault(r.doc_id, {})[r.dim] = r.val
+    assert v[1] == v[2] and v[1] != v[3]
