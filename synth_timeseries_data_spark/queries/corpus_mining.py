@@ -15,9 +15,14 @@ These complete two families the earlier EXT rounds opened:
   RefinedWeb and Dolma all apply before any model-based scoring;
 - plus `kmeans_embed` (explicit Lloyd clustering over the embedding
   column — the coarse structure semdedup/vec_topk_ivf consume as a given,
-  here produced as a first-class, oracle-checked relation) and
+  here produced as a first-class, oracle-checked relation),
   `tokenizer_stats` (per-language fertility/compression of the BPE
-  surface — the metric tokenizer training actually reads).
+  surface — the metric tokenizer training actually reads),
+  `quality_classifier` (an in-engine TRAINED model-based quality filter:
+  integer-state logistic regression on hashing-trick features whose five
+  training rounds are bit-identical across engines), and `doc_embed`
+  (hashing-trick document vectors — the featurization bridge into the
+  embedding-space family).
 
 Design rules are inherited from llm_pipeline.py / corpus_ext.py: every
 operator is a dialect-shared SQL template (Spark + DuckDB oracle) unless
