@@ -147,6 +147,52 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the persisted serving indexes (write-once bucketed tables;
+    re-queries probe them with zero corpus-proportional shuffle)."""
+    from .functions import neardup_index as ni
+    from .session import get_session
+
+    spark = get_session("index-build")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {args.db} LOCATION '{args.location}'"
+    )
+    builders = {
+        "minhash": lambda: ni.build_minhash_index(
+            spark, args.sf_dir, prefix=f"{args.db}.mh"
+        ),
+        "embed": lambda: ni.build_embed_index(
+            spark, args.sf_dir, prefix=f"{args.db}.nd"
+        ),
+        "ivf": lambda: ni.build_ivf_index(
+            spark, args.sf_dir, prefix=f"{args.db}.ivf"
+        ),
+        "lsh": lambda: ni.build_lsh_index(
+            spark, args.sf_dir, prefix=f"{args.db}.lshq"
+        ),
+        "pq": lambda: ni.build_pq_index(
+            spark, args.sf_dir, prefix=f"{args.db}.pq"
+        ),
+        "runs": lambda: ni.build_runs_index(
+            spark, args.sf_dir, prefix=f"{args.db}.nv"
+        ),
+        "winnow": lambda: ni.build_winnow_index(
+            spark, args.sf_dir, prefix=f"{args.db}.wn"
+        ),
+    }
+    kinds = list(builders) if args.kind == "all" else args.kind.split(",")
+    with ni.index_posture(spark):
+        for k in kinds:
+            out = builders[k]()
+            names = [out] if isinstance(out, str) else [
+                x for x in out if isinstance(x, str)
+            ]
+            for t in names:
+                n = spark.table(t).count()
+                print(f"index={k} table={t} rows={n}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="synth_timeseries_data_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -197,6 +243,23 @@ def main(argv: list[str] | None = None) -> int:
         "partial corpus; prior versions stay for rollback)",
     )
 
+    ix = sub.add_parser(
+        "index",
+        help="build the persisted serving indexes (bucketed write-once "
+        "tables: minhash pair, embedding near-dup, LSH/IVF/PQ ANN cells, "
+        "novelty runs, winnowing fingerprints)",
+    )
+    ix.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ix.add_argument("--location", required=True, help="database location")
+    ix.add_argument("--db", default="serving")
+    ix.add_argument(
+        "--kind", default="all",
+        help="comma list of minhash,embed,ivf,lsh,pq,runs,winnow or 'all'",
+    )
+
     args = ap.parse_args(argv)
     return {
         "list": cmd_list,
@@ -204,6 +267,7 @@ def main(argv: list[str] | None = None) -> int:
         "generate": cmd_generate,
         "plot-bundle": cmd_plot_bundle,
         "curate": cmd_curate,
+        "index": cmd_index,
     }[args.cmd](args)
 
 

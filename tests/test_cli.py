@@ -245,3 +245,28 @@ def test_cli_curate_publish_promotes_kept_corpus(spark, smoke_sf_dir, capsys):
         assert v1.count() == got.count()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_index_builds_serving_tables(spark, smoke_sf_dir, tmp_path, capsys):
+    """The index subcommand builds the requested bucketed serving tables
+    and reports their row counts; the winnowing table must equal the
+    registry relation's cardinality."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    assert (
+        main(
+            [
+                "index",
+                "--sf-dir", smoke_sf_dir,
+                "--location", str(tmp_path / "svc"),
+                "--db", "svccli",
+                "--kind", "winnow",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "table=svccli.wn_fp_b" in out
+    n = all_queries()["winnowing"].build(spark, smoke_sf_dir).count()
+    assert f"rows={n}" in out
+    spark.sql("DROP DATABASE IF EXISTS svccli CASCADE")

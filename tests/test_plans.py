@@ -454,3 +454,16 @@ def test_kmeans_embed_broadcasts_centroids_no_sortmerge(spark, oracle_sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 3  # one per iteration
     assert "partial_min" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_window_antijoin_shape(spark, oracle_sf_dir):
+    """Line dedup: a hash-keyed window MIN stamps first docs, the rebuild
+    is an anti-join + ordered doc aggregation over touched docs only —
+    nothing cartesian. The covd relation is consumed twice (touched-docs
+    semi-join + final row-preserving LEFT join), and Spark re-plans the
+    inlined CTE per consumer, so the stamp window legitimately appears
+    twice — the same accepted duplication dedup_spans carries at span
+    grain."""
+    plan = _plan(spark, "line_dedup", oracle_sf_dir)
+    assert "Cartesian" not in plan
+    assert 1 <= plan.count("Window") <= 2
