@@ -467,3 +467,25 @@ def test_line_dedup_window_antijoin_shape(spark, oracle_sf_dir):
     plan = _plan(spark, "line_dedup", oracle_sf_dir)
     assert "Cartesian" not in plan
     assert 1 <= plan.count("Window") <= 2
+
+
+def test_doc_embed_single_exchange_partial_agg(spark, oracle_sf_dir):
+    """Featurization: one pruned scan, the word x dim explode partial-
+    aggregates map-side to 16 rows per doc before the ONE exchange, no
+    joins (weights are hash-derived in-expression, not a relation)."""
+    plan = _plan(spark, "doc_embed", oracle_sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_interpolate_and_outliers_single_series_exchange(spark, oracle_sf_dir):
+    """Both series operators ride ONE user-keyed exchange: interpolation's
+    two bracket frames and the outlier rule's rank/pick passes are window
+    work over the same partitioning — no joins anywhere."""
+    for name in ("interpolate_ts", "outlier_flags"):
+        plan = _plan(spark, name, oracle_sf_dir)
+        assert plan.count("Exchange") == 1, name
+        assert "Join" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
