@@ -1095,7 +1095,12 @@ def winnow_ingest_stream(
     earlier-batch pair exactly (pinned in test_scale_techniques.py).
     Delivery is at-least-once per batch (the lsh_ingest_stream caveat:
     recover from an unclean restart with a `build_winnow_index` rebuild
-    before trusting the feed). Returns the started StreamingQuery."""
+    before trusting the feed). One reader caveat shared by ALL the
+    ingest streams here: foreachBatch appends run on a CLONED
+    micro-batch session, so a session that already read ``fp_table``
+    keeps its cached file listing — run ``REFRESH TABLE`` (or reopen the
+    session) before re-reading the index after a stream run, exactly as
+    for any external writer. Returns the started StreamingQuery."""
     import uuid
 
     from ..queries import corpus_mining as cm

@@ -604,3 +604,51 @@ def test_winnow_ingest_stream_matches_indexed_probe(
         want.extend((pd_, ix, n) for ix, n in shared.items() if n >= 2)
     assert got == sorted(want)
     assert got  # the small-vocab fixture must produce cross-batch pairs
+
+
+def test_winnow_ingest_stream_checkpoint_restart(
+    spark, smoke_sf_dir, bucket_db, tmp_path
+):
+    """Durability: stream batch 1 to termination, STOP, then deliver batch
+    2 and restart on the same checkpoint — the final feed and index must
+    equal the single-run replay (batch 1 is not reprocessed; batch 2 is
+    matched against batch 1's fingerprints)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        index_posture,
+        winnow_ingest_stream,
+    )
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.sources import load
+
+    docs = load(spark, smoke_sf_dir, "documents")
+    cut = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").first()["m"]
+    ingest = str(tmp_path / "docs_ingest_wr")
+    ckpt = str(tmp_path / "wr_ckpt")
+    feed = str(tmp_path / "wr_feed")
+    table = f"{bucket_db}.swr_fp"
+
+    docs.where(f"doc_id <= {cut}").coalesce(1).write.mode("append").parquet(ingest)
+    with index_posture(spark):
+        q = winnow_ingest_stream(spark, ingest, table, feed, ckpt, n_buckets=8)
+        assert q.awaitTermination(180)
+        n_after_b1 = spark.sql(f"SELECT COUNT(*) AS c FROM {table}").first()["c"]
+        docs.where(f"doc_id > {cut}").coalesce(1).write.mode("append").parquet(ingest)
+        q2 = winnow_ingest_stream(spark, ingest, table, feed, ckpt, n_buckets=8)
+        assert q2.awaitTermination(180)
+        # the mid-run count above cached this session's file listing for the
+        # table, and micro-batch appends run on a CLONED session whose cache
+        # invalidation does not reach the parent — the standard
+        # external-writer rule applies: REFRESH before trusting a re-read
+        # (documented on winnow_ingest_stream)
+        spark.sql(f"REFRESH TABLE {table}")
+        idx_rows = spark.sql(f"SELECT doc_id, fp, pos FROM {table}").collect()
+
+    fps = all_queries()["winnowing"].build(spark, smoke_sf_dir).collect()
+    assert n_after_b1 == sum(1 for r in fps if r.doc_id <= cut)
+    # no batch-1 duplication, full batch-2 append
+    assert sorted((r.doc_id, r.fp, r.pos) for r in idx_rows) == sorted(
+        (r.doc_id, r.fp, r.pos) for r in fps
+    )
+    # the feed holds exactly the cross-batch pairs (probe side = batch 2)
+    pairs = spark.read.parquet(feed).collect()
+    assert pairs and all(p.probe_doc > cut and p.index_doc <= cut for p in pairs)
