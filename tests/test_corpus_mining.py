@@ -714,3 +714,66 @@ def test_doc_embed_oracle_bit_exact_and_deterministic(spark, duck, oracle_sf_dir
     for r in out:
         v.setdefault(r.doc_id, {})[r.dim] = r.val
     assert v[1] == v[2] and v[1] != v[3]
+
+
+def test_winnowing_guarantee_property_random_corpora():
+    """Hypothesis: for ANY two token lists sharing a contiguous w+k-1 =
+    8-token run, the winnowed fingerprint sets intersect — the MOSS
+    theorem the fingerprint index relies on (pure-python check over the
+    pinned reimpl, which the engine is bit-equal to on the fixture)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.integers(0, 30).map(lambda i: f"t{i}")
+    toks = st.lists(tok, min_size=0, max_size=30)
+
+    @settings(max_examples=200, deadline=None)
+    @given(pre_a=toks, post_a=toks, pre_b=toks, post_b=toks,
+           shared=st.lists(tok, min_size=8, max_size=12))
+    def check(pre_a, post_a, pre_b, post_b, shared):
+        a = pre_a + shared + post_a
+        b = pre_b + shared + post_b
+        fa = {f for f, _ in _winnow_py(a)}
+        fb = {f for f, _ in _winnow_py(b)}
+        assert fa & fb
+
+    check()
+
+
+def test_line_dedup_differential_random_corpora(spark):
+    """Seeded random multi-line corpora (shared line pool, so cross-doc
+    duplicates, short lines, digit variants and within-doc repeats all
+    occur organically) must match the independent python reimpl."""
+    import random
+
+    rng = random.Random(1234)
+    pool = [
+        " ".join(f"w{rng.randrange(12)}" for _ in range(rng.randrange(2, 9)))
+        for _ in range(40)
+    ]
+    docs = {}
+    for d in range(60):
+        lines = [pool[rng.randrange(len(pool))] for _ in range(rng.randrange(1, 7))]
+        if rng.random() < 0.2:
+            lines.append(f"version {rng.randrange(10)} of shared footer line")
+        docs[d] = "\n".join(lines)
+    exp = _line_dedup_py(docs)
+    vals = ", ".join(f"({k}, '{v}')" for k, v in docs.items()).replace(
+        "\n", "\\n"
+    )
+    spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.queries.corpus_mining import (
+            _LD_SPARK,
+        )
+
+        got = {
+            r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+            for r in spark.sql(_LD_SPARK).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents_par")
+    assert got == exp
+    assert sum(v[1] for v in got.values()) > 0  # real removals occurred
