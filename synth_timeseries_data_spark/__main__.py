@@ -147,6 +147,17 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_corpus_report(args) -> int:
+    from .session import get_session
+    from .sinks import write_corpus_report
+
+    spark = get_session()
+    summary = write_corpus_report(spark, args.sf_dir, args.out)
+    for r in summary.collect():
+        print(f"{r.stage}={r.n}")
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build the persisted serving indexes (write-once bucketed tables;
     re-queries probe them with zero corpus-proportional shuffle)."""
@@ -243,6 +254,17 @@ def main(argv: list[str] | None = None) -> int:
         "partial corpus; prior versions stay for rollback)",
     )
 
+    cr = sub.add_parser(
+        "corpus-report",
+        help="write the corpus-health bundle (per-doc shape/repetition/"
+        "novelty audit + language and length profiles)",
+    )
+    cr.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    cr.add_argument("--out", required=True)
+
     ix = sub.add_parser(
         "index",
         help="build the persisted serving indexes (bucketed write-once "
@@ -268,6 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         "plot-bundle": cmd_plot_bundle,
         "curate": cmd_curate,
         "index": cmd_index,
+        "corpus-report": cmd_corpus_report,
     }[args.cmd](args)
 
 

@@ -546,3 +546,89 @@ def prune_versions(
             (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
             removed.append(name)
     return removed
+
+
+# --------------------------------------------------------------------------
+# Corpus health report (round 8): the profiling bundle for the LLM side —
+# plot_bundle's analog over documents instead of series.
+# --------------------------------------------------------------------------
+
+
+def write_corpus_report(spark: SparkSession, sf_dir: str, out: str) -> DataFrame:
+    """ONE invocation writes the corpus-health datasets a data-quality
+    review reads before any curation decision is made:
+
+    - ``out/doc_audit/``: one row per (non-NULL-text) document joining the
+      Gopher shape gates (gopher_rules), the repetition table
+      (gopher_repetition) and the n-gram novelty signals (ngram_novelty),
+      with ``clean`` = shape AND repetition keep — every column an
+      independently oracle-checked query's output;
+    - ``out/lang_profile/``: per-language tokenizer statistics
+      (tokenizer_stats);
+    - ``out/length_profile/``: per-source length percentiles
+      (length_percentiles).
+
+    Returns the (stage, n) summary with footer-verified written counts
+    and an order-independent XOR fingerprint of the audit rows (the
+    curated-corpus reproducibility-receipt device).
+
+    Scale shape: each component is its own one-corpus-pass plan; the
+    audit joins are doc-keyed equalities over doc-clustered relations
+    (novelty's rollup excludes <8-token docs — LEFT join, NULL signals
+    preserved); the profiles are language/source-cardinality-bounded."""
+    from .queries.corpus_ext import length_percentiles, ngram_novelty
+    from .queries.corpus_mining import gopher_repetition, tokenizer_stats
+    from .queries.llm_pipeline import _parquet_rows
+    from .queries.corpus_ext import gopher_rules
+    from .session import fast_commit
+    from .sources import table_rows
+
+    fast_commit(spark)
+    shapes = gopher_rules(spark, sf_dir).select(
+        "doc_id", "source", "lang", "n_words",
+        F.col("keep").alias("shape_keep"),
+    )
+    rep = gopher_repetition(spark, sf_dir).select(
+        "doc_id", "dup_line_frac", "top2_char_frac", "dup10_tok_frac",
+        F.col("keep").alias("repetition_keep"),
+    )
+    nov = ngram_novelty(spark, sf_dir).select(
+        "doc_id", "n_runs", "n_novel", "novelty_micro"
+    )
+    audit = (
+        shapes.join(rep, "doc_id")
+        .join(nov, "doc_id", "left")
+        .withColumn("clean", F.col("shape_keep") & F.col("repetition_keep"))
+    )
+    audit_path = os.path.join(out, "doc_audit")
+    audit.write.mode("overwrite").parquet(audit_path)
+    lang_path = os.path.join(out, "lang_profile")
+    tokenizer_stats(spark, sf_dir).write.mode("overwrite").parquet(lang_path)
+    len_path = os.path.join(out, "length_profile")
+    length_percentiles(spark, sf_dir).write.mode("overwrite").parquet(len_path)
+
+    a = spark.read.parquet(audit_path)
+    agg = a.agg(
+        F.sum(F.when(F.col("clean"), 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(~F.col("shape_keep"), 1).otherwise(0)).alias("n_shape_fail"),
+        F.sum(F.when(~F.col("repetition_keep"), 1).otherwise(0)).alias(
+            "n_repetition_fail"
+        ),
+        F.sum(F.coalesce("n_novel", F.lit(0))).alias("novel_runs"),
+        F.expr(
+            "bit_xor(xxhash64(doc_id, source, lang, n_words, shape_keep,"
+            " repetition_keep, novelty_micro, clean))"
+        ).alias("fingerprint"),
+    ).collect()[0]
+    rows = [
+        ("docs_in", table_rows(sf_dir, "documents")),
+        ("docs_audited", _parquet_rows(audit_path)),
+        ("clean", int(agg["n_clean"] or 0)),
+        ("shape_fail", int(agg["n_shape_fail"] or 0)),
+        ("repetition_fail", int(agg["n_repetition_fail"] or 0)),
+        ("novel_runs", int(agg["novel_runs"] or 0)),
+        ("lang_rows_written", _parquet_rows(lang_path)),
+        ("length_rows_written", _parquet_rows(len_path)),
+        ("audit_fingerprint", int(agg["fingerprint"] or 0)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")

@@ -270,3 +270,44 @@ def test_cli_index_builds_serving_tables(spark, smoke_sf_dir, tmp_path, capsys):
     n = all_queries()["winnowing"].build(spark, smoke_sf_dir).count()
     assert f"rows={n}" in out
     spark.sql("DROP DATABASE IF EXISTS svccli CASCADE")
+
+
+def test_cli_corpus_report_consistent_with_components(
+    spark, oracle_sf_dir, tmp_path, capsys
+):
+    """The report's audit rows must equal the component queries' values
+    row-for-row, and the summary counts must be recomputable from the
+    written audit."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    out = str(tmp_path / "report")
+    assert main(["corpus-report", "--sf-dir", oracle_sf_dir, "--out", out]) == 0
+    txt = capsys.readouterr().out
+    summary = dict(
+        line.split("=") for line in txt.strip().splitlines() if "=" in line
+    )
+    audit = {r.doc_id: r for r in spark.read.parquet(out + "/doc_audit").collect()}
+    shapes = {
+        r.doc_id: r.keep
+        for r in all_queries()["gopher_rules"].build(spark, oracle_sf_dir).collect()
+    }
+    reps = {
+        r.doc_id: r.keep
+        for r in all_queries()["gopher_repetition"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    novs = {
+        r.doc_id: r.novelty_micro
+        for r in all_queries()["ngram_novelty"].build(spark, oracle_sf_dir).collect()
+    }
+    assert set(audit) == set(shapes)
+    for d, r in audit.items():
+        assert r.shape_keep == shapes[d]
+        assert r.repetition_keep == reps[d]
+        assert r.novelty_micro == novs.get(d)
+        assert r.clean == (shapes[d] and reps[d])
+    assert int(summary["docs_audited"]) == len(audit)
+    assert int(summary["clean"]) == sum(1 for r in audit.values() if r.clean)
+    assert int(summary["lang_rows_written"]) > 0
+    assert int(summary["length_rows_written"]) > 0
