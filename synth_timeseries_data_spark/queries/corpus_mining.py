@@ -1251,3 +1251,55 @@ def doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, dim)-keyed partial aggregation (map-side combine shrinks the
     exchange to 16 rows per doc); no joins, nothing quadratic."""
     return _spark_docs(spark, sf_dir, _doc_embed_sql(_SPARK_D))
+
+
+# --------------------------------------------------------------------------
+# winnow_dup: the MOSS detection step as a registry relation — candidate
+# near-dup pairs ranked by DISTINCT shared winnowed fingerprints, with the
+# index-side boilerplate cap (fingerprints carried by too many docs are
+# non-discriminative and would pair the whole corpus). The serving twin
+# (functions/neardup_index.winnow_candidates) probes a persisted index
+# with the SAME rule; this is the whole-corpus batch form.
+# --------------------------------------------------------------------------
+
+_WD_STOP_CAP = 64
+_WD_MIN_SHARED = 2
+
+
+def _winnow_dup_sql(d) -> str:
+    return f"""
+    WITH fp AS ({_winnowing_sql(d)}),
+    uf AS (SELECT DISTINCT doc_id, fp FROM fp),
+    keep AS (
+      SELECT fp FROM uf GROUP BY fp HAVING COUNT(*) <= {_WD_STOP_CAP}
+    ),
+    kf AS (SELECT uf.doc_id, uf.fp FROM uf JOIN keep k ON k.fp = uf.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kf a JOIN kf b ON b.fp = a.fp AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WD_MIN_SHARED}
+    """
+
+
+_WD_DUCK = _winnow_dup_sql(_DUCK_D)
+
+
+@register("winnow_dup", None)
+def winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: MOSS near-duplicate candidates over the whole corpus —
+    unordered doc pairs sharing >= 2 DISTINCT winnowed fingerprints (a
+    fingerprint selected at several positions counts once), fingerprints
+    carried by > 64 docs excluded as non-discriminative boilerplate (the
+    decontam stop-gram device; without it one universal header pairs the
+    whole corpus). The fingerprint-index counterpart of minhash_dedup:
+    MinHash pairs by SET similarity, winnowing pairs by shared verbatim
+    RUNS at ~40% of the storage of full shingle sets. Driver rows-only by
+    the 50-slot window arithmetic; canon-compare oracle pin in the suite,
+    and the persisted serving probe (winnow_candidates) applies the
+    identical rule against a bucketed index.
+
+    Scale shape: candidate generation is an equality self-join on the
+    capped fingerprint key — never doc x doc; the cap bounds per-key
+    fan-out at 64²/2 pairs; the pair rollup is candidate-proportional."""
+    return _spark_docs(spark, sf_dir, _winnow_dup_sql(_SPARK_D))

@@ -573,3 +573,66 @@ def outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-global."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_outlier_sql(True))
+
+
+# --------------------------------------------------------------------------
+# imputation_error: the benchmark metric over the gap-fill (round 8) — the
+# engine GENERATES masked series (mcar_mask), RECONSTRUCTS them
+# (interpolate_ts), and here SCORES the reconstruction against the ground
+# truth it held back: MAE / RMSE over exactly the masked cells, per event
+# type. This is the evaluation loop a missing-data benchmark runs — the
+# reference exists to generate exactly such benchmark datasets.
+# --------------------------------------------------------------------------
+
+
+def _imputation_error_sql(spark_side: bool) -> str:
+    filled = _interpolate_sql(spark_side)
+    return f"""
+    WITH filled AS ({filled})
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN f.value_filled IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unfilled,
+           CAST(SUM(CAST(FLOOR(ABS(f.value_filled - e.value) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sae_micro,
+           CAST(SUM(CAST(FLOOR((f.value_filled - e.value)
+                               * (f.value_filled - e.value) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sse_micro,
+           CAST(SUM(CAST(FLOOR(ABS(f.value_filled - e.value) * 1000000.0)
+                         AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(f.value_filled) AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE)) AS mae,
+           ROUND(SQRT(CAST(SUM(CAST(FLOOR((f.value_filled - e.value)
+                                          * (f.value_filled - e.value)
+                                          * 1000000.0) AS BIGINT))
+                           AS DOUBLE)
+                      / (CAST(COUNT(f.value_filled) AS DOUBLE)
+                         * CAST(1000000.0 AS DOUBLE))), 9) + 0.0 AS rmse
+    FROM filled f
+    JOIN events e ON e.event_id = f.event_id
+    WHERE f.was_masked
+    GROUP BY e.event_type
+    """
+
+
+_IMP_ERR_DUCK = _imputation_error_sql(False)
+
+
+@register("imputation_error", None)
+def imputation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation step of the missingness loop: MAE/RMSE of
+    interpolate_ts' reconstruction against the held-back true values,
+    over exactly the masked cells (same salt-3 LCG holes), per event
+    type — what a missing-data benchmark built on the generated corpora
+    reports. Error sums accumulate as FLOOR-micro BIGINTs
+    (order-independent); MAE is their exact-integer quotient; RMSE's
+    sqrt is the one libm call, snapped ROUND(.,9)+0.0. Unfillable cells
+    (all-masked series) are counted, not silently dropped. Driver
+    rows-only by the 50-slot window arithmetic; canon-compare oracle pin
+    in the suite.
+
+    Scale shape: interpolate_ts' one series-keyed window exchange, an
+    event_id-equi join back to the truth scan, and one
+    event-type-bounded aggregation with map-side partials."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_imputation_error_sql(True))

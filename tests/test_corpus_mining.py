@@ -777,3 +777,62 @@ def test_line_dedup_differential_random_corpora(spark):
         spark.catalog.dropTempView("documents_par")
     assert got == exp
     assert sum(v[1] for v in got.values()) > 0  # real removals occurred
+
+
+# ---------------------------------------------------------------------------
+# winnow_dup / imputation_error oracle pins + semantics
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_dup_oracle_bit_exact_and_consistent(spark, duck, oracle_sf_dir):
+    """Bit-exact across engines, and the pair counts must equal a brute-
+    force recomputation from the winnowing relation under the same
+    stop-cap/threshold rule."""
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _WD_DUCK,
+        _WD_MIN_SHARED,
+        _WD_STOP_CAP,
+    )
+
+    spark_pdf = all_queries()["winnow_dup"].build(spark, oracle_sf_dir).toPandas()
+    duck_pdf = duck.execute(_WD_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "winnow_dup")
+    fps = all_queries()["winnowing"].build(spark, oracle_sf_dir).collect()
+    by_doc: dict[int, set] = {}
+    carriers: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        carriers.setdefault(r.fp, set()).add(r.doc_id)
+    hot = {f for f, ds in carriers.items() if len(ds) > _WD_STOP_CAP}
+    want = {}
+    for f, ds in carriers.items():
+        if f in hot:
+            continue
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= _WD_MIN_SHARED}
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fps for _, r in spark_pdf.iterrows()
+    }
+    assert got == want and got
+
+
+def test_imputation_error_oracle_and_accounting(spark, duck, oracle_sf_dir):
+    """Bit-exact across engines; masked-cell totals must tie to
+    interpolate_ts' flags, and MAE must be the exact micro quotient."""
+    from tests.oracle_utils import assert_frames_match
+    from synth_timeseries_data_spark.queries.timeseries import _IMP_ERR_DUCK
+
+    spark_pdf = (
+        all_queries()["imputation_error"].build(spark, oracle_sf_dir).toPandas()
+    )
+    duck_pdf = duck.execute(_IMP_ERR_DUCK).df()
+    assert_frames_match(spark_pdf, duck_pdf, "imputation_error")
+    itp = all_queries()["interpolate_ts"].build(spark, oracle_sf_dir).collect()
+    assert spark_pdf.n_masked.sum() == sum(r.was_masked for r in itp)
+    for _, r in spark_pdf.iterrows():
+        n_filled = r.n_masked - r.n_unfilled
+        assert r.mae == r.sae_micro / (n_filled * 1e6)
