@@ -264,10 +264,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracles live in queries/corpus_mining.py and are bit-exactly replayed every
 # session by tests/test_corpus_mining.py with the same canon compare); round 9
 # should register their oracles and rotate them into the window. The later
-# round-8 additions quality_classifier and interpolate_ts (and the
+# round-8 additions quality_classifier, interpolate_ts, outlier_flags,
+# doc_embed, winnow_dup and imputation_error (and the
 # line_dedup/tokenizer_stats pair above) follow the same pattern: full
 # dual-engine oracles in their modules, canon-compare pins in
-# tests/test_corpus_mining.py, driver rows-only until a window slot opens.
+# tests/test_corpus_mining.py, driver rows-only until window slots open
+# (round 9 has 44 r07/r08-attested entries it can rotate out in their
+# favor — every candidate's last green row will be exactly one round old).
 # Every demoted entry
 # remains bit-exactly replayed every session by tests/test_oracle.py and
 # scripts/driver_gate.py.
