@@ -67,6 +67,17 @@ _QUERIES = (
     "line_dedup",
     "gopher_repetition",
     "tokenizer_stats",
+    # round-8 late additions: the classifier's five training rounds (its
+    # gradient partial-combine trees are exactly this test's class), the
+    # gap-fill's bracket windows + the error metric's micro sums and
+    # snapped sqrt, the rank-pick outlier rule, the hashed projections,
+    # and the capped fingerprint self-join
+    "quality_classifier",
+    "interpolate_ts",
+    "imputation_error",
+    "outlier_flags",
+    "doc_embed",
+    "winnow_dup",
 )
 
 _DOPS = (1, 7, 64)
