@@ -191,7 +191,18 @@ def cmd_index(args) -> int:
             spark, args.sf_dir, prefix=f"{args.db}.wn"
         ),
     }
-    kinds = list(builders) if args.kind == "all" else args.kind.split(",")
+    kinds = (
+        list(builders)
+        if args.kind == "all"
+        else [k.strip() for k in args.kind.split(",") if k.strip()]
+    )
+    unknown = [k for k in kinds if k not in builders]
+    if unknown:
+        print(
+            f"unknown index kind(s) {unknown}; valid: "
+            f"{', '.join(builders)} or 'all'"
+        )
+        return 2
     with ni.index_posture(spark):
         for k in kinds:
             out = builders[k]()

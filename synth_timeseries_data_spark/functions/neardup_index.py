@@ -978,8 +978,14 @@ def novelty_ingest_stream(
 # are dropped from candidate generation as non-discriminative boilerplate —
 # the decontam_ngram stop-gram device, and standard MOSS practice (a
 # universal header's fingerprint would otherwise pair every probe doc with
-# every carrier: the one quadratic this probe could have).
-WINNOW_STOP_CAP = 64
+# every carrier: the one quadratic this probe could have). THE constant
+# lives with the oracle-pinned batch form (queries/corpus_mining.py) and
+# is re-exported here so the serving probe can never apply a different
+# rule than winnow_dup.
+from ..queries.corpus_mining import (  # noqa: E402
+    _WD_MIN_SHARED as WINNOW_MIN_SHARED,
+    _WD_STOP_CAP as WINNOW_STOP_CAP,
+)
 
 
 def build_winnow_index(
@@ -1007,7 +1013,28 @@ def build_winnow_index(
         cm._winnowing_sql(lp._SPARK_D, where=where)
     ).repartition(n_buckets, "fp")
     write_bucketed(fp, t, "fp", n_buckets)
+    # narrow probe companion: DISTINCT (fp, doc_id), bucketed the same way
+    # — the candidate probe's cap derivation and pair join read THIS
+    # relation (no pos column, pre-deduped), so each probe is one
+    # exchange-free per-bucket aggregation over the narrow table instead
+    # of a full-width distinct over the positional index
+    docs_t = f"{prefix}_fpd_b"
+    fpd = (
+        spark.table(t).select("fp", "doc_id").distinct()
+        .repartition(n_buckets, "fp")
+    )
+    write_bucketed(fpd, docs_t, "fp", n_buckets)
     return t
+
+
+def _winnow_docs_table(fp_table: str) -> str:
+    """Naming convention tying the positional index to its narrow probe
+    companion (both written by build_winnow_index / the ingest stream):
+    ``{prefix}_fp_b`` → ``{prefix}_fpd_b``; any other name gets a
+    ``_docs`` suffix (stream callers may pass arbitrary table names)."""
+    if fp_table.endswith("_fp_b"):
+        return fp_table[: -len("_fp_b")] + "_fpd_b"
+    return fp_table + "_docs"
 
 
 def winnow_candidates(
@@ -1015,7 +1042,7 @@ def winnow_candidates(
     sf_dir: str,
     fp_table: str,
     delta_where: str,
-    min_shared: int = 2,
+    min_shared: int = WINNOW_MIN_SHARED,
 ) -> DataFrame:
     """The MOSS detection step for an ARRIVING batch: winnow the delta
     docs (registry SQL restricted to ``delta_where``), probe the persisted
@@ -1042,23 +1069,30 @@ def winnow_candidates(
     spark.sql(
         cm._winnowing_sql(lp._SPARK_D, where=delta_where)
     ).createOrReplaceTempView(view)
-    df = spark.sql(_winnow_probe_sql(fp_table, view, min_shared))
+    df = spark.sql(
+        _winnow_probe_sql(_winnow_docs_table(fp_table), view, min_shared)
+    )
     spark.catalog.dropTempView(view)  # plan resolved at sql() time
     return df
 
 
-def _winnow_probe_sql(fp_table: str, delta_rel: str, min_shared: int) -> str:
+def _winnow_probe_sql(fpd_table: str, delta_rel: str, min_shared: int) -> str:
     """The candidate probe over a winnowed delta relation — THE single
     definition shared by winnow_candidates and the streaming ingest so
-    the serving path can never silently diverge."""
+    the serving path can never silently diverge. Reads the NARROW
+    distinct (fp, doc_id) companion table: bucketed on fp, so the cap
+    derivation is an exchange-free per-bucket aggregation and the pair
+    join a bucket-local equality — per probe cost is one linear scan of
+    the narrow relation, the same class as the novelty stream's
+    per-batch index join (an exact, current cap cannot cost less)."""
     return f"""
         WITH keep AS (
-          SELECT fp FROM {fp_table}
-          GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {WINNOW_STOP_CAP}
+          SELECT fp FROM {fpd_table}
+          GROUP BY fp HAVING COUNT(*) <= {WINNOW_STOP_CAP}
         ),
         idx AS (
-          SELECT DISTINCT i.fp, i.doc_id
-          FROM {fp_table} i JOIN keep k ON k.fp = i.fp
+          SELECT i.fp, i.doc_id
+          FROM {fpd_table} i JOIN keep k ON k.fp = i.fp
         ),
         d AS (SELECT DISTINCT doc_id, fp FROM {delta_rel})
         SELECT d.doc_id AS probe_doc, i.doc_id AS index_doc,
@@ -1077,7 +1111,7 @@ def winnow_ingest_stream(
     out_dir: str,
     checkpoint: str,
     n_buckets: int = DEFAULT_BUCKETS,
-    min_shared: int = 2,
+    min_shared: int = WINNOW_MIN_SHARED,
 ):
     """Streaming MOSS monitor + index maintenance: a file-source stream
     over ``docs_dir`` (each arriving parquet file = one micro-batch of
@@ -1110,31 +1144,43 @@ def winnow_ingest_stream(
     schema = spark.read.parquet(docs_dir).schema
     stream_tag = uuid.uuid4().hex[:12]
 
+    fpd_table = _winnow_docs_table(fp_table)
+
     def _probe_and_append(batch: DataFrame, _epoch_id: int) -> None:
         s = batch.sparkSession
         view = f"_wn_ingest_batch_{stream_tag}"
         batch.createOrReplaceTempView(view)
         fps_view = f"_wn_ingest_fp_{stream_tag}_{_epoch_id}"
-        # materialize once: the fp relation feeds BOTH the probe and the
-        # index append (the minhash_delta_pairs device)
+        # materialize once: the fp relation feeds the probe AND both
+        # index appends (the minhash_delta_pairs device)
         s.sql(
             cm._winnowing_sql(lp._SPARK_D, src=view)
         ).localCheckpoint().createOrReplaceTempView(fps_view)
         if not s.catalog.tableExists(fp_table):
             empty = s.sql(f"SELECT * FROM {fps_view} WHERE 1 = 0")
             write_bucketed(empty, fp_table, "fp", n_buckets)
+            write_bucketed(
+                empty.select("fp", "doc_id"), fpd_table, "fp", n_buckets
+            )
         s.sql(
-            _winnow_probe_sql(fp_table, fps_view, min_shared)
+            _winnow_probe_sql(fpd_table, fps_view, min_shared)
         ).write.mode("append").parquet(out_dir)
-        (
-            s.table(fps_view)
-            .repartition(n_buckets, "fp")
-            .write.format("parquet")
-            .mode("append")
-            .bucketBy(n_buckets, "fp")
-            .sortBy("fp")
-            .saveAsTable(fp_table)
-        )
+        for tbl, df in (
+            (fp_table, s.table(fps_view)),
+            # arriving docs are NEW docs (the append-only crawl contract),
+            # so their distinct (fp, doc_id) rows cannot already exist in
+            # the companion — a plain append keeps it exactly the DISTINCT
+            # of the positional index
+            (fpd_table, s.table(fps_view).select("fp", "doc_id").distinct()),
+        ):
+            (
+                df.repartition(n_buckets, "fp")
+                .write.format("parquet")
+                .mode("append")
+                .bucketBy(n_buckets, "fp")
+                .sortBy("fp")
+                .saveAsTable(tbl)
+            )
         s.catalog.dropTempView(fps_view)
 
     return (
