@@ -58,6 +58,8 @@ FLAGSHIPS = [
     ("doc_embed", "hashing-trick doc vectors: word x dim explode partial-aggregated to 16 rows/doc before ONE exchange"),
     ("interpolate_ts", "series gap-fill: two ignore-nulls bracket windows over one series-keyed sort, no joins"),
     ("outlier_flags", "median/MAD outliers: exact rank picks, three window passes over one series exchange"),
+    ("winnow_dup", "MOSS candidate pairs: capped-fingerprint equality self-join, never doc x doc"),
+    ("imputation_error", "gap-fill benchmark metric: interpolate windows + truth join + event-type-bounded micro-sum rollup"),
 ]
 
 
