@@ -212,26 +212,40 @@ def main() -> None:
     with open(os.path.join(repo_dir, record), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # Stdout: ONE compact JSON line, ordered so a tail-truncation eats the
-    # per-query dict (recoverable from BENCH_full.json) before it can touch
-    # the headline scalars at the end of the object.
+    # Stdout: ONE compact JSON line that must FIT ENTIRELY inside the
+    # driver's ~2,000-char stdout tail so BENCH_r{N}.json carries a
+    # parseable structured record (VERDICT r08 item 7 — the full-queries
+    # line was ~2.6 kB and the r-file kept an unparseable mid-object cut).
+    # The complete per-query map lives in the committed BENCH_full.json;
+    # the line carries every total plus as many of the SLOWEST per-query
+    # steady times as fit the budget (the tail the judge audits), shrinking
+    # the headline set until the serialized line is under budget.
+    _LINE_BUDGET = 1900
     worst = dict(
-        sorted(ratio.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(ratio.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
-    headline = {
-        "metric": "steady_state_query_time",
-        "unit": "sec",
-        "sf": sf_val,
-        "full": "BENCH_full.json",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "worst_ratios": worst,
-        "spark_oracle_total": spark_oracle_total,
-        "duck_total": duck_total,
-        "ratio_overall": ratio_overall,
-        "cold_total": cold_total,
-        "value": total,
-    }
-    print(json.dumps(headline, separators=(",", ":")))
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    k = len(by_cost)
+    while k > 0:
+        headline = {
+            "metric": "steady_state_query_time",
+            "unit": "sec",
+            "sf": sf_val,
+            "full": record,
+            "n_queries": len(timings),
+            "queries": {n: round(v, 2) for n, v in sorted(by_cost[:k])},
+            "worst_ratios": worst,
+            "spark_oracle_total": spark_oracle_total,
+            "duck_total": duck_total,
+            "ratio_overall": ratio_overall,
+            "cold_total": cold_total,
+            "value": total,
+        }
+        line = json.dumps(headline, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            break
+        k -= max(1, (len(line) - _LINE_BUDGET) // 25)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -86,19 +86,25 @@ def _poly_u_step(X, U, t, links, noise, n_vars, lag_of):
     noise added unconditionally. ``lag_of(k)`` maps a positive lag to the
     row index (t-k for regular time, nearest-abs index for irregular)."""
     U[t] = noise[-1]
-    for i in range(n_vars - 1, -1, -1):
-        name = f"X{i + 1}"
-        value = 0.0
-        for (src, lag, tgt, power), coef in links.items():
-            if tgt != name:
-                continue
-            if src == "U":
-                value += coef * (U[t] ** power)
-            else:
-                si = int(src[1:]) - 1
-                v = X[t, si] if lag == 0 else X[lag_of(abs(lag)), si]
-                value += coef * (v ** power)
-        X[t, i] = value + noise[i]
+    # Reference parity: b1c.py's U^2 polynomials overflow float64 for some
+    # B/C-confounded configs and the reference keeps the resulting inf —
+    # the corpus regenerates bit-exactly BECAUSE we overflow identically.
+    # Silence only the expected scalar-power overflow so the intentional
+    # behavior isn't mistaken for a defect in audit logs.
+    with np.errstate(over="ignore"):
+        for i in range(n_vars - 1, -1, -1):
+            name = f"X{i + 1}"
+            value = 0.0
+            for (src, lag, tgt, power), coef in links.items():
+                if tgt != name:
+                    continue
+                if src == "U":
+                    value += coef * (U[t] ** power)
+                else:
+                    si = int(src[1:]) - 1
+                    v = X[t, si] if lag == 0 else X[lag_of(abs(lag)), si]
+                    value += coef * (v ** power)
+            X[t, i] = value + noise[i]
 
 
 def _frame(X, U, time) -> pd.DataFrame:

@@ -23,6 +23,8 @@ Cross-engine determinism rules (see functions/numeric.py, functions/detrand.py):
 
 from __future__ import annotations
 
+import os as _os
+
 from dataclasses import dataclass
 from typing import Callable
 
@@ -88,244 +90,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# The driver checks the first ~50 registry entries; with 83 oracle-checkable
-# queries (round 6 final), 33 sit outside the window each round. The demoted tail
-# ROTATES round-over-round so every query accumulates a driver-green row in
-# some CORRECTNESS_r{N}.json — history of each rotation below.
-# Round ≤3 demoted the redundant-surface set
-# (ts_diff, docs_by_lang, topk_value, tumbling_agg, vec_topk, ngram_jaccard,
-# text_stats, doc_fingerprint, lang_id, repetition_ratio, char_entropy,
-# rolling_median, funnel, retention_cohorts — all judge-gate-verified green
-# in round 3); round 4 promotes those into the window and demotes 14 entries
-# that are already driver-green on the round-3 record AND independently
-# pinned by the local bit-exact suite (codec semantics in
-# tests/test_graph_semantics.py + the full-registry gate in tests/ and
-# scripts/driver_gate.py): the edge-codec septet, the four graph metrics,
-# the two mask streams, and the sink roundtrip (also golden-tested in
-# tests/test_sinks.py). trend_season joins them when round 4 adds the new
-# dedup_clusters query (65 oracle entries): it is round-3-green and its
-# G9/G10 semantics are bit-exactly pinned by the C1-family generation
-# goldens.
-# Round-4 additions (tfidf_topterms, pii_redact, substring_dup → 68 oracle
-# entries) push three more round-3-green entries into the demoted tail:
-# order_set_ops, irregular_ts, corr_matrix — each has a driver-green row in
-# CORRECTNESS_r03.json and stays pinned every session by the full-registry
-# bit-exact replay in tests/test_oracle.py + scripts/driver_gate.py.
-# corpus_filter, unigram_xent, jsonl_roundtrip and partitioned_roundtrip
-# (69th-72nd oracle entries) bump sampling_hist, metrics_rollup,
-# props_parse and config_grid — all round-3 driver-green, replayed every
-# session by tests/test_oracle.py — into the tail as well.
-# Round-5 additions (doc_chunks, pack_sequences, decontam_ngram, semdedup →
-# 76 oracle entries) demote four more round-3 driver-green entries whose
-# semantics are independently pinned every session: lagged_matrix (window
-# machinery shared with lag_features, which stays in-window),
-# summary_stats / missing_profile / missing_pattern (bit-exact replay in
-# tests/test_oracle.py + the golden generation suite covers the same
-# mask/profile arithmetic).
-# domain_mix (77th oracle entry) demotes trend_fit: driver-green in
-# CORRECTNESS_r03.json (V6), its FLOOR-micro exact-sum regression device
-# is shared with corr_matrix/summary_stats, and the full-registry
-# bit-exact replay in tests/test_oracle.py re-pins it every session.
-# neardup_survivors (78th) demotes quality_score: driver-green in r03,
-# and corpus_filter (in-window) embeds the identical composite score as
-# its quality gate, so the arithmetic stays driver-attested.
-# length_percentiles (79th) demotes token_count: driver-green in r03;
-# replayed bit-exactly every session by tests/test_oracle.py.
-# vec_topk_pq (80th) demotes nonlinear_proj: driver-green in r03, its
-# nonlinear-term arithmetic is bit-exactly pinned by the golden B/C-family
-# generation suite, and tests/test_oracle.py replays it every session.
-# bpe_pairs (81st) demotes rolling_stats: driver-green in r03; its frame-
-# window machinery is shared with rolling_median (in-window) and replayed
-# by tests/test_oracle.py every session.
-# Round 5 rotated the whole tail (VERDICT r04 item 3): the 31 entries demoted
-# through round 4 — all r03-driver-green and locally replayed — returned to
-# the window so they regained a CURRENT driver-green row, and 31 of the 50
-# r04-green entries took their place in the tail. The 19 r04 entries KEPT
-# in-window were exactly the ones round 5 touched (roundtrip oracles made
-# like-for-like, revenue_by_nation broadcast cache, bpe_pairs rewrite,
-# asof_lag scale fix, char_entropy normalization) plus the data-proportional
-# flagships (dedup/ANN/corpus set) whose plans the judge audits each round.
-# Round 6 alternates again (VERDICT r05 item 4): the r04-attested tail above
-# returns to the window, and 31 of the 50 r05-green entries rotate out. The
-# 19 r05 entries KEPT in-window are the ones round 6 touches — asof_lag
-# (singleton-series ANSI fix), the >2× perf-tail set (csv/jsonl/partitioned
-# roundtrips, bpe_pairs, unigram_xent, corpus_filter, decontam_ngram) — plus
-# the data-proportional flagships (minhash/cluster/survivor/embed/semdedup/
-# substring dedup, vec_topk_pq, tfidf_topterms, quality_score, char_entropy,
-# token_count). With this rotation no oracle query's last driver-green row is
-# older than one round. Every demoted entry remains bit-exactly replayed
-# every session by tests/test_oracle.py and scripts/driver_gate.py.
-# gopher_rules (82nd oracle entry, round 6) demotes token_count: r05-green,
-# and its whitespace/regex token counts are embedded in several in-window
-# corpus queries; replayed bit-exactly every session by tests/test_oracle.py.
-# dsir_weights (83rd oracle entry, round 6) demotes docs_by_lang.
-# CORRECTION (round 7, VERDICT r06 item 3): the r06-era comment here
-# claimed docs_by_lang was r05-green; its last driver-green row is
-# actually CORRECTNESS_r04.json — the judge re-verified it green out of
-# window in the r06 session, and round 7 returns it to the window for a
-# current attestation.
-# Round 7 alternates the tail again (the same scheme as rounds 5/6): the
-# 33 r05-attested entries above (plus docs_by_lang, r04) return to the
-# window, and 35 of the 50 r06-green entries rotate out. The 15 r06
-# entries KEPT in-window are the ones round 7 touches — the >2×
-# data-proportional set under floor/perf work (dsir_weights,
-# tfidf_topterms, csv_roundtrip, corpus_filter), the minhash A/B watch
-# item + the dedup_clusters connected-components rewrite and its consumer
-# neardup_survivors, both multimodal entries (JPEG-walk
-# hardening landed this round) — plus the data-proportional flagships the
-# judge plan-audits (embed_neardup, semdedup, vec_topk_pq, asof_lag) and
-# the smoke-path lag_features. New round-7 entries curate_decisions
-# (84th, the curation workflow's decisions table under a composed oracle
-# — VERDICT r06 item 2), parse_edges_udtf (85th, the UDTF variant's
-# one-time attestation — item 8), and plot_frames (86th, the plot
-# bundle's three frames as one tagged union under a composed oracle —
-# the same strengthening for the OTHER rows-only workflow entry the r06
-# residue named) enter in-window; plot_frames' slot comes from demoting
-# gopher_rules (r06-green, its gate arithmetic embedded verbatim in the
-# in-window curate_decisions composition). Later in round 7,
-# token_budget_sample (87th oracle entry — mixture-driven quality-first
-# document selection to a per-source token budget) and source_overlap
-# (88th — the cross-source near-dup leakage matrix over minhash_dedup's
-# exact pair relation) enter in-window; their slots come from demoting
-# minhash_dedup (r06-green, watch item resolved, and its ENTIRE pair
-# relation — candidate generation through the jaccard verify — is
-# embedded verbatim inside the in-window source_overlap composition, so
-# a minhash regression still turns a driver row red) and lag_features
-# (r06-green; its exact plan is ALSO the driver's entry() smoke path,
-# re-run with a schema/row check every round). multimodal_audio (89th —
-# the WAV/RIFF container walk under the same mapInPandas value-hash
-# discipline) enters by demoting multimodal_framesample (r06-green; its
-# strided fan-out machinery is unchanged since r05 and the Arrow-batch
-# plumbing it shares stays attested through the two in-window multimodal
-# entries). length_percentiles returns to the window after its round-7
-# Spark-plan rewrite (histogram form — state bounded by distinct lengths,
-# not documents; the naive-rank oracle is unchanged) so the NEW plan gets
-# a current attestation; its slot comes from demoting tfidf_topterms
-# (r06-green, untouched in round 7, its floor A/B recorded in FLOOR.md).
-# ngram_novelty (90th — the per-doc 8-gram novelty curve, decontam's
-# explode/hash machinery under a new statistic) enters by demoting
-# vec_topk_pq (r06-green; its PQ code/ADC arithmetic is additionally
-# pinned result-equal to the round-7 persisted-index path every session
-# in test_scale_techniques.py). dedup_spans (91st — sub-document span
-# excision, the RefinedWeb apply move at span grain) enters by demoting
-# csv_roundtrip (r06-green; untouched in round 7 beyond the FLOOR.md
-# component A/Bs). ACCEPTED TRADE-OFF: with csv_roundtrip demoted the
-# IO-roundtrip class (csv/jsonl/partitioned) has NO representative in
-# the capped driver window this round — all three are r06-green,
-# structurally one class (FileFormatWriter + readback + agg), replay
-# bit-exactly in the local gate every session, and rotate back next
-# round under the alternation scheme. embed_decontam (92nd — semantic
-# cross-split contamination, the embedding-space complement of
-# decontam_ngram) enters by demoting embed_neardup (r06-green; its
-# banded-LSH machinery runs inside the in-window embed_decontam oracle,
-# though only the CROSS-SPLIT slice of the pair relation is value-hashed
-# there — full-relation coverage stays with the bit-exact session replay
-# in tests/test_oracle.py and the recall pins in test_ann_recall.py,
-# the same footing as every other demoted entry).
-# Round 8 alternates the tail again (the rounds-5/6/7 scheme; VERDICT
-# r07 item 4): the 42 r06-attested entries above ALL return to the
-# window — in particular the IO-roundtrip class (csv/jsonl/partitioned),
-# which round 7's accepted trade-off left with no in-window
-# representative, and vec_topk_pq, whose r07 contention watch item gets
-# its interleaved A/B this round — and 44 of the 50 r07-green entries
-# rotate out. The 3 r07 entries KEPT in-window are the ones round 8
-# touches: dedup_spans and ngram_novelty (both grew size/skew-gated
-# alternative forms this round — the gate must be attested on the form
-# the driver actually runs) and multimodal_audio (the WAV truncation
-# validation landed in its parse path). New round-8 entries bpe_encode
-# (93rd — BPE merge-table application, the tokenization step between
-# curation and packing), scm_output_stats (94th — the distributed sweep
-# path's output value-hashed against the kernel's own, closing VERDICT
-# r07 residue item 2), bpe_train (95th — iterative merge induction with
-# recount, the real tokenizer-training loop), pack_bpe (96th — packing
-# budgeted on merged tokens; bpe_encode's ENTIRE oracle is embedded in
-# its composition), and perplexity_buckets (97th — CCNet head/middle/
-# tail terciles; unigram_xent's entire oracle embedded likewise) enter
-# in-window, which is exactly 42 + 3 + 5 = 50. To make room, asof_lag
-# (r07-green, untouched in round 8, its bracket plan committed in
-# PLANS.md), dedup_clusters (r07-green; its min-label/star closure is
-# embedded verbatim in curate_decisions' oracle and replayed bit-exactly
-# every session), and curate_decisions itself (r07-green; the round-8
-# sinks hardening under its workflow is unit-tested in test_sinks.py,
-# and its composition replays in the session gate) join the demoted
-# tail.
-# Later in round 8, five MORE operators land (winnowing, gopher_repetition,
-# line_dedup, kmeans_embed, tokenizer_stats — queries/corpus_mining.py), and
-# the window arithmetic binds: the 42 r06-attested entries CANNOT leave (their
-# last green row is two records back — demoting them would break the one-round
-# invariant the moment CORRECTNESS_r08.json lands), so only the three
-# r07-green keeps are invariant-clean demotions. dedup_spans, ngram_novelty
-# and multimodal_audio join the tail (their round-8 size/skew gates do not
-# change fixture-scale plans — both forms are pinned row-equal in pytest, so
-# driver attestation of the gated form adds nothing at sf0.01), freeing 3
-# slots: winnowing (98th), gopher_repetition (99th) and kmeans_embed (100th)
-# enter in-window. line_dedup and tokenizer_stats run rows-only AT THE DRIVER
-# this round (50-cap arithmetic, not SQL-expressibility — their full DuckDB
-# oracles live in queries/corpus_mining.py and are bit-exactly replayed every
-# session by tests/test_corpus_mining.py with the same canon compare); round 9
-# should register their oracles and rotate them into the window. The later
-# round-8 additions quality_classifier, interpolate_ts, outlier_flags,
-# doc_embed, winnow_dup and imputation_error (and the
-# line_dedup/tokenizer_stats pair above) follow the same pattern: full
-# dual-engine oracles in their modules, canon-compare pins in
-# tests/test_corpus_mining.py, driver rows-only until window slots open
-# (round 9 has 44 r07/r08-attested entries it can rotate out in their
-# favor — every candidate's last green row will be exactly one round old).
-# Every demoted entry
-# remains bit-exactly replayed every session by tests/test_oracle.py and
-# scripts/driver_gate.py.
-_DEMOTED = (
-    "asof_lag",
-    "block_mask",
-    "config_grid",
-    "corpus_filter",
-    "corr_matrix",
-    "curate_decisions",
-    "dedup_clusters",
-    "decode_edges",
-    "dedup_spans",
-    "docs_by_lang",
-    "dsir_weights",
-    "edge_confusion",
-    "edge_scores",
-    "embed_decontam",
-    "encode_links",
-    "funnel",
-    "irregular_ts",
-    "lagged_matrix",
-    "length_percentiles",
-    "mcar_mask",
-    "metrics_rollup",
-    "missing_pattern",
-    "missing_profile",
-    "multimodal_audio",
-    "multimodal_features",
-    "neardup_survivors",
-    "ngram_novelty",
-    "nonlinear_proj",
-    "order_set_ops",
-    "parse_edges_udtf",
-    "parse_lagged_names",
-    "plot_frames",
-    "pretty_edges",
-    "props_parse",
-    "revenue_by_nation",
-    "rolling_median",
-    "rolling_stats",
-    "sampling_hist",
-    "semdedup",
-    "shd_reversal",
-    "shd_xor",
-    "source_overlap",
-    "summary_stats",
-    "tcdf_edges",
-    "tetrad_edges",
-    "token_budget_sample",
-    "token_count",
-    "trend_fit",
-    "trend_season",
-    "validate_links",
+# --------------------------------------------------------------------------
+# Driver window scheduling.
+#
+# The driver verifies the FIRST 50 registry entries each round (a hard cap —
+# CORRECTNESS_r07/r08 each carry exactly 50 rows), so with more than 50
+# oracle-checkable queries the registry must rotate which entries sit in the
+# window. Rounds 1-8 maintained that rotation as a hand-written `_DEMOTED`
+# tuple with a ledger comment per move (see this file in git history for the
+# full ledger); at 100 oracle entries the hand arithmetic was already at the
+# exact capacity of a two-round alternation, and round 9 (which registers 8
+# more oracles) replaces it with the scheduler the ledger was approximating:
+#
+#   window(round N) = the 50 STALEST oracle entries, where staleness is the
+#   newest round with a fully-green row (rows+schema+hash, no err) in the
+#   committed CORRECTNESS_r*.json artifacts; never-attested entries are
+#   stalest of all; ties break by name for determinism.
+#
+# This is the fair round-robin: with N oracle entries every entry is
+# re-attested at least every ceil(N/50) rounds (N=108 -> every entry's
+# attestation is at most 2 rounds old in steady state, the best any
+# schedule can do under the cap), new entries enter the window immediately,
+# and a window entry that FAILS at the driver stays stalest and is retried
+# next round. The window derives from the committed artifacts, so the
+# rotation is reproducible at the driver and self-maintaining round-over-
+# round — no manual ledger to get wrong. tests/test_rotation_hygiene.py
+# asserts the stalest-first property and the capacity-aware freshness bound
+# against the actual artifacts at commit time.
+#
+# Every demoted entry remains bit-exactly replayed every session by
+# tests/test_oracle.py and scripts/driver_gate.py regardless of window
+# position.
+# --------------------------------------------------------------------------
+
+_DRIVER_CAP = 50
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
+
+
+def last_green_rounds() -> dict[str, int]:
+    """name -> newest round whose committed CORRECTNESS_r*.json carries a
+    fully-green driver row (rows+schema+hash matched, no error)."""
+    import glob
+    import json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is True
+                and not row.get("err")
+            ):
+                out[name] = max(out.get(name, -(10**9)), rnd)
+    return out
+
+
+def stalest_window(oracle_names) -> frozenset[str]:
+    """The ``_DRIVER_CAP`` stalest oracle entries (never-attested first,
+    then oldest attestation, name tiebreak)."""
+    last = last_green_rounds()
+    ranked = sorted(oracle_names, key=lambda n: (last.get(n, -1), n))
+    return frozenset(ranked[:_DRIVER_CAP])
+
+
+# Computed (not hand-maintained) on first all_queries() call; kept as a
+# module name because tests import it to audit the rotation.
+_DEMOTED: frozenset[str] = frozenset()
+
 
 
 def all_queries() -> dict[str, Query]:
@@ -345,12 +193,17 @@ def all_queries() -> dict[str, Query]:
     from . import corpus_ext  # noqa: F401
     from . import corpus_mining  # noqa: F401
     from . import generation  # noqa: F401
+    from . import discovery  # noqa: F401
 
-    # The driver verifies registry entries in order and may cap how many it
-    # checks, so ordering is part of the contract: every oracle-checkable
-    # query first (stable in import order, minus the demoted tail), then the
-    # rows-only generation sweeps whose real check is the bit-exact golden
-    # suite.
+    # The driver verifies the first 50 registry entries in order, so ordering
+    # is part of the contract: the stalest-attested oracle entries first
+    # (stable in import order within each group), then the rest of the oracle
+    # entries, then the structurally rows-only ops (generation sweeps, write
+    # workflows) whose real check is the bit-exact golden suite.
+    global _DEMOTED
+    oracle_names = [q.name for q in REGISTRY.values() if q.oracle is not None]
+    window = stalest_window(oracle_names)
+    _DEMOTED = frozenset(oracle_names) - window
     ordered = sorted(
         REGISTRY.values(),
         key=lambda q: (q.oracle is None, q.name in _DEMOTED),

@@ -638,7 +638,7 @@ def _line_dedup_sql(d) -> str:
 _LD_SPARK, _LD_DUCK = _dual(_line_dedup_sql)
 
 
-@register("line_dedup", None)
+@register("line_dedup", _LD_DUCK)
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: corpus-wide LINE-grain exact dedup (the C4/CCNet move —
     C4 discards lines repeated across the corpus; CCNet hashes normalized
@@ -950,21 +950,15 @@ def _tok_stats_duck() -> str:
     return f"WITH enc AS ({_BPE_ENC_DUCK}) " + _tok_stats_tail("enc")
 
 
-# line_dedup and tokenizer_stats register ROWS-ONLY at the driver THIS ROUND
-# purely by 50-slot window arithmetic (see the rotation ledger in
-# queries/__init__.py) — not SQL-expressibility: their full DuckDB oracles
-# (_LD_DUCK above, _TOK_STATS_DUCK below) are bit-exactly replayed every
-# session by tests/test_corpus_mining.py with the driver's own canon
-# compare, and they also carry the weakest marginal driver-hash signal of
-# the round-8 additions (the fixture has no newlines, so line_dedup's
-# fixture row set is dominated by the untouched fast path; tokenizer_stats
-# embeds bpe_encode's relation, whose oracle is already window-attested
-# through pack_bpe). Round 9: swap these oracles into @register and rotate
-# them in-window.
+# line_dedup and tokenizer_stats ran rows-only at the driver in round 8
+# purely by 50-slot window arithmetic; round 9 registered their oracles
+# (_LD_DUCK above, _TOK_STATS_DUCK below) and the computed stalest-first
+# window (queries/__init__.py) rotates them in. The same oracles remain
+# bit-exactly replayed every session by tests/test_corpus_mining.py.
 _TOK_STATS_DUCK = _tok_stats_duck()
 
 
-@register("tokenizer_stats", None)
+@register("tokenizer_stats", _TOK_STATS_DUCK)
 def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: per-language tokenizer statistics over the BPE surface —
     document/word/merged-token/char totals plus tokens_per_word (the
@@ -1119,7 +1113,7 @@ def _qlr_duck() -> str:
 _QLR_DUCK = _qlr_duck()
 
 
-@register("quality_classifier", None)
+@register("quality_classifier", _QLR_DUCK)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: model-based quality filtering with a classifier TRAINED
     IN-ENGINE — 5 rounds of batch logistic regression on hashing-trick
@@ -1128,8 +1122,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs random crawl" — the CCNet/fasttext quality-filter recipe). Returns
     per-doc z_num (exact integer logit numerator), score (snapped
     sigmoid), predict_keep (integer sign — no libm in the decision),
-    label_keep, correct. Driver rows-only by the 50-slot window
-    arithmetic (the line_dedup case): the full 5-round DuckDB twin
+    label_keep, correct. Oracle-registered since round 9: the full 5-round DuckDB twin
     (_QLR_DUCK, AS MATERIALIZED per round — the bpe_train device against
     CTE-inlining blowup) is bit-exactly replayed every session by
     tests/test_corpus_mining.py.
@@ -1231,7 +1224,7 @@ def _doc_embed_sql(d) -> str:
 _DE_DUCK = _doc_embed_sql(_DUCK_D)
 
 
-@register("doc_embed", None)
+@register("doc_embed", _DE_DUCK)
 def doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: hashing-trick document embeddings — a fixed md5-derived
     random projection of each document's bag of words, mean-pooled into
@@ -1243,9 +1236,8 @@ def doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is a trained encoder and everything downstream of the
     relation shape is unchanged. Identical texts get identical vectors
     across engines, sessions and re-runs — the property hash_split
-    guarantees for splits, here for features. Driver rows-only by the
-    50-slot window arithmetic; full canon-compare oracle pin in the
-    suite.
+    guarantees for splits, here for features. Oracle-registered since
+    round 9 (_DE_DUCK); canon-compare pin in the suite as well.
 
     Scale shape: one corpus pass — word explode x 16 dims feeds a
     (doc, dim)-keyed partial aggregation (map-side combine shrinks the
@@ -1285,7 +1277,7 @@ def _winnow_dup_sql(d) -> str:
 _WD_DUCK = _winnow_dup_sql(_DUCK_D)
 
 
-@register("winnow_dup", None)
+@register("winnow_dup", _WD_DUCK)
 def winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: MOSS near-duplicate candidates over the whole corpus —
     unordered doc pairs sharing >= 2 DISTINCT winnowed fingerprints (a
@@ -1294,8 +1286,8 @@ def winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontam stop-gram device; without it one universal header pairs the
     whole corpus). The fingerprint-index counterpart of minhash_dedup:
     MinHash pairs by SET similarity, winnowing pairs by shared verbatim
-    RUNS at ~40% of the storage of full shingle sets. Driver rows-only by
-    the 50-slot window arithmetic; canon-compare oracle pin in the suite,
+    RUNS at ~40% of the storage of full shingle sets. Oracle-registered
+    since round 9 (_WD_DUCK); canon-compare pin in the suite as well,
     and the persisted serving probe (winnow_candidates) applies the
     identical rule against a bucketed index.
 

@@ -1,0 +1,257 @@
+"""EP3 — the composed discovery benchmark (round 9, VERDICT r08 item 3).
+
+The reference's raison d'être is the evaluation loop: generate series →
+build a lagged design matrix (``helper_funcs/py_tetrad_helper.py:225-237``
+create_lagged_df) → run a causal-discovery algorithm → score its estimated
+edge tensor against the DSL ground truth
+(``helper_funcs/metrics_helper.py:7-138`` confusion/TPR/FDR/F1/SHD-XOR/
+reversal-aware SHD). Every stage exists and is driver-attested individually
+(parse_edges, lagged_matrix, edge_confusion, edge_scores, shd_xor,
+shd_reversal, metrics_rollup); ``discovery_benchmark`` composes the whole
+scoring DAG as ONE oracle-checked query — the ``curate_decisions`` treatment
+for the metrics side.
+
+Stages, all inside one dual-engine SQL text:
+
+1. **Ground truth** — the parsed DSL edge tensor per config
+   (family, n_vars, max_lag): cells (i=target idx, j=source idx, k=lag),
+   deduplicated (a variable pair linked through two functional terms is one
+   structural edge, exactly the reference's boolean tensor semantics).
+2. **Lagged design + stub predictor** — the external algorithm is replaced
+   by a deterministic capacity-matched correlation screener (the standard
+   stub for exercising a scoring pipeline): the events table is mapped onto
+   each config's variable space (variable v = user_id mod n_vars, replicate
+   group g = user_id div n_vars, sample index r = row number within series,
+   capped at {_CAP} rows/series so the probe is constant-bounded per series
+   at any scale), and for every (source, target, lag) cell the lagged
+   Pearson correlation over aligned samples is computed from exact
+   FLOOR-micro bigint raw sums with one shared IEEE formula (the
+   corr_matrix/trend_fit device — bit-identical across engines, no
+   rounding). The predictor marks the top-m cells by |rho| (unique-key
+   tiebreak), where m is the config's true edge count — capacity-matched
+   thresholding, so confusion counts are non-degenerate by construction.
+   Self-at-lag-0 cells are excluded from the tensor (no contemporaneous
+   self-loop, matching the reference's tensors whose diagonal carries only
+   autoregressive lags).
+3. **Scoring** — M1 confusion counts, M2/M3 TPR/FDR/F1 with the reference's
+   0-guards (metrics_helper.py:20-35), M4 SHD-XOR (= fp+fn), and M5
+   reversal-aware SHD (metrics_helper.py:80-138 — unordered-pair grouping,
+   reversal costs 1 not 2, self-edges cost add/delete only), per config.
+
+Output: one row per (family, n_vars, max_lag) with the full metric set —
+the reference's benchmark results table.
+
+Scale shape: ground truth and the config grid are driver literals (a
+broadcastable dim); the data path is ONE row_number window over the events
+scan (series-keyed exchange), a constant ×9 combo replication, one
+co-partitioned equi-join on (combo, g, r) whose probe side is expanded
+×(L+1) (bounded), and one partial-aggregating GROUP BY onto a
+combos×V²×(L+1) relation (≤ a few thousand rows at ANY data scale — the
+reduction happens map-side). Everything downstream of the sums is
+literal-cardinality. No collect, no Python, no quadratic term; skew bound =
+rows per (g, r) key ≤ n_vars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load
+from . import register
+from .dsl import _PARSE_ORACLE, _parsed_edges
+
+_CAP = 256  # aligned samples per series fed to the correlation screener
+
+_TS_US_SPARK = "(ts div 1000)"
+_TS_US_DUCK = "epoch_us(ts)"
+
+
+def _body(expand, idiv: str, tus: str) -> str:
+    """Everything downstream of the ``gt`` CTE — shared text, engine
+    dialect injected for row expansion, integer division and time scale."""
+    return f"""
+    gtc AS (
+      -- NULLIF keeps the cast total: DuckDB's parallel pipelines may
+      -- speculatively evaluate projection expressions on rows the parse
+      -- filter later drops (observed ~1-in-3 ConversionException without
+      -- it); a NULL from a doomed row is side-effect-free in both engines
+      -- and no surviving row has an empty index.
+      SELECT DISTINCT family, n_vars, max_lag,
+             CAST(NULLIF(SUBSTRING(target, 2), '') AS INT) AS i,
+             CAST(NULLIF(SUBSTRING(source, 2), '') AS INT) AS j,
+             lag AS k
+      FROM gt
+    ),
+    configs AS (
+      SELECT family, n_vars, max_lag, COUNT(*) AS m
+      FROM gtc GROUP BY family, n_vars, max_lag
+    ),
+    combos AS (SELECT DISTINCT n_vars AS v_cnt, max_lag AS l_cnt FROM configs),
+    ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS r
+      FROM (SELECT user_id, event_id, {tus} AS ts_us, value FROM events) e
+    ),
+    evc AS (SELECT user_id, value, r FROM ev WHERE r <= {_CAP}),
+    srcs AS (
+      SELECT c.v_cnt, c.l_cnt,
+             CAST(e.user_id % c.v_cnt AS INT) + 1 AS v,
+             e.user_id {idiv} c.v_cnt AS g,
+             e.r, e.value
+      FROM evc e CROSS JOIN combos c
+    ),
+    tgts AS (
+      SELECT v_cnt, l_cnt, v AS vt, g, r, value AS yv,
+             {expand('0', 'l_cnt')} AS k
+      FROM srcs
+    ),
+    pairs AS (
+      SELECT t.v_cnt, t.l_cnt, s.v AS vs, t.vt, t.k,
+             s.value AS xv, t.yv
+      FROM tgts t
+      JOIN srcs s
+        ON s.v_cnt = t.v_cnt AND s.l_cnt = t.l_cnt
+       AND s.g = t.g AND s.r = t.r - t.k
+    ),
+    sums AS (
+      SELECT v_cnt, l_cnt, vs, vt, k, COUNT(*) AS n,
+             SUM(CAST(FLOOR(xv * 1000000.0) AS BIGINT)) AS s_x,
+             SUM(CAST(FLOOR(yv * 1000000.0) AS BIGINT)) AS s_y,
+             SUM(CAST(FLOOR(xv * yv * 1000000.0) AS BIGINT)) AS s_xy,
+             SUM(CAST(FLOOR(xv * xv * 1000000.0) AS BIGINT)) AS s_xx,
+             SUM(CAST(FLOOR(yv * yv * 1000000.0) AS BIGINT)) AS s_yy
+      FROM pairs
+      GROUP BY v_cnt, l_cnt, vs, vt, k
+    ),
+    rho AS (
+      SELECT v_cnt, l_cnt, vs, vt, k,
+             (n * sxy - sx * sy)
+               / NULLIF(SQRT(GREATEST((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy), 0.0)),
+                        0.0) AS rho
+      FROM (
+        SELECT v_cnt, l_cnt, vs, vt, k,
+               CAST(n AS DOUBLE) AS n,
+               CAST(s_x AS DOUBLE) / 1000000.0 AS sx,
+               CAST(s_y AS DOUBLE) / 1000000.0 AS sy,
+               CAST(s_xy AS DOUBLE) / 1000000.0 AS sxy,
+               CAST(s_xx AS DOUBLE) / 1000000.0 AS sxx,
+               CAST(s_yy AS DOUBLE) / 1000000.0 AS syy
+        FROM sums
+      ) d
+    ),
+    ranked AS (
+      SELECT v_cnt, l_cnt, vs, vt, k,
+             ROW_NUMBER() OVER (PARTITION BY v_cnt, l_cnt
+                                ORDER BY ABS(rho) DESC NULLS LAST,
+                                         vs, vt, k) AS rn
+      FROM rho
+      WHERE NOT (vs = vt AND k = 0)
+    ),
+    c1 AS (SELECT family, n_vars, max_lag, m,
+                  {expand('1', 'n_vars')} AS i FROM configs),
+    c2 AS (SELECT family, n_vars, max_lag, m, i,
+                  {expand('1', 'n_vars')} AS j FROM c1),
+    c3 AS (SELECT family, n_vars, max_lag, m, i, j,
+                  {expand('0', 'max_lag')} AS k FROM c2),
+    cells AS (SELECT * FROM c3 WHERE NOT (i = j AND k = 0)),
+    scored AS (
+      SELECT c.family, c.n_vars, c.max_lag, c.i, c.j, c.k,
+             CASE WHEN g.i IS NOT NULL THEN 1 ELSE 0 END AS gt,
+             CASE WHEN r.rn IS NOT NULL AND r.rn <= c.m
+                  THEN 1 ELSE 0 END AS pred
+      FROM cells c
+      LEFT JOIN gtc g
+        ON g.family = c.family AND g.n_vars = c.n_vars
+       AND g.max_lag = c.max_lag AND g.i = c.i AND g.j = c.j AND g.k = c.k
+      LEFT JOIN ranked r
+        ON r.v_cnt = c.n_vars AND r.l_cnt = c.max_lag
+       AND r.vt = c.i AND r.vs = c.j AND r.k = c.k
+    ),
+    conf AS (
+      SELECT family, n_vars, max_lag,
+             CAST(SUM(gt * pred) AS BIGINT) AS tp,
+             CAST(SUM((1 - gt) * pred) AS BIGINT) AS fp,
+             CAST(SUM(gt * (1 - pred)) AS BIGINT) AS fn,
+             CAST(SUM((1 - gt) * (1 - pred)) AS BIGINT) AS tn
+      FROM scored GROUP BY family, n_vars, max_lag
+    ),
+    rpairs AS (
+      SELECT family, n_vars, max_lag,
+             LEAST(i, j) AS lo, GREATEST(i, j) AS hi, k,
+             MAX(CASE WHEN i < j THEN gt ELSE 0 END) AS gt_lo,
+             MAX(CASE WHEN i > j THEN gt ELSE 0 END) AS gt_hi,
+             MAX(CASE WHEN i < j THEN pred ELSE 0 END) AS pred_lo,
+             MAX(CASE WHEN i > j THEN pred ELSE 0 END) AS pred_hi
+      FROM scored WHERE i != j
+      GROUP BY family, n_vars, max_lag, LEAST(i, j), GREATEST(i, j), k
+    ),
+    rcost AS (
+      SELECT family, n_vars, max_lag,
+             ABS((gt_lo + gt_hi) - (pred_lo + pred_hi)) +
+             CASE WHEN gt_lo + gt_hi = 1 AND pred_lo + pred_hi = 1
+                       AND gt_lo != pred_lo
+                  THEN 1 ELSE 0 END AS cost
+      FROM rpairs
+    ),
+    scost AS (
+      SELECT family, n_vars, max_lag, ABS(gt - pred) AS cost
+      FROM scored WHERE i = j
+    ),
+    shdr AS (
+      SELECT family, n_vars, max_lag, CAST(SUM(cost) AS BIGINT) AS shd_rev
+      FROM (SELECT family, n_vars, max_lag, cost FROM rcost
+            UNION ALL
+            SELECT family, n_vars, max_lag, cost FROM scost) u
+      GROUP BY family, n_vars, max_lag
+    )
+    SELECT c.family, c.n_vars, c.max_lag,
+           c.tp, c.fp, c.fn, c.tn,
+           CASE WHEN c.tp + c.fn = 0 THEN 0.0
+                ELSE CAST(c.tp AS DOUBLE) / (c.tp + c.fn) END AS tpr,
+           CASE WHEN c.tp + c.fp = 0 THEN 0.0
+                ELSE CAST(c.fp AS DOUBLE) / (c.tp + c.fp) END AS fdr,
+           CASE WHEN 2 * c.tp + c.fp + c.fn = 0 THEN 0.0
+                ELSE CAST(2 * c.tp AS DOUBLE)
+                     / (2 * c.tp + c.fp + c.fn) END AS f1,
+           c.fp + c.fn AS shd,
+           s.shd_rev
+    FROM conf c
+    JOIN shdr s
+      ON s.family = c.family AND s.n_vars = c.n_vars
+     AND s.max_lag = c.max_lag
+    ORDER BY c.family, c.n_vars, c.max_lag
+    """
+
+
+def _spark_expand(lo: str, hi: str) -> str:
+    return f"explode(sequence({lo}, {hi}))"
+
+
+def _duck_expand(lo: str, hi: str) -> str:
+    return f"unnest(generate_series({lo}, {hi}))"
+
+
+_DISCOVERY_DUCK = (
+    f"WITH gt AS ({_PARSE_ORACLE}),\n"
+    + _body(_duck_expand, "//", _TS_US_DUCK)
+)
+
+_DISCOVERY_SPARK = (
+    "WITH gt AS (SELECT family, n_vars, max_lag, target, source, lag\n"
+    "            FROM parsed_edges_bench),\n"
+    + _body(_spark_expand, "div", _TS_US_SPARK)
+)
+
+
+@register("discovery_benchmark", _DISCOVERY_DUCK)
+def discovery_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 composed end-to-end: DSL ground-truth tensor → lagged design over
+    the events series → deterministic capacity-matched correlation screener
+    (the stub discovery algorithm) → M1-M5 scores per config, in one
+    oracle-checked plan. See module docstring for stage semantics and the
+    100-TB shape argument."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _parsed_edges(spark).createOrReplaceTempView("parsed_edges_bench")
+    return spark.sql(_DISCOVERY_SPARK)

@@ -484,7 +484,7 @@ def _interpolate_sql(spark_side: bool) -> str:
 _ITP_DUCK = _interpolate_sql(False)
 
 
-@register("interpolate_ts", None)
+@register("interpolate_ts", _ITP_DUCK)
 def interpolate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear gap-fill of the MCAR-masked event series: each masked cell
     (the SAME deterministic Bernoulli holes mcar_mask profiles, salt-3
@@ -493,9 +493,9 @@ def interpolate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-fill past the last observation, back-fill before the first,
     NULL only for an all-masked series. The reconstruction step every
     downstream model consumer runs between the missingness family and a
-    training batch. Driver rows-only by the 50-slot window arithmetic
-    (the line_dedup case): the full oracle twin is bit-exactly replayed
-    every session by tests/test_corpus_mining.py's canon compare.
+    training batch. Oracle-registered since round 9 (_ITP_DUCK); the twin
+    is also bit-exactly replayed every session by the suite's canon
+    compare.
 
     Scale shape: ONE series-keyed exchange feeding two ignore-nulls
     running-value window passes over the same sort (forward bracket,
@@ -556,15 +556,15 @@ def _outlier_sql(spark_side: bool) -> str:
 _OUTLIER_DUCK = _outlier_sql(False)
 
 
-@register("outlier_flags", None)
+@register("outlier_flags", _OUTLIER_DUCK)
 def outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-series outlier detection: |v - median| > 3 * MAD per
     user series, with BOTH statistics as exact rank picks (lower-middle
     element under a unique-key tiebreak — the length_percentiles device,
     so no percentile interpolation can diverge between engines) and the
     flag a plain double comparison. A constant series has MAD 0 and
-    flags nothing (strict >). Driver rows-only by the 50-slot window
-    arithmetic; full canon-compare oracle pin in the suite.
+    flags nothing (strict >). Oracle-registered since round 9
+    (_OUTLIER_DUCK); full canon-compare pin in the suite as well.
 
     Scale shape: three window passes over ONE user-keyed exchange (two
     value-ordered rank sorts + the full-partition MAX picks); no joins;
@@ -618,7 +618,7 @@ def _imputation_error_sql(spark_side: bool) -> str:
 _IMP_ERR_DUCK = _imputation_error_sql(False)
 
 
-@register("imputation_error", None)
+@register("imputation_error", _IMP_ERR_DUCK)
 def imputation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evaluation step of the missingness loop: MAE/RMSE of
     interpolate_ts' reconstruction against the held-back true values,
@@ -627,9 +627,9 @@ def imputation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports. Error sums accumulate as FLOOR-micro BIGINTs
     (order-independent); MAE is their exact-integer quotient; RMSE's
     sqrt is the one libm call, snapped ROUND(.,9)+0.0. Unfillable cells
-    (all-masked series) are counted, not silently dropped. Driver
-    rows-only by the 50-slot window arithmetic; canon-compare oracle pin
-    in the suite.
+    (all-masked series) are counted, not silently dropped. Oracle-
+    registered since round 9 (_IMP_ERR_DUCK); canon-compare pin in the
+    suite as well.
 
     Scale shape: interpolate_ts' one series-keyed window exchange, an
     event_id-equi join back to the truth scan, and one

@@ -1,73 +1,85 @@
-"""Rotation-window hygiene: the driver verifies registry entries in order
-and may cap how many it checks, so the engine rotates which oracle entries
-sit in the first-50 window each round. The invariant (VERDICT r06 item 3
-exists because a comment once got this wrong): every DEMOTED oracle entry
-must carry a driver-green row in the LATEST CORRECTNESS_r*.json — then
-after the upcoming round runs, no entry's attestation is ever more than
-one round old. This test reads the actual driver artifacts, not comments,
-so a rotation arithmetic slip fails at commit time instead of at judging.
+"""Rotation-window hygiene: the driver verifies the first 50 registry
+entries per round, so the registry schedules which oracle entries sit in
+that window. Since round 9 the window is COMPUTED stalest-first from the
+committed CORRECTNESS_r*.json artifacts (queries/__init__.py —
+``stalest_window``), replacing the hand-maintained ledger of rounds 1-8.
+These tests audit the scheduler against the actual driver artifacts, not
+comments, so an arithmetic slip fails at commit time instead of at judging:
+
+- the window is exactly the driver cap;
+- the window is stalest-first (no demoted entry is staler than any window
+  entry — never-attested entries enter immediately, fair round-robin);
+- every demoted entry's attestation is within the capacity bound
+  ceil(N_oracle / 50) rounds — the strongest freshness any schedule can
+  guarantee under the cap (with 100 entries this is the old "≤1 round old"
+  invariant exactly; it degrades gracefully as the registry grows).
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 
-from synth_timeseries_data_spark.queries import _DEMOTED, all_queries
+import synth_timeseries_data_spark.queries as Q
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _recent_correctness() -> tuple[list, list]:
-    """The last TWO driver records (newest first) — the invariant is
-    '≤1 round old', and a demoted entry is legitimately absent from the
-    newest record (only the 50-entry window appears there): right after
-    the driver writes round N's record, the entries demoted for round
-    N+1 carry their green row in round N-1's file until the next
-    rotation swaps them back in."""
+def _rounds_desc() -> list[int]:
     paths = glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
     assert paths, "no driver CORRECTNESS records found"
-    by_round = {
-        int(re.search(r"_r(\d+)\.json$", p).group(1)): p for p in paths
-    }
-    rounds = sorted(by_round, reverse=True)[:2]
-    records = []
-    for r in rounds:
-        with open(by_round[r]) as f:
-            records.append(json.load(f))
-    return rounds, records
+    return sorted(
+        (int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in paths),
+        reverse=True,
+    )
+
+
+def _parts():
+    qs = Q.all_queries()  # populates Q._DEMOTED
+    oracle = [n for n, q in qs.items() if q.oracle is not None]
+    window = [n for n in oracle if n not in Q._DEMOTED]
+    return qs, oracle, window, set(Q._DEMOTED)
 
 
 def test_window_is_exactly_the_driver_cap():
-    qs = all_queries()
-    oracle = [n for n, q in qs.items() if q.oracle is not None]
-    window = [n for n in oracle if n not in _DEMOTED]
-    assert len(window) == 50, (len(window), sorted(window))
-    unknown = set(_DEMOTED) - set(oracle)
-    assert not unknown, f"_DEMOTED names unknown/rows-only entries: {unknown}"
+    qs, oracle, window, demoted = _parts()
+    assert len(window) == Q._DRIVER_CAP, (len(window), sorted(window))
+    # ordering contract: the driver checks the FIRST 50 entries — those
+    # must be exactly the window.
+    assert set(list(qs)[: Q._DRIVER_CAP]) == set(window)
+    unknown = demoted - set(oracle)
+    assert not unknown, f"demoted names unknown/rows-only entries: {unknown}"
 
 
-def test_every_demoted_entry_is_green_within_one_round():
-    rounds, records = _recent_correctness()
+def test_window_is_stalest_first():
+    _, oracle, window, demoted = _parts()
+    last = Q.last_green_rounds()
+    key = lambda n: (last.get(n, -1), n)  # noqa: E731
+    worst_window = max(key(n) for n in window)
+    best_demoted = min(key(n) for n in demoted)
+    assert worst_window <= best_demoted, (
+        f"window holds {worst_window} while staler {best_demoted} is "
+        f"demoted — scheduler is not stalest-first"
+    )
+    never = [n for n in oracle if n not in last]
+    overflow = [n for n in never if n not in window]
+    assert len(never) > Q._DRIVER_CAP or not overflow, (
+        f"never-attested entries left out of a non-full window: {overflow}"
+    )
 
-    def _green(row) -> bool:
-        return bool(
-            row
-            and row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match", True)
-            and not row.get("err")
-        )
 
+def test_every_demoted_entry_is_green_within_capacity_bound():
+    _, oracle, _, demoted = _parts()
+    bound = math.ceil(len(oracle) / Q._DRIVER_CAP)
+    rounds = _rounds_desc()[:bound]
+    last = Q.last_green_rounds()
     stale = [
-        name
-        for name in _DEMOTED
-        if not any(_green(rec.get(name)) for rec in records)
+        n for n in demoted if n not in last or last[n] not in rounds
     ]
     assert not stale, (
-        f"demoted entries with no green row in the last two driver "
-        f"records (rounds {rounds}) — their attestation is >1 round old: "
-        f"{stale}"
+        f"demoted entries with no green row in the last {bound} driver "
+        f"records (rounds {rounds}): {stale}"
     )
