@@ -120,9 +120,21 @@ def cmd_plot_bundle(args) -> int:
 
 def cmd_curate(args) -> int:
     from .session import get_session
-    from .sinks import write_curated_corpus
 
     spark = get_session()
+    if getattr(args, "batch_where", None):
+        from .sinks import write_curated_corpus_incremental
+
+        summary = write_curated_corpus_incremental(
+            spark, args.sf_dir, args.out, args.batch_where,
+            publish_root=args.publish or None,
+        )
+        for row in summary.collect():
+            print(f"{row['stage']:24s} {row['n']}")
+        print(f"curated corpus (incremental batch) -> {args.out}")
+        return 0
+    from .sinks import write_curated_corpus
+
     summary = write_curated_corpus(spark, args.sf_dir, args.out)
     for row in summary.collect():
         print(f"{row['stage']:24s} {row['n']}")
@@ -263,6 +275,15 @@ def main(argv: list[str] | None = None) -> int:
         help="also promote the kept corpus as the next version of this "
         "dataset root (atomic pointer-swap publish: readers never see a "
         "partial corpus; prior versions stay for rollback)",
+    )
+    c.add_argument(
+        "--batch-where",
+        help="incremental mode: process ONLY the documents matching this "
+        "SQL predicate as a new ingest batch — dedup it against the "
+        "accumulated state under OUT/state at delta cost, refresh the "
+        "full decisions/corpus snapshot, and (with --publish) promote it "
+        "as the next version; N batches over a partition of the corpus "
+        "reproduce the one-shot kept set exactly",
     )
 
     cr = sub.add_parser(

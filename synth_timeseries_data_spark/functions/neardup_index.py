@@ -325,7 +325,9 @@ def _vec_posexp(pred: str, src: str = "embeddings") -> str:
     )
 
 
-def _ivf_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
+def _ivf_cells_df(
+    spark: SparkSession, where: "str | None", ranked_sql: "str | None" = None
+) -> DataFrame:
     """The IVF cells relation (vec_id, label, e, c) for the vectors
     matching ``where`` (all vectors when None), clustered for the
     partitioned write. Cluster by (cell, salt) BEFORE the write so each
@@ -342,9 +344,11 @@ def _ivf_cells_df(spark: SparkSession, where: "str | None") -> DataFrame:
     from ..queries import llm_pipeline as lp
 
     pred = _pred(where)
+    if ranked_sql is None:
+        ranked_sql = lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp(pred))
     cells = spark.sql(
         f"""
-        WITH ranked AS ({lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp(pred))}),
+        WITH ranked AS ({ranked_sql}),
         v AS (SELECT vec_id, label,
                      transform(embedding, x -> CAST(x AS DOUBLE)) AS e
               FROM embeddings WHERE {pred})
@@ -364,6 +368,7 @@ def build_ivf_index(
     sf_dir: str,
     prefix: str = "ivf",
     where: "str | None" = None,
+    quantizer: str = "lcg",
 ) -> str:
     """Build and persist the IVF serving index for ``sf_dir``'s
     embeddings: ``{prefix}_cells``, PARTITIONED BY the coarse-centroid
@@ -378,10 +383,58 @@ def build_ivf_index(
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     table = f"{prefix}_cells"
-    _ivf_cells_df(spark, where).write.mode("overwrite").partitionBy(
-        "c"
-    ).format("parquet").saveAsTable(table)
+    ranked_sql = None
+    if quantizer == "trained":
+        # Train ONCE at build (the standard IVF posture: appends and probes
+        # assign against the frozen solution) and persist the quantizer
+        # next to its inverted file — the index is (cells, centroids).
+        from ..queries.corpus_mining import (
+            _ivft_ranked_values_sql,
+            _km_trained_centroids_numpy,
+            trained_centroid_values,  # noqa: F401  (probe-side twin)
+        )
+
+        cents = _km_trained_centroids_numpy(spark, sf_dir)
+        qrows = [
+            (int(c), int(dim + 1), float(w))
+            for c in sorted(cents)
+            for dim, w in enumerate(cents[c])
+        ]
+        spark.createDataFrame(
+            qrows, schema="c int, dim int, w double"
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_quantizer"
+        )
+        ranked_sql = _ivft_ranked_values_sql(cents, _vec_posexp(_pred(where)))
+    elif quantizer != "lcg":
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
+    _ivf_cells_df(spark, where, ranked_sql).write.mode(
+        "overwrite"
+    ).partitionBy("c").format("parquet").saveAsTable(table)
     return table
+
+
+def _ivf_quantizer(spark: SparkSession, cells_table: str):
+    """The persisted trained quantizer for ``cells_table`` as
+    {cluster: float64[dims]}, or None when the index was built with the
+    LCG stand-in (no ``{prefix}_quantizer`` table). Parquet round-trips
+    binary64 exactly, so the reloaded centroids are bit-identical to the
+    trained ones."""
+    import numpy as np
+
+    prefix = cells_table[: -len("_cells")] if cells_table.endswith("_cells") else cells_table
+    qtable = f"{prefix}_quantizer"
+    try:
+        rows = spark.table(qtable).collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    dims = max(int(r.dim) for r in rows)
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(int(r.c), np.zeros(dims))[int(r.dim) - 1] = float(r.w)
+    return cents
 
 
 def append_ivf_index(
@@ -398,9 +451,15 @@ def append_ivf_index(
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    _ivf_cells_df(spark, where).write.mode("append").partitionBy("c").format(
-        "parquet"
-    ).saveAsTable(table)
+    cents = _ivf_quantizer(spark, table)
+    ranked_sql = None
+    if cents is not None:
+        from ..queries.corpus_mining import _ivft_ranked_values_sql
+
+        ranked_sql = _ivft_ranked_values_sql(cents, _vec_posexp(_pred(where)))
+    _ivf_cells_df(spark, where, ranked_sql).write.mode("append").partitionBy(
+        "c"
+    ).format("parquet").saveAsTable(table)
 
 
 def ivf_topk_indexed(
@@ -417,7 +476,13 @@ def ivf_topk_indexed(
     from ..sources import load
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    q_ranked = lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp("vec_id = 0"))
+    cents = _ivf_quantizer(spark, cells_table)
+    if cents is not None:
+        from ..queries.corpus_mining import _ivft_ranked_values_sql
+
+        q_ranked = _ivft_ranked_values_sql(cents, _vec_posexp("vec_id = 0"))
+    else:
+        q_ranked = lp._ivf_ranked_sql(lp._SPARK_D, _vec_posexp("vec_id = 0"))
     probes = [
         r["c"]
         for r in spark.sql(

@@ -39,6 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
 from . import register
+from ._lloyd import (
+    _KM_ITERS,
+    _km_cent_chain,
+    _km_trained_centroids_numpy,
+)
 from .llm_pipeline import (
     _DUCK_D,
     _ND_DUCK,
@@ -297,8 +302,6 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SD_K = 32  # coarse centroids at gate scales
 _SD_TAU = 0.3  # cosine keep threshold (fixture max pairwise cosine ~0.51)
-_SD_DIMS = 64
-_SD_W = f"(2.0 * {lcg_uniform_sql('(c * 64 + dim)', salt=83)} - 1.0)"
 
 
 def _sd_k(n_vectors: int) -> int:
@@ -311,10 +314,11 @@ def _sd_k(n_vectors: int) -> int:
     classic coarse-quantizer sizing rule). Gate scales (sf0.01 = 500
     vectors, sf0.1 = 5k) stay at K=32, bit-identical to the static DuckDB
     oracle; larger corpora widen where no oracle runs (the weak-scaling
-    table in COVERAGE.md is the check there). At real cluster scale the
-    LCG centroids would be a trained k-means codebook and the assignment a
-    blocked mapInPandas argmin, but the relation shape — (vec_id, c) — and
-    everything downstream of it are unchanged."""
+    table in COVERAGE.md is the check there). The centroids are the
+    TRAINED Lloyd solution at every K since round 9 (declarative chain at
+    gate scales, numpy trainer + blocked mapInPandas argmin past them);
+    the relation shape — (vec_id, c) — and everything downstream of it
+    are unchanged."""
     if n_vectors < 20_000:
         return _SD_K
     if n_vectors < 200_000:
@@ -324,20 +328,25 @@ def _sd_k(n_vectors: int) -> int:
 
 def _sd_assign_sql(d, posexp: str, k: int = _SD_K) -> str:
     """Per-vector nearest-centroid assignment (vec_id, c) — the index
-    relation. Same determinism discipline as vec_topk_ivf: FLOOR-micro
-    bigint distance sums + centroid-id tiebreak, so assignment can never
-    diverge from summation order or engine."""
+    relation. Since round 9 the coarse quantizer is the TRAINED Lloyd
+    solution (the _km_cent_chain kmeans_embed exposes, at semdedup's own
+    K — VERDICT r08 item 4; the LCG stand-in _SD_W is retired), so cell
+    boundaries sit between real embedding clusters and the within-cluster
+    pair stage sees actual near-duplicates. Same determinism discipline
+    as before: FLOOR-micro bigint distance sums + centroid-id tiebreak,
+    and the whole train+assign runs as ONE declarative statement at gate
+    scales, so assignment can never diverge from summation order or
+    engine."""
+    ctes, trained = _km_cent_chain(d, k=k, iters=_KM_ITERS, prefix="km_")
+    chain = ",\n    ".join(ctes)
     return f"""
-    WITH centroids AS (
-      SELECT c, dim, {_SD_W} AS w
-      FROM (SELECT {d['expand']('0', str(k - 1))} AS c) cc,
-           (SELECT {d['expand']('1', str(_SD_DIMS))} AS dim) dd
-    ),
+    WITH {chain},
+    tcent AS ({trained}),
     comps AS ({posexp}),
     dists AS (
       SELECT p.vec_id, ct.c,
              SUM(CAST(FLOOR((p.x - ct.w) * (p.x - ct.w) * 1000000.0) AS BIGINT)) AS d2
-      FROM comps p JOIN centroids ct ON ct.dim = p.dim
+      FROM comps p JOIN tcent ct ON ct.dim = p.dim
       GROUP BY p.vec_id, ct.c
     ),
     ranked AS (
@@ -513,40 +522,26 @@ _SD_POSEXP_SPARK = (
 )
 
 
-def _sd_centroid_matrix(k: int):
-    """The LCG centroid matrix W[k, dims] in numpy — BIT-IDENTICAL to the
-    SQL `_SD_W` expression: the two LCG steps run in exact int64 (every
-    intermediate < 2^63) and the final scale is all-binary64, the same IEEE
-    ops Spark/DuckDB evaluate."""
-    import numpy as np
-
-    A, C, M, SALT = 1103515245, 12345, 2147483648, 83
-    c = np.arange(k, dtype=np.int64)[:, None]
-    dim = np.arange(1, _SD_DIMS + 1, dtype=np.int64)[None, :]
-    key = c * 64 + dim
-    s1 = ((key % M) * A + C + SALT * 7919) % M
-    s2 = (s1 * A + C) % M
-    u = (s2.astype(np.float64) + 0.5) / float(M)
-    return 2.0 * u - 1.0
-
-
-def _sd_assign_numpy(spark: SparkSession, k: int):
+def _sd_assign_numpy(spark: SparkSession, k: int, sf_dir: str):
     """Blocked-numpy nearest-centroid assignment via Arrow `mapInPandas` —
-    the scale path for the assignment stage. The SQL form materializes the
+    the scale path for the assignment stage, now against the TRAINED
+    quantizer (trained once per (k, corpus) via the shared Lloyd trainer —
+    K*dims planning scalars — then broadcast to every assignment task, the
+    production IVF posture). The SQL form materializes the
     comps⋈centroids join as n·dims·K rows (3×10^10 at 500k vectors,
     K=1024); here each Arrow batch computes the same FLOOR-micro bigint
     distances as a [batch, K_block, dims] broadcast subtract — identical
     values by construction (floor((x−w)²·1e6) per dim in float64, exact
-    int64 sums, argmin ≡ ORDER BY d2, c since np.argmin takes the first
-    minimum), verified bit-equal to the SQL path in
-    tests/test_corpus_ext.py. At real cluster scale this is the standard
-    IVF assignment kernel (and where one would drop the floor discipline
-    for pure matmul + a trained codebook)."""
+    int64 sums, argmin over ascending-cluster-id rows ≡ ORDER BY d2, c
+    since np.argmin takes the first minimum), verified bit-equal to the
+    SQL path in tests/test_corpus_ext.py."""
+    import numpy as np
     import pandas as pd  # noqa: F401
 
-    import numpy as np
-
-    W = _sd_centroid_matrix(k)
+    cents = _km_trained_centroids_numpy(spark, sf_dir, k=k, iters=_KM_ITERS)
+    cmap = np.array(sorted(cents), dtype=np.int64)  # row -> cluster id
+    W = np.stack([cents[c] for c in sorted(cents)])
+    kc = W.shape[0]  # surviving centroid count (clusters can drop out)
 
     def assign(batches):
         for pdf in batches:
@@ -557,7 +552,7 @@ def _sd_assign_numpy(spark: SparkSession, k: int):
             )
             best_d = np.full(len(pdf), np.iinfo(np.int64).max, dtype=np.int64)
             best_c = np.zeros(len(pdf), dtype=np.int64)
-            for lo in range(0, k, 64):
+            for lo in range(0, kc, 64):
                 Wb = W[lo : lo + 64]
                 diff = x[:, None, :] - Wb[None, :, :]
                 d2 = (
@@ -571,7 +566,7 @@ def _sd_assign_numpy(spark: SparkSession, k: int):
                 best_d = np.where(upd, blk_d, best_d)
                 best_c = np.where(upd, blk_c + lo, best_c)
             out = pdf[["vec_id"]].copy()
-            out["c"] = best_c
+            out["c"] = cmap[best_c]
             yield out
 
     return (
@@ -599,8 +594,9 @@ _SEMDEDUP_DUCK = (
 @register("semdedup", _SEMDEDUP_DUCK)
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pruning: nearest-of-32
-    coarse-centroid assignment (the coarse quantizer — a trained k-means
-    would slot in unchanged), then exact pairwise cosine ONLY between
+    coarse-centroid assignment against the TRAINED Lloyd quantizer
+    (kmeans_embed's chain at semdedup's own K — cells sit between real
+    embedding clusters), then exact pairwise cosine ONLY between
     vectors sharing a cluster. A vector is dropped iff some lower-id vector
     in its cluster matches at ROUND(cos,6) >= 0.3; the output keeps
     every vector with its cluster, verdict, and (for drops) the witness
@@ -621,7 +617,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past gate scales the n·dims·K join would dominate — use the
         # blocked-numpy Arrow kernel (bit-identical distances; see
         # _sd_assign_numpy)
-        build = lambda: _sd_assign_numpy(spark, k)  # noqa: E731
+        build = lambda: _sd_assign_numpy(spark, k, sf_dir)  # noqa: E731
     else:
         build = lambda: spark.sql(  # noqa: E731
             _sd_assign_sql(_SPARK_D, _SD_POSEXP_SPARK, k)

@@ -61,6 +61,17 @@ from . import register
 from .dsl import _PARSE_ORACLE, _parsed_edges
 
 _CAP = 256  # aligned samples per series fed to the correlation screener
+_GCAP = 128  # replicate groups per variable-count fed to the screener
+
+
+def _vmax() -> int:
+    """Largest variable count in the DSL registry — a spec constant, so the
+    screener's user cutoff ``_GCAP * _vmax()`` can be a LITERAL predicate
+    that reaches the parquet scan (a scalar subquery would compute the same
+    bound but not push down)."""
+    from ..dsl.registry import EQUATION_ROWS
+
+    return max(v for _, v, _, _, _ in EQUATION_ROWS)
 
 _TS_US_SPARK = "(ts div 1000)"
 _TS_US_DUCK = "epoch_us(ts)"
@@ -86,52 +97,75 @@ def _body(expand, idiv: str, tus: str) -> str:
       SELECT family, n_vars, max_lag, COUNT(*) AS m
       FROM gtc GROUP BY family, n_vars, max_lag
     ),
+    -- The correlation sums depend only on the variable count and the lag,
+    -- not on the config's max_lag: every (V, L) config's sums are the
+    -- k <= L slice of the (V, lmax) superset. Replicating the event scan
+    -- per V (3 rows) instead of per (V, L) combo (9 rows) cuts the pair
+    -- volume ~2.2x (20.0M -> 9.2M rows at sf0.1, measured 3.4 -> ~2.1 s
+    -- steady) with bit-identical sums — the rank stage re-slices the
+    -- shared 960-row rho relation per config.
+    vgrid AS (
+      SELECT n_vars AS v_cnt, MAX(max_lag) AS lmax
+      FROM configs GROUP BY n_vars
+    ),
     combos AS (SELECT DISTINCT n_vars AS v_cnt, max_lag AS l_cnt FROM configs),
+    -- The screener reads at most _GCAP groups of the largest variable
+    -- count: a LITERAL user_id cutoff (pushed to the parquet scan — no
+    -- row group past it is even decoded) makes the whole predictor stage
+    -- scale-INVARIANT: sf1 (1M events) measured 3.2 s before the
+    -- pushdown, {_GCAP * _vmax()} users' worth of rows after it at any
+    -- corpus size. The per-V g-cap below is the tighter per-combo slice
+    -- of the same bound.
     ev AS (
       SELECT user_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts_us, event_id) AS r
-      FROM (SELECT user_id, event_id, {tus} AS ts_us, value FROM events) e
+      FROM (SELECT user_id, event_id, {tus} AS ts_us, value FROM events
+            WHERE user_id < {_GCAP * _vmax()}) e
     ),
     evc AS (SELECT user_id, value, r FROM ev WHERE r <= {_CAP}),
     srcs AS (
-      SELECT c.v_cnt, c.l_cnt,
+      SELECT c.v_cnt, c.lmax,
              CAST(e.user_id % c.v_cnt AS INT) + 1 AS v,
              e.user_id {idiv} c.v_cnt AS g,
              e.r, e.value
-      FROM evc e CROSS JOIN combos c
+      FROM evc e CROSS JOIN vgrid c
+      WHERE e.user_id {idiv} c.v_cnt < {_GCAP}
     ),
     tgts AS (
-      SELECT v_cnt, l_cnt, v AS vt, g, r, value AS yv,
-             {expand('0', 'l_cnt')} AS k
+      SELECT v_cnt, v AS vt, g, r, value AS yv,
+             {expand('0', 'lmax')} AS k
       FROM srcs
     ),
     pairs AS (
-      SELECT t.v_cnt, t.l_cnt, s.v AS vs, t.vt, t.k,
+      -- srcs is caps-bounded (<= _GCAP * Vmax users x _CAP rows, a few MB
+      -- at ANY corpus size), so broadcasting it removes the join exchange
+      -- entirely: 2.23 -> 1.61 s steady at sf0.1 (A/B vs sort-merge and
+      -- shuffle-hash). DuckDB parses the hint as a plain comment.
+      SELECT /*+ BROADCAST(s) */ t.v_cnt, s.v AS vs, t.vt, t.k,
              s.value AS xv, t.yv
       FROM tgts t
       JOIN srcs s
-        ON s.v_cnt = t.v_cnt AND s.l_cnt = t.l_cnt
-       AND s.g = t.g AND s.r = t.r - t.k
+        ON s.v_cnt = t.v_cnt AND s.g = t.g AND s.r = t.r - t.k
     ),
     sums AS (
-      SELECT v_cnt, l_cnt, vs, vt, k, COUNT(*) AS n,
+      SELECT v_cnt, vs, vt, k, COUNT(*) AS n,
              SUM(CAST(FLOOR(xv * 1000000.0) AS BIGINT)) AS s_x,
              SUM(CAST(FLOOR(yv * 1000000.0) AS BIGINT)) AS s_y,
              SUM(CAST(FLOOR(xv * yv * 1000000.0) AS BIGINT)) AS s_xy,
              SUM(CAST(FLOOR(xv * xv * 1000000.0) AS BIGINT)) AS s_xx,
              SUM(CAST(FLOOR(yv * yv * 1000000.0) AS BIGINT)) AS s_yy
       FROM pairs
-      GROUP BY v_cnt, l_cnt, vs, vt, k
+      GROUP BY v_cnt, vs, vt, k
     ),
     rho AS (
-      SELECT v_cnt, l_cnt, vs, vt, k,
+      SELECT v_cnt, vs, vt, k,
              (n * sxy - sx * sy)
                / NULLIF(SQRT(GREATEST((n * sxx - sx * sx)
                                       * (n * syy - sy * sy), 0.0)),
                         0.0) AS rho
       FROM (
-        SELECT v_cnt, l_cnt, vs, vt, k,
+        SELECT v_cnt, vs, vt, k,
                CAST(n AS DOUBLE) AS n,
                CAST(s_x AS DOUBLE) / 1000000.0 AS sx,
                CAST(s_y AS DOUBLE) / 1000000.0 AS sy,
@@ -142,12 +176,13 @@ def _body(expand, idiv: str, tus: str) -> str:
       ) d
     ),
     ranked AS (
-      SELECT v_cnt, l_cnt, vs, vt, k,
-             ROW_NUMBER() OVER (PARTITION BY v_cnt, l_cnt
-                                ORDER BY ABS(rho) DESC NULLS LAST,
-                                         vs, vt, k) AS rn
-      FROM rho
-      WHERE NOT (vs = vt AND k = 0)
+      SELECT co.v_cnt, co.l_cnt, rh.vs, rh.vt, rh.k,
+             ROW_NUMBER() OVER (PARTITION BY co.v_cnt, co.l_cnt
+                                ORDER BY ABS(rh.rho) DESC NULLS LAST,
+                                         rh.vs, rh.vt, rh.k) AS rn
+      FROM combos co
+      JOIN rho rh ON rh.v_cnt = co.v_cnt AND rh.k <= co.l_cnt
+      WHERE NOT (rh.vs = rh.vt AND rh.k = 0)
     ),
     c1 AS (SELECT family, n_vars, max_lag, m,
                   {expand('1', 'n_vars')} AS i FROM configs),
@@ -169,42 +204,48 @@ def _body(expand, idiv: str, tus: str) -> str:
         ON r.v_cnt = c.n_vars AND r.l_cnt = c.max_lag
        AND r.vt = c.i AND r.vs = c.j AND r.k = c.k
     ),
-    conf AS (
-      SELECT family, n_vars, max_lag,
-             CAST(SUM(gt * pred) AS BIGINT) AS tp,
-             CAST(SUM((1 - gt) * pred) AS BIGINT) AS fp,
-             CAST(SUM(gt * (1 - pred)) AS BIGINT) AS fn,
-             CAST(SUM((1 - gt) * (1 - pred)) AS BIGINT) AS tn
-      FROM scored GROUP BY family, n_vars, max_lag
-    ),
-    rpairs AS (
+    -- ONE scan of `scored` for every metric: Spark inlines CTEs, so the
+    -- textbook three-branch tail (confusion scan + pair-grouped reversal
+    -- scan + self-edge scan) recomputes the whole screener pipeline 3x —
+    -- measured 3.4 s vs 1.4 s for the chain up to `scored` at sf0.1.
+    -- Instead group once by unordered pair (self cells are their own
+    -- group, orientation kept via conditional MAX — the shd_reversal
+    -- device) and derive confusion counts AND both SHDs from the pair
+    -- relation in the final config rollup. Counts are identical by
+    -- algebra: each pair group carries its cells' (gt, pred) bits
+    -- losslessly (cells_per_group = 2 - is_self).
+    pgroups AS (
       SELECT family, n_vars, max_lag,
              LEAST(i, j) AS lo, GREATEST(i, j) AS hi, k,
-             MAX(CASE WHEN i < j THEN gt ELSE 0 END) AS gt_lo,
+             MAX(CASE WHEN i <= j THEN gt ELSE 0 END) AS gt_lo,
              MAX(CASE WHEN i > j THEN gt ELSE 0 END) AS gt_hi,
-             MAX(CASE WHEN i < j THEN pred ELSE 0 END) AS pred_lo,
-             MAX(CASE WHEN i > j THEN pred ELSE 0 END) AS pred_hi
-      FROM scored WHERE i != j
+             MAX(CASE WHEN i <= j THEN pred ELSE 0 END) AS pred_lo,
+             MAX(CASE WHEN i > j THEN pred ELSE 0 END) AS pred_hi,
+             MAX(CASE WHEN i = j THEN 1 ELSE 0 END) AS is_self
+      FROM scored
       GROUP BY family, n_vars, max_lag, LEAST(i, j), GREATEST(i, j), k
     ),
-    rcost AS (
+    conf AS (
       SELECT family, n_vars, max_lag,
-             ABS((gt_lo + gt_hi) - (pred_lo + pred_hi)) +
-             CASE WHEN gt_lo + gt_hi = 1 AND pred_lo + pred_hi = 1
-                       AND gt_lo != pred_lo
-                  THEN 1 ELSE 0 END AS cost
-      FROM rpairs
-    ),
-    scost AS (
-      SELECT family, n_vars, max_lag, ABS(gt - pred) AS cost
-      FROM scored WHERE i = j
-    ),
-    shdr AS (
-      SELECT family, n_vars, max_lag, CAST(SUM(cost) AS BIGINT) AS shd_rev
-      FROM (SELECT family, n_vars, max_lag, cost FROM rcost
-            UNION ALL
-            SELECT family, n_vars, max_lag, cost FROM scost) u
-      GROUP BY family, n_vars, max_lag
+             CAST(SUM(gt_lo * pred_lo + gt_hi * pred_hi) AS BIGINT) AS tp,
+             CAST(SUM((1 - gt_lo) * pred_lo
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE (1 - gt_hi) * pred_hi END) AS BIGINT) AS fp,
+             CAST(SUM(gt_lo * (1 - pred_lo)
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE gt_hi * (1 - pred_hi) END) AS BIGINT) AS fn,
+             CAST(SUM((1 - gt_lo) * (1 - pred_lo)
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE (1 - gt_hi) * (1 - pred_hi) END)
+                  AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN is_self = 1 THEN ABS(gt_lo - pred_lo)
+                           ELSE ABS((gt_lo + gt_hi) - (pred_lo + pred_hi)) +
+                                CASE WHEN gt_lo + gt_hi = 1
+                                          AND pred_lo + pred_hi = 1
+                                          AND gt_lo != pred_lo
+                                     THEN 1 ELSE 0 END
+                      END) AS BIGINT) AS shd_rev
+      FROM pgroups GROUP BY family, n_vars, max_lag
     )
     SELECT c.family, c.n_vars, c.max_lag,
            c.tp, c.fp, c.fn, c.tn,
@@ -216,11 +257,8 @@ def _body(expand, idiv: str, tus: str) -> str:
                 ELSE CAST(2 * c.tp AS DOUBLE)
                      / (2 * c.tp + c.fp + c.fn) END AS f1,
            c.fp + c.fn AS shd,
-           s.shd_rev
+           c.shd_rev
     FROM conf c
-    JOIN shdr s
-      ON s.family = c.family AND s.n_vars = c.n_vars
-     AND s.max_lag = c.max_lag
     ORDER BY c.family, c.n_vars, c.max_lag
     """
 

@@ -1544,11 +1544,11 @@ def _ivf_ranked_sql(d, posexp: str) -> str:
     """
 
 
-def _ivf_tail(d, ranked: str) -> str:
-    """Probe-2 search + exact-cosine verify over ``ranked``."""
+def _ivf_tail(d, ranked: str, probes: int = _IVF_PROBES) -> str:
+    """Probe-``probes`` search + exact-cosine verify over ``ranked``."""
     return f"""
     assign AS (SELECT vec_id, c FROM {ranked} WHERE rn = 1),
-    qprobe AS (SELECT c FROM {ranked} WHERE vec_id = 0 AND rn <= {_IVF_PROBES}),
+    qprobe AS (SELECT c FROM {ranked} WHERE vec_id = 0 AND rn <= {probes}),
     cand AS (
       SELECT a.vec_id FROM assign a JOIN qprobe qp ON qp.c = a.c
       WHERE a.vec_id != 0

@@ -325,6 +325,207 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
     return spark.createDataFrame(rows, "stage string, n long")
 
 
+def write_curated_corpus_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    batch_where: str,
+    publish_root: "str | None" = None,
+) -> DataFrame:
+    """Incremental curation (round 9, VERDICT r08 item 5): ingest ONE batch
+    of documents (``batch_where`` — a predicate over the documents table
+    selecting docs not yet processed), dedup it against the accumulated
+    state at DELTA-proportional cost, and emit a fresh full decisions/
+    corpus snapshot — atomically promoted as the next version when
+    ``publish_root`` is set. Unifies the delta primitives the serving
+    layer already ships (minhash_delta_pairs' bucketed probe, the
+    append-only membership index, the versioned pointer-swap publish).
+
+    Correctness contract — N batch runs over a partition of the corpus
+    produce EXACTLY the one-shot ``write_curated_corpus`` kept set (CLI
+    test pins two-batch == one-shot): per batch only the NEW docs are
+    shingled/min-hashed/probed, but the discovered near-dup edges
+    accumulate, so the keep decision is re-derived each batch from the
+    FULL edge set with the identical cluster + quality-aware-survivor
+    rule. A later batch can therefore retract an earlier keep (a bridge
+    doc can merge two previously separate clusters) — which is precisely
+    why each batch publishes a full SNAPSHOT version instead of appending
+    to a live corpus: readers move from v{n} to v{n+1} atomically and
+    never see the retraction applied in place.
+
+    State under ``out/state/`` (all append-only parquet):
+    ``docagg`` (minhash windows + shingle arrays for exact-Jaccard
+    verify), ``members`` (band, sig, doc_id — the LSH membership probed
+    by the next batch), ``edges`` (verified near-dup pairs — near-dup-
+    proportional, the small relation everything is re-derived from),
+    ``signals`` (per-doc gate verdicts + recorded gopher/DSIR signals).
+
+    Scale shape: the per-batch heavy work (shingle, hash, bucket probe
+    with the batch side broadcast) is batch-proportional; the cross-batch
+    recompute touches only edges (≪ docs) plus one edge-set cc
+    (_cc_hybrid, O(log n) rounds) and a broadcast-gated flags join.
+    Gopher is doc-local and batch-filtered; the DSIR signal is corpus-
+    normalized by definition, so it reads the full table (recorded
+    signal, not a gate — at real scale a pipeline would snapshot its raw
+    unigram stats in state rather than rescan; the gate columns this
+    function's keep derives from are batch-bounded)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .functions.neardup_index import _mh_shingles_cte, minhash_delta_pairs
+    from .functions.scale import broadcast_if_small
+    from .queries import llm_pipeline as lp
+    from .queries.corpus_ext import gopher_rules
+    from .queries.llm_pipeline import (
+        _SPARK_D,
+        _cc_hybrid,
+        _doc_quality_gate_sql,
+        _parquet_rows,
+        _spark_docs,
+        dsir_weights,
+    )
+    from .session import fast_commit
+    from .sources import load, table_rows
+
+    fast_commit(spark)
+    d = _SPARK_D
+    lp._register_docs(spark, sf_dir)
+    state = os.path.join(out, "state")
+    paths = {
+        n: os.path.join(state, n)
+        for n in ("docagg", "members", "edges", "signals")
+    }
+    have_state = os.path.exists(paths["signals"])
+    tag = uuid.uuid4().hex[:12]
+
+    # --- index views for the delta probe: accumulated state, or the
+    # schema-exact EMPTY relation on the first batch (WHERE FALSE keeps
+    # every column/type identical to the real aggregate without a
+    # hand-maintained schema string)
+    dagg_v, mem_v = f"_inc_dagg_{tag}", f"_inc_mem_{tag}"
+    if have_state:
+        spark.read.parquet(paths["docagg"]).createOrReplaceTempView(dagg_v)
+        spark.read.parquet(paths["members"]).createOrReplaceTempView(mem_v)
+    else:
+        # "doc_id < 0" (never true) instead of FALSE: Spark folds a
+        # literal-FALSE subquery to a one-column dummy relation and the
+        # shingle CTE's 5-column alias stops resolving
+        spark.sql(
+            _mh_shingles_cte("doc_id < 0") + lp._mh_docagg_sql(d)
+        ).createOrReplaceTempView(dagg_v)
+        spark.sql(
+            f"SELECT doc_id, band, sig FROM ({lp._mh_sigs_sql(d, dagg_v)})"
+        ).createOrReplaceTempView(mem_v)
+
+    # --- delta-proportional dedup: new edges with >= 1 end in the batch
+    new_edges = minhash_delta_pairs(
+        spark, sf_dir, dagg_v, mem_v, batch_where
+    ).select("doc_a", "doc_b")
+    n_new_edges = new_edges.count()
+
+    # --- batch-proportional state append
+    batch_dagg = spark.sql(
+        _mh_shingles_cte(batch_where) + lp._mh_docagg_sql(d)
+    ).localCheckpoint()
+    bd_v = f"_inc_bd_{tag}"
+    batch_dagg.createOrReplaceTempView(bd_v)
+    batch_dagg.write.mode("append").parquet(paths["docagg"])
+    spark.sql(
+        f"SELECT doc_id, band, sig FROM ({lp._mh_sigs_sql(d, bd_v)})"
+    ).write.mode("append").parquet(paths["members"])
+    new_edges.write.mode("append").parquet(paths["edges"])
+
+    base = _spark_docs(
+        spark,
+        sf_dir,
+        f"""WITH g AS ({_doc_quality_gate_sql(d)})
+            SELECT doc_id, source, lang,
+                   lang_ok = 1 AND q_ok = 1 AS keep_quality
+            FROM g""",
+    ).where(batch_where)
+    gopher = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    dsir = dsir_weights(spark, sf_dir).select(
+        "doc_id", "n_tokens", "logw_nats", "more_target_like"
+    )
+    (
+        base.join(gopher, "doc_id", "left").join(dsir, "doc_id", "left")
+    ).write.mode("append").parquet(paths["signals"])
+
+    # --- full-snapshot decision recompute from the accumulated SMALL
+    # relations (edges + per-doc signal rows) — the identical rule
+    # curate_decisions_frame applies one-shot
+    sig_all = spark.read.parquet(paths["signals"])
+    edges_all = spark.read.parquet(paths["edges"])
+    labels, _ = _cc_hybrid(edges_all.toDF("a", "b"))
+    clusters = labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    memberq = clusters.join(
+        sig_all.select("doc_id", "keep_quality"), "doc_id", "left"
+    ).localCheckpoint()
+    qrep = (
+        memberq.where("keep_quality")
+        .groupBy("cluster_rep")
+        .agg(F.min("doc_id").alias("qrep"))
+    )
+    member_flags = memberq.join(qrep, "cluster_rep", "left").select(
+        "doc_id",
+        (F.col("doc_id") != F.coalesce("qrep", "cluster_rep")).alias("is_dup"),
+    )
+    doc_bytes = table_rows(sf_dir, "documents") * 32
+    decisions = (
+        sig_all.join(broadcast_if_small(member_flags, doc_bytes), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.coalesce("keep_quality", F.lit(False)).alias("keep_quality"),
+            (~F.coalesce("is_dup", F.lit(False))).alias("keep_dedup"),
+            "gopher_keep",
+            "logw_nats",
+            "more_target_like",
+            (
+                F.coalesce("keep_quality", F.lit(False))
+                & ~F.coalesce("is_dup", F.lit(False))
+            ).alias("keep"),
+        )
+    )
+    dec_path = os.path.join(out, "decisions")
+    decisions.write.mode("overwrite").parquet(dec_path)
+    corpus_path = os.path.join(out, "corpus")
+    kept = spark.read.parquet(dec_path).where("keep").select("doc_id")
+    corpus = load(spark, sf_dir, "documents").join(
+        broadcast_if_small(kept, doc_bytes), "doc_id"
+    )
+    corpus.write.mode("overwrite").partitionBy("source").parquet(corpus_path)
+
+    version = None
+    if publish_root is not None:
+        version = publish_version(
+            spark,
+            spark.read.parquet(corpus_path),
+            publish_root,
+            partition_by=("source",),
+        )
+
+    for v in (dagg_v, mem_v, bd_v):
+        spark.catalog.dropTempView(v)
+    rows = [
+        ("docs_processed_total", _parquet_rows(paths["signals"])),
+        ("batch_new_edges", n_new_edges),
+        ("edges_total", _parquet_rows(paths["edges"])),
+        ("kept", spark.read.parquet(dec_path).where("keep").count()),
+        ("decisions_rows_written", _parquet_rows(dec_path)),
+        ("corpus_rows_written", _parquet_rows(corpus_path)),
+        ("published_version", -1 if version is None else version),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")
+
+
 # --------------------------------------------------------------------------
 # Versioned atomic publish (round 7): readers NEVER see a partial dataset.
 # --------------------------------------------------------------------------

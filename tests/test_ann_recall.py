@@ -101,6 +101,66 @@ def test_ivf_recall_at_10(spark, ann_corpus):
     )
 
 
+def test_trained_quantizer_recall_vs_probe_curve(spark, ann_corpus):
+    """VERDICT r08 item 4 done-condition: at EQUAL probe counts the
+    trained (Lloyd) coarse quantizer must recall at least as much of the
+    true top-10 as the LCG stand-in, across the probe ladder — cell
+    boundaries between real clusters cover the neighborhood with fewer
+    probed cells. Also pins the trained probe-2 recall above the family
+    floor so the wiring can't regress the headline number."""
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _ivft_ranked_sql,
+    )
+
+    curve = {}
+    for probes in (1, 2):
+        lcg = _recall(
+            spark,
+            _IVF_RANKED_SPARK,
+            "t_ranked",
+            _ivf_tail(_SPARK_D, "t_ranked", probes=probes),
+            ann_corpus,
+        )
+        trained = _recall(
+            spark,
+            _ivft_ranked_sql(_SPARK_D),
+            "t_tranked",
+            _ivf_tail(_SPARK_D, "t_tranked", probes=probes),
+            ann_corpus,
+        )
+        curve[probes] = (lcg, trained)
+        assert trained >= lcg, (
+            f"trained quantizer recall {trained:.2f} below LCG {lcg:.2f} "
+            f"at probes={probes} — training should never lose to random "
+            f"Voronoi cells on a clustered corpus: {curve}"
+        )
+    assert curve[2][1] >= RECALL_FLOOR, curve
+
+
+def test_trained_centroid_forms_bit_equal(spark, smoke_sf_dir):
+    """The declarative Lloyd chain (gate-scale form) and the numpy-trained
+    + inlined-VALUES form (scale form) must produce the IDENTICAL ranked
+    index relation — same exact FLOOR-micro arithmetic, literal inlining
+    via repr round-trips binary64 exactly."""
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        _ivft_ranked_sql,
+        _ivft_ranked_values_sql,
+        _km_trained_centroids_numpy,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    load(spark, smoke_sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    decl = sorted(map(tuple, spark.sql(_ivft_ranked_sql(_SPARK_D)).collect()))
+    cents = _km_trained_centroids_numpy(spark, smoke_sf_dir)
+    vals = sorted(
+        map(tuple, spark.sql(_ivft_ranked_values_sql(cents)).collect())
+    )
+    assert decl == vals
+    spark.catalog.dropTempView("embeddings")
+
+
 def test_dense_bucket_guard_keeps_blob_connected(spark):
     """Dense-region guard property: a near-dup blob LARGER than
     _ND_BUCKET_CAP lands in over-cap LSH buckets, where pairing switches

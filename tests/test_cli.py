@@ -311,3 +311,61 @@ def test_cli_corpus_report_consistent_with_components(
     assert int(summary["clean"]) == sum(1 for r in audit.values() if r.clean)
     assert int(summary["lang_rows_written"]) > 0
     assert int(summary["length_rows_written"]) > 0
+
+
+def test_cli_curate_incremental_two_batches_equal_one_shot(
+    spark, smoke_sf_dir, tmp_path, capsys
+):
+    """VERDICT r08 item 5 done-condition: two incremental batch runs over
+    a doc_id partition of the corpus must (a) bump one published version
+    per batch and (b) end with EXACTLY the one-shot run's kept corpus —
+    the accumulated-edges recompute replays the identical cluster +
+    quality-aware-survivor rule, so the equality is structural, retraction
+    cases included."""
+    inc_out = str(tmp_path / "inc")
+    pub = str(tmp_path / "pub")
+    ref_out = str(tmp_path / "oneshot")
+    for pred in ("doc_id < 250", "doc_id >= 250"):
+        assert (
+            main(
+                [
+                    "curate",
+                    "--sf-dir", smoke_sf_dir,
+                    "--out", inc_out,
+                    "--publish", pub,
+                    "--batch-where", pred,
+                ]
+            )
+            == 0
+        )
+    capsys.readouterr()
+    from synth_timeseries_data_spark.sinks import published_info
+
+    info = published_info(pub)
+    assert info["version"] == 2  # one bump per batch
+    assert os.path.isdir(os.path.join(pub, "v1"))
+
+    assert main(["curate", "--sf-dir", smoke_sf_dir, "--out", ref_out]) == 0
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(pub, "v2"))
+            .select("doc_id", "source", "text")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(ref_out, "corpus"))
+            .select("doc_id", "source", "text")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # decisions snapshot covers every processed doc with the one-shot keep
+    dec = spark.read.parquet(os.path.join(inc_out, "decisions"))
+    ref_dec = spark.read.parquet(os.path.join(ref_out, "decisions"))
+    assert sorted(
+        map(tuple, dec.select("doc_id", "keep").collect())
+    ) == sorted(map(tuple, ref_dec.select("doc_id", "keep").collect()))

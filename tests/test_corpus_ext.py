@@ -268,7 +268,8 @@ def test_semdedup_numpy_assignment_bitexact_vs_sql(spark, oracle_sf_dir):
             for r in spark.sql(_sd_assign_sql(_SPARK_D, _SD_POSEXP_SPARK, k)).collect()
         )
         np_rows = sorted(
-            (r.vec_id, r.c) for r in _sd_assign_numpy(spark, k).collect()
+            (r.vec_id, r.c)
+            for r in _sd_assign_numpy(spark, k, oracle_sf_dir).collect()
         )
         assert np_rows == sql_rows, k
 

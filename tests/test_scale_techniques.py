@@ -652,3 +652,26 @@ def test_winnow_ingest_stream_checkpoint_restart(
     # the feed holds exactly the cross-batch pairs (probe side = batch 2)
     pairs = spark.read.parquet(feed).collect()
     assert pairs and all(p.probe_doc > cut and p.index_doc <= cut for p in pairs)
+
+
+def test_trained_ivf_serving_index_matches_session(spark, smoke_sf_dir, bucket_db):
+    """The persisted trained-quantizer IVF index (cells + quantizer
+    tables) must answer top-10 bit-equal to the session-form
+    vec_topk_ivf_trained, still with partition-pruned probes."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.corpus_mining import (
+        vec_topk_ivf_trained,
+    )
+
+    table = build_ivf_index(
+        spark, smoke_sf_dir, prefix=f"{bucket_db}.tivf", quantizer="trained"
+    )
+    got_df = ivf_topk_indexed(spark, smoke_sf_dir, table)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and " IN (" in plan, plan[:2000]
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in vec_topk_ivf_trained(spark, smoke_sf_dir).collect()]
+    assert got == want
