@@ -494,3 +494,25 @@ def test_interpolate_and_outliers_single_series_exchange(spark, oracle_sf_dir):
         assert plan.count("Exchange") == 1, name
         assert "Join" not in plan, name
         assert plan.count("Scan parquet") == 1, name
+
+
+def test_discovery_benchmark_plan_shape(spark, oracle_sf_dir):
+    """The composed EP3 plan's 100-TB properties: the screener's literal
+    user-id cutoff reaches the events parquet scan (PushedFilters — no row
+    group past _GCAP*Vmax users is decoded, the scale-invariance lever),
+    the caps-bounded src side of the pair join is BROADCAST (no join
+    exchange), and the scan reads only the four needed event columns."""
+    plan = _plan(spark, "discovery_benchmark", oracle_sf_dir)
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id," in plan, (
+        plan[:3000]
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "props" not in plan and "event_type" not in plan
+
+
+def test_vec_topk_ivf_trained_probe_is_semi_join_shaped(spark, oracle_sf_dir):
+    """The trained-IVF search must keep vec_topk_ivf's probe shape: the
+    candidate relation is broadcast into the exact-cosine verify (the
+    inverted-file probe — never a corpus-wide shuffle on the verify)."""
+    plan = _plan(spark, "vec_topk_ivf_trained", oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
