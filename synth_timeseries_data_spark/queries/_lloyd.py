@@ -131,12 +131,19 @@ def _km_assign_numpy(df, cents):
     """One Lloyd assignment pass as Arrow-batched mapInPandas: the EXACT
     arithmetic of _km_fold, vectorized — float64 (x-w)^2 * 1e6 floored to
     int64 per dim (IEEE-identical to the SQL form term by term), summed
-    exactly, argmin encoded as MIN(d2*K + c)."""
+    exactly, argmin encoded as MIN(d2*K + c).
+
+    The centroid axis is processed in 64-row BLOCKS (the _sd_assign_numpy
+    device): the unblocked (batch, K, dims) broadcast subtract is ~5 GB of
+    float64 intermediate per 10k-row Arrow batch at semdedup's K=1024
+    scale tier — blocking bounds it at batch×64×dims regardless of K.
+    Strict `<` on the running minimum keeps ties on the LOWER block, so
+    the blocked composite equals the one-shot (d2*K + c) min exactly."""
     import numpy as np
     import pandas as pd
 
     C = cents  # (k, dims) float64; closure-captured, k*dims scalars
-    ks = np.arange(C.shape[0], dtype=np.int64)
+    k = C.shape[0]
 
     def assign(batches):
         for pdf in batches:
@@ -145,9 +152,18 @@ def _km_assign_numpy(df, cents):
             E = np.array(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
-            diff = E[:, None, :] - C[None, :, :]
-            d2 = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
-            kk = (d2 * C.shape[0] + ks[None, :]).min(axis=1)
+            best_d = np.full(len(pdf), np.iinfo(np.int64).max, dtype=np.int64)
+            best_c = np.zeros(len(pdf), dtype=np.int64)
+            for lo in range(0, k, 64):
+                Cb = C[lo : lo + 64]
+                diff = E[:, None, :] - Cb[None, :, :]
+                d2 = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
+                blk_c = d2.argmin(axis=1)
+                blk_d = d2[np.arange(len(pdf)), blk_c]
+                upd = blk_d < best_d  # strict: ties keep the lower block
+                best_d = np.where(upd, blk_d, best_d)
+                best_c = np.where(upd, blk_c + lo, best_c)
+            kk = best_d * k + best_c
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "kk": kk})
 
     return df.mapInPandas(assign, schema="vec_id long, kk long")

@@ -924,20 +924,30 @@ def vec_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals — exactly how a production IVF build trains once and ships
     centroids to every assignment task. Search cost is unchanged from
     vec_topk_ivf: one semi-join probe over ~2/K of the corpus."""
+    from ..functions.materialize import materialized
     from ..sources import load
     from ..sources.tables import table_rows
-    from .llm_pipeline import _indexed, _ivf_tail
+    from .llm_pipeline import _ivf_tail
 
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    if table_rows(sf_dir, "embeddings") > _KM_NUMPY_ROWS:
-        ranked_sql = _ivft_ranked_values_sql(
-            _km_trained_centroids_numpy(spark, sf_dir)
-        )
-    else:
-        ranked_sql = _ivft_ranked_sql(_SPARK_D)
-    _indexed(spark, f"ivft_ranked|{sf_dir}", ranked_sql).createOrReplaceTempView(
-        "ivft_ranked"
-    )
+
+    def build():
+        # training lives INSIDE the memoized index build: the numpy
+        # trainer's per-round passes are index-BUILD cost, paid once per
+        # session like every other serving-index relation (a first cut
+        # trained on every call — measured 3.3 s steady at the 20k tier
+        # for what is a ~0.3 s probe)
+        if table_rows(sf_dir, "embeddings") > _KM_NUMPY_ROWS:
+            return spark.sql(
+                _ivft_ranked_values_sql(
+                    _km_trained_centroids_numpy(spark, sf_dir)
+                )
+            )
+        return spark.sql(_ivft_ranked_sql(_SPARK_D))
+
+    materialized(
+        spark, f"ivft_ranked|{sf_dir}", build
+    ).createOrReplaceTempView("ivft_ranked")
     return spark.sql("WITH " + _ivf_tail(_SPARK_D, "ivft_ranked"))
 
 
