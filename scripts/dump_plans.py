@@ -60,6 +60,8 @@ FLAGSHIPS = [
     ("outlier_flags", "median/MAD outliers: exact rank picks, three window passes over one series exchange"),
     ("winnow_dup", "MOSS candidate pairs: capped-fingerprint equality self-join, never doc x doc"),
     ("imputation_error", "gap-fill benchmark metric: interpolate windows + truth join + event-type-bounded micro-sum rollup"),
+    ("discovery_benchmark", "EP3 composed: literal user-cutoff pushed to the events scan, caps-bounded src broadcast into the lag pair join, single-scan pair-grouped metric rollup (r9)"),
+    ("vec_topk_ivf_trained", "trained-quantizer IVF: Lloyd chain index relation materialized once, probe-2 semi-join + broadcast exact-cosine verify (r9)"),
 ]
 
 
