@@ -28,6 +28,13 @@ from .llm_pipeline import _SPARK_D
 _KM_K = 8
 _KM_ITERS = 3
 _KM_DIMS = 64
+# Quantizer training past this many vectors runs on a deterministic stride
+# SUBSAMPLE (the FAISS posture: the coarse quantizer saturates long before
+# the corpus does, and training cost is n_train × K per round). Gate scales
+# sit far below the cap, so the declarative-chain twin and every oracle are
+# unaffected; the scale regime (which has no oracle by design) trades
+# nothing measurable for an n-independent build.
+_KM_TRAIN_CAP = 65536
 
 
 def _km_fold(d, ea: str, cw: str) -> str:
@@ -156,8 +163,18 @@ def _km_assign_numpy(df, cents):
             best_c = np.zeros(len(pdf), dtype=np.int64)
             for lo in range(0, k, 64):
                 Cb = C[lo : lo + 64]
+                # In-place ops + float64 reduction: each floored term is an
+                # exact small integer and 64 of them stay far below 2^53,
+                # so summing in float64 is EXACT (same integer the int64
+                # sum produces) while skipping the (batch, K, dims) int64
+                # materialization — the K=1024 build was measured memory-
+                # bandwidth-bound (137 s/round at 200k vectors) on exactly
+                # those intermediate tensors.
                 diff = E[:, None, :] - Cb[None, :, :]
-                d2 = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
+                np.multiply(diff, diff, out=diff)
+                np.multiply(diff, 1e6, out=diff)
+                np.floor(diff, out=diff)
+                d2 = diff.sum(axis=2).astype(np.int64)
                 blk_c = d2.argmin(axis=1)
                 blk_d = d2[np.arange(len(pdf)), blk_c]
                 upd = blk_d < best_d  # strict: ties keep the lower block
@@ -186,8 +203,26 @@ def _km_trained_centroids_numpy(
 
     from ..sources import load
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = emb.orderBy("vec_id").limit(k).collect()
+    # Repartition BEFORE the per-round assignment kernel: the embeddings
+    # scan yields only ~2 file-split partitions at the 200k tier (one
+    # 100 MB parquet), so the compute-heavy mapInPandas ran ~2-way —
+    # measured 350 s for the K=1024 3-round build; core-count partitions
+    # make the assignment rounds actually parallel (the AQE-coalesce
+    # caveat from the verify notes, applied at the source).
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    n = emb.count()
+    train = emb
+    if n > _KM_TRAIN_CAP:
+        # deterministic stride sample, id-spread (not a prefix — the
+        # scaled fixtures cluster by id range): every ceil(n/cap)-th id
+        stride = -(-n // _KM_TRAIN_CAP)
+        train = emb.where(f"vec_id % {stride} = 0").localCheckpoint()
+    seeds = train.orderBy("vec_id").limit(k).collect()
     cents = {
         c: np.asarray(r.embedding, dtype=np.float64)
         for c, r in enumerate(seeds)
@@ -198,11 +233,11 @@ def _km_trained_centroids_numpy(
     for t in range(1, iters + 1):
         C = np.stack([cents[c] for c in sorted(cents)])
         cmap = sorted(cents)
-        a = _km_assign_numpy(emb, C)
+        a = _km_assign_numpy(train, C)
         kc = len(cmap)  # compact centroid count (clusters can drop out)
         view = f"_ivft_assign_{uuid.uuid4().hex[:12]}"
         a.createOrReplaceTempView(view)
-        emb.createOrReplaceTempView(f"{view}_e")
+        train.createOrReplaceTempView(f"{view}_e")
         rows = spark.sql(
             f"""
             SELECT CAST(a.kk % {kc} AS INT) AS c, p.dim,
