@@ -78,6 +78,10 @@ _QUERIES = (
     "outlier_flags",
     "doc_embed",
     "winnow_dup",
+    # round-9 addition: the composed EP3 entry — correlation micro-sums,
+    # the IEEE rho + |rho| rank (unique-key tiebreak), and the
+    # pair-grouped metric rollup all have DOP-dependent combine trees
+    "discovery_benchmark",
 )
 
 _DOPS = (1, 7, 64)
