@@ -636,3 +636,100 @@ def imputation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type-bounded aggregation with map-side partials."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_imputation_error_sql(True))
+
+
+# --------------------------------------------------------------------------
+# acf: per-series autocorrelation function (round 9) — the first statistic
+# a consumer of synthetic SCM series verifies: does the generated corpus
+# carry the lag structure its equations imply (an AR term at lag k must
+# show up as autocorrelation mass at k; an independent-noise series must
+# not). Complements trend_fit (deterministic structure) and
+# sampling_hist (time axis) on the verification side, and the
+# generation-layer stitched-ACF property test with an ORACLE-CHECKED
+# relational form. Same exact-sum discipline as corr_matrix: per (series,
+# lag) raw sums as FLOOR-micro BIGINTs over the lag-aligned pairs, one
+# shared IEEE correlation formula, NULLIF degenerate guard.
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = 8
+
+
+def _acf_sql(spark_side: bool) -> str:
+    tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    lags = ", ".join(
+        f"LAG(value, {k}) OVER win AS l{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    if spark_side:
+        # stack() unpivots in ONE pass of the window relation; a UNION ALL
+        # of per-lag branches would re-execute the window 8x (Spark
+        # inlines CTEs — the discovery_benchmark metric-tail lesson)
+        unpivot = (
+            "LATERAL VIEW stack("
+            + str(_ACF_LAGS)
+            + ", "
+            + ", ".join(f"{k}, l{k}" for k in range(1, _ACF_LAGS + 1))
+            + ") u AS k, y"
+        )
+        pairs = f"SELECT user_id, value AS x, k, y FROM w {unpivot}"
+    else:
+        structs = ", ".join(
+            f"{{'k': {k}, 'y': l{k}}}" for k in range(1, _ACF_LAGS + 1)
+        )
+        pairs = (
+            f"SELECT user_id, value AS x, "
+            f"unnest([{structs}], recursive := true) FROM w"
+        )
+    def m(expr: str, alias: str) -> str:
+        return f"SUM(CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT)) AS {alias}"
+
+    return f"""
+    WITH w AS (
+      SELECT user_id, value, {lags}
+      FROM (SELECT user_id, event_id, {tus} AS ts_us, value FROM events) e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    p AS ({pairs}),
+    s AS (
+      SELECT user_id, k, COUNT(*) AS n,
+             {m('x', 's_x')}, {m('y', 's_y')}, {m('x * y', 's_xy')},
+             {m('x * x', 's_xx')}, {m('y * y', 's_yy')}
+      FROM p WHERE y IS NOT NULL
+      GROUP BY user_id, k
+    ),
+    d AS (
+      SELECT user_id, k, CAST(n AS BIGINT) AS n_pairs,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s_x AS DOUBLE) / 1000000.0 AS sx,
+             CAST(s_y AS DOUBLE) / 1000000.0 AS sy,
+             CAST(s_xy AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(s_xx AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(s_yy AS DOUBLE) / 1000000.0 AS syy
+      FROM s
+    )
+    SELECT user_id, CAST(k AS INT) AS lag, n_pairs,
+           (nd * sxy - sx * sy)
+             / NULLIF(SQRT(GREATEST((nd * sxx - sx * sx)
+                                    * (nd * syy - sy * sy), 0.0)), 0.0)
+             AS acf
+    FROM d
+    """
+
+
+_ACF_DUCK = _acf_sql(False)
+
+
+@register("acf", _ACF_DUCK)
+def acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..8 — the lag-structure
+    verification statistic for generated SCM corpora (see section
+    comment). Exact FLOOR-micro raw sums over lag-aligned pairs + one
+    shared IEEE correlation formula; a constant or too-short series
+    yields NULL acf (NULLIF guard — the one degenerate value both
+    engines produce identically).
+
+    Scale shape: ONE series-keyed window exchange computes all 8 lag
+    columns over a single sort; stack() unpivots them in the same pass
+    (no re-execution, no join); the aggregation is series×8-bounded with
+    map-side partials. Skew bound = longest single series."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_acf_sql(True))

@@ -82,6 +82,8 @@ _QUERIES = (
     # the IEEE rho + |rho| rank (unique-key tiebreak), and the
     # pair-grouped metric rollup all have DOP-dependent combine trees
     "discovery_benchmark",
+    # round-9: lag-aligned correlation micro sums, stack unpivot
+    "acf",
 )
 
 _DOPS = (1, 7, 64)

@@ -86,3 +86,39 @@ def test_rolling_matches_numpy_reference(spark, seed, tmp_path):
         g = got_median[k]
         assert g[0] == pytest.approx(p50, rel=1e-12, abs=1e-12), (k, g, p50)
         assert g[1] == pytest.approx(p90, rel=1e-12, abs=1e-12), (k, g, p90)
+
+
+def test_acf_matches_numpy_reference(spark, oracle_sf_dir):
+    """Independent check of the ACF algebra (not just cross-engine
+    equality): per-series lag-k Pearson autocorrelation recomputed in
+    numpy from the raw fixture, compared within the FLOOR-micro
+    quantization tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    got = {
+        (r.user_id, r.lag): (r.n_pairs, r.acf)
+        for r in all_queries()["acf"].build(spark, oracle_sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{oracle_sf_dir}/events.parquet")[
+        ["user_id", "event_id", "ts", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        v = g["value"].to_numpy()
+        for k in range(1, 9):
+            if len(v) <= k:
+                assert (uid, k) not in got
+                continue
+            x, y = v[k:], v[:-k]
+            n, a = got[(uid, k)]
+            assert n == len(x)
+            if np.std(x) == 0 or np.std(y) == 0:
+                assert a is None
+                continue
+            want = float(np.corrcoef(x, y)[0, 1])
+            assert abs(a - want) < 1e-4, (uid, k, a, want)
+            checked += 1
+    assert checked > 500
