@@ -526,6 +526,56 @@ def write_curated_corpus_incremental(
     return spark.createDataFrame(rows, "stage string, n long")
 
 
+def curate_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    manifest_dir: str,
+    out: str,
+    checkpoint: str,
+    publish_root: "str | None" = None,
+):
+    """Streaming incremental curation: a file-source stream over
+    ``manifest_dir`` where each arriving parquet file is a crawl-increment
+    MANIFEST of doc_id ranges ``(lo, hi)`` — the contract a crawl
+    pipeline's increment registry naturally provides (ranges, not id
+    lists, so a manifest row stays O(1) regardless of increment size).
+    Each micro-batch runs :func:`write_curated_corpus_incremental` for
+    the union of its ranges: delta-cost dedup against the accumulated
+    state, full decisions/corpus snapshot refresh, and (with
+    ``publish_root``) one atomically-promoted version per increment.
+    availableNow-triggered, the ingest-stream replay discipline of
+    lsh_ingest_stream: a replay over N manifest files reproduces the
+    N-batch CLI run — and therefore the ONE-SHOT kept corpus — exactly
+    (pinned in tests/test_streaming.py). Delivery is at-least-once per
+    batch; the incremental state appends are NOT idempotent under an
+    unclean restart (duplicate state rows), so recover by rebuilding
+    from scratch (the same caveat every ingest stream here carries).
+    Returns the started StreamingQuery."""
+
+    def _curate_batch(batch: DataFrame, _epoch_id: int) -> None:
+        ranges = sorted(
+            (int(r.lo), int(r.hi)) for r in batch.collect()
+        )  # manifest rows — tiny by contract
+        if not ranges:
+            return
+        where = " OR ".join(
+            f"(doc_id BETWEEN {lo} AND {hi})" for lo, hi in ranges
+        )
+        write_curated_corpus_incremental(
+            batch.sparkSession, sf_dir, out, where, publish_root=publish_root
+        )
+
+    return (
+        spark.readStream.schema("lo long, hi long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(manifest_dir)
+        .writeStream.foreachBatch(_curate_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --------------------------------------------------------------------------
 # Versioned atomic publish (round 7): readers NEVER see a partial dataset.
 # --------------------------------------------------------------------------

@@ -647,3 +647,69 @@ def test_lagged_stream_state_survives_checkpoint_restart(spark, tmp_path):
     assert rows[3]["value_lag1"] == 2.0
     assert rows[3]["value_lag2"] == 1.0
     assert rows[3]["value_diff1"] == 3.0
+
+
+def test_curate_ingest_stream_replays_to_one_shot(spark, smoke_sf_dir, tmp_path):
+    """Streaming incremental curation: two manifest files (doc_id ranges)
+    replayed availableNow must publish one version per increment and end
+    with EXACTLY the one-shot kept corpus — the streaming twin of the CLI
+    two-batch test."""
+    import os
+
+    from synth_timeseries_data_spark.sinks import (
+        curate_ingest_stream,
+        published_info,
+        write_curated_corpus,
+    )
+
+    man = tmp_path / "manifests"
+    man.mkdir()
+    spark.createDataFrame([(0, 249)], "lo long, hi long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(man / "b1"))
+    spark.createDataFrame([(250, 10_000_000)], "lo long, hi long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(man / "b2"))
+    # the stream reads a flat dir of manifest files (one file = one
+    # increment under maxFilesPerTrigger=1)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil
+
+    for i, sub in enumerate(("b1", "b2")):
+        src = glob.glob(str(man / sub / "part-*.parquet"))[0]
+        shutil.copy(src, str(flat / f"{i}.parquet"))
+
+    out = str(tmp_path / "inc")
+    pub = str(tmp_path / "pub")
+    q = curate_ingest_stream(
+        spark,
+        smoke_sf_dir,
+        str(flat),
+        out,
+        checkpoint=str(tmp_path / "ck"),
+        publish_root=pub,
+    )
+    q.awaitTermination(300)
+    assert published_info(pub)["version"] == 2
+
+    ref = str(tmp_path / "oneshot")
+    write_curated_corpus(spark, smoke_sf_dir, ref)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(pub, "v2"))
+            .select("doc_id", "source", "text")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(ref, "corpus"))
+            .select("doc_id", "source", "text")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
