@@ -41,15 +41,21 @@ Stages, all inside one dual-engine SQL text:
 Output: one row per (family, n_vars, max_lag) with the full metric set —
 the reference's benchmark results table.
 
-Scale shape: ground truth and the config grid are driver literals (a
-broadcastable dim); the data path is ONE row_number window over the events
-scan (series-keyed exchange), a constant ×9 combo replication, one
-co-partitioned equi-join on (combo, g, r) whose probe side is expanded
-×(L+1) (bounded), and one partial-aggregating GROUP BY onto a
-combos×V²×(L+1) relation (≤ a few thousand rows at ANY data scale — the
-reduction happens map-side). Everything downstream of the sums is
-literal-cardinality. No collect, no Python, no quadratic term; skew bound =
-rows per (g, r) key ≤ n_vars.
+Scale shape (after the round-9 plan ladder — see FLOOR.md): the whole
+entry is SCALE-INVARIANT. Ground truth and the config grid are driver
+literals; the screener reads at most _GCAP·Vmax users via a LITERAL
+predicate pushed to the parquet scan, so the row_number window
+(series-keyed exchange) touches a fixed-size slice at any corpus size;
+the event slice is replicated once per distinct variable count (×3, not
+×9 — the (V, L) configs share the k ≤ lmax sum superset and the rank
+stage re-slices the tiny rho relation per config), expanded ×(lmax+1),
+and joined with the caps-bounded src side BROADCAST (no join exchange);
+one partial-aggregating GROUP BY lands on a V²×(lmax+1)-bounded
+relation, and the single-scan pair-grouped metric tail derives
+confusion AND both SHDs without re-reading `scored` (Spark inlines
+CTEs — the three-branch textbook tail re-ran the screener 3×). No
+collect, no Python, no quadratic term; measured flat 1.7 → 2.2 → 3.1 s
+at 1×/10×/100× the bench fixture.
 """
 
 from __future__ import annotations
