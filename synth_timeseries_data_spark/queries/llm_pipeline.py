@@ -2592,6 +2592,131 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# source_kl: pairwise unigram KL divergence between sources (round 9) —
+# the corpus-DRIFT diagnostic a curation pipeline runs between crawl
+# increments / dumps: KL(a || b) over add-one-smoothed per-source unigram
+# LMs says how surprising source a's token distribution is under source
+# b's. Complements source_overlap (which measures VERBATIM near-dup
+# leakage) with a distributional distance, and dsir_weights (target-vs-
+# corpus log-ratio per DOC) with a source-pair-grain statistic.
+#
+# Exactness device: with Laplace smoothing p_s(t) = (c_s(t)+1)/(N_s+V),
+# KL(a||b) = (1/(N_a+V)) * S where
+#   S = Σ_{t in union(a,b)} (c_a(t)+1) * [l(c_a+1) - l(N_a+V)
+#                                         - l(c_b+1) + l(N_b+V)]
+#       + (V - |union|) * [l(N_b+V) - l(N_a+V)]
+# and l(x) = ROUND(ln(x)*1e6) — integer micro-nat logs (the unigram_xent
+# snap), so S is an exact order-independent BIGINT sum and the single
+# final division is identical IEEE in both engines. The both-absent tail
+# (terms in neither source) has the constant summand, hence the closed
+# form — no corpus-wide vocab explode per pair.
+# --------------------------------------------------------------------------
+
+
+def _skl_ssc_sql(d) -> str:
+    """The per-(source, term) count relation — ONE corpus explode pass."""
+    unnest_toks = (
+        "SELECT source, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if d is _SPARK_D
+        else "SELECT source, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    # lc1 = the snapped micro-nat log of (c+1), computed ONCE per
+    # (source, term) row here instead of per intersection-join row (the
+    # join output is ~pairs-sharing-a-term x vocab — 19M ln calls at
+    # sf0.1 before this hoist).
+    lc1 = "CAST(ROUND(ln(c + 1) * 1000000.0, 0) AS BIGINT)"
+    return f"""
+    w AS (SELECT source, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    toks AS ({unnest_toks}),
+    ssc_cnt AS (SELECT source, term, COUNT(*) AS c FROM toks
+                GROUP BY source, term),
+    ssc_raw AS (SELECT source, term, c, {lc1} AS lc1 FROM ssc_cnt)
+    """
+
+
+def _skl_body(ssc: str) -> str:
+    """Everything downstream of the count relation ``ssc`` — dialect-free
+    text shared verbatim by both engines.
+
+    The naive per-pair union table is pairs x vocab rows through a
+    DISTINCT and two joins (measured 1.34 s steady at sf0.1). The sum
+    telescopes: over the union, sum(ca+1) + n0 = Na+V (a constant),
+    sum((ca+1)*l(ca+1)) = Aa (per-source — terms outside a contribute
+    l(1)=0), and sum((ca+1)*l(cb+1)) = Cab + Lb where only
+    Cab = sum over a-intersect-b of ca*l(cb+1) is pairwise — ONE term
+    equi-join with map-side partials; everything else is a source-grain
+    scalar. The integers are identical by algebra (verified
+    output-bit-equal to the union form). On the Spark side ``ssc`` is the
+    session-materialized relation (CTE inlining would re-run the corpus
+    explode once per reference — the quality_classifier design-matrix
+    lesson). Headroom: the micro-nat quantized sums stay in int64 up to
+    ~1e11 tokens per source; past that, rescale to deci-nats."""
+    l = lambda x: f"CAST(ROUND(ln({x}) * 1000000.0, 0) AS BIGINT)"  # noqa: E731
+    return f"""
+    st AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS vterms,
+             SUM((c + 1) * lc1) AS a_sum,
+             SUM(lc1) AS l_sum
+      FROM {ssc} GROUP BY source
+    ),
+    vv AS (SELECT COUNT(DISTINCT term) AS v FROM {ssc}),
+    cab AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS n_inter,
+             SUM(a.c * b.lc1) AS cab_sum
+      FROM {ssc} a JOIN {ssc} b ON b.term = a.term AND b.source != a.source
+      GROUP BY a.source, b.source
+    ),
+    prs AS (
+      SELECT a.source AS sa, a.n AS na, a.vterms AS va, a.a_sum,
+             b.source AS sb, b.n AS nb, b.vterms AS vb, b.l_sum
+      FROM st a JOIN st b ON a.source != b.source
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           p.na AS n_tokens_a, p.nb AS n_tokens_b,
+           v.v AS vocab_size,
+           p.va + p.vb - COALESCE(c.n_inter, 0) AS n_union_terms,
+           ROUND(CAST(p.a_sum - (COALESCE(c.cab_sum, 0) + p.l_sum)
+                      + ({l('p.nb + v.v')} - {l('p.na + v.v')})
+                        * (p.na + v.v)
+                      AS DOUBLE)
+                 / (CAST(p.na + v.v AS DOUBLE)
+                    * CAST(1000000.0 AS DOUBLE)), 6) + 0.0 AS kl_nats
+    FROM prs p
+    LEFT JOIN cab c ON c.sa = p.sa AND c.sb = p.sb
+    CROSS JOIN vv v
+    """
+
+
+_SKL_DUCK = "WITH " + _skl_ssc_sql(_DUCK_D) + ", " + _skl_body("ssc_raw")
+
+
+@register("source_kl", _SKL_DUCK)
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: pairwise unigram KL divergence between sources over
+    add-one-smoothed per-source LMs — the distributional drift diagnostic
+    between crawl dumps. Vocab-absent terms enter through the telescoped
+    closed form (see _skl_body), so the only pairwise relation is the
+    term-intersection join.
+
+    Scale shape: one corpus explode partial-aggregates to the per-source
+    term counts, which materialize ONCE per session (_indexed — the
+    relation is referenced by three consumers and CTE inlining would
+    re-run the explode per reference); the intersection self-join carries
+    map-side partials into a source-pair-bounded result. Source count is
+    a catalog-scale constant; the token-grain relation never moves
+    twice."""
+    _register_docs(spark, sf_dir)
+    _indexed(
+        spark,
+        f"skl_ssc|{sf_dir}",
+        "WITH " + _skl_ssc_sql(_SPARK_D) + " SELECT * FROM ssc_raw",
+    ).createOrReplaceTempView("skl_ssc")
+    return spark.sql("WITH " + _skl_body("skl_ssc"))
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance weights — data selection toward a target domain
 # (Xie et al. 2023, "Data Selection via Importance Resampling", with the
 # standard unigram simplification of the hashed-ngram features).

@@ -1436,3 +1436,58 @@ def test_skew_gates_switch_forms_past_thresholds(spark, oracle_sf_dir, monkeypat
     big_nov = plan("ngram_novelty")
     assert "collect_set" not in big_nov
     assert "ShuffledHashJoin" in big_nov
+
+
+def test_source_kl_matches_numpy_reference(spark, duck, oracle_sf_dir):
+    """Independent check of the KL algebra: add-one-smoothed per-source
+    unigram KL recomputed in numpy/python from the raw fixture (space
+    tokenization, full-vocab sum — no closed-form shortcut), compared
+    within the micro-nat quantization tolerance. Also pins the
+    distribution properties: KL >= 0 (up to quantization) and genuine
+    asymmetry somewhere in the matrix."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    df = duck.execute(all_queries()["source_kl"].oracle).df()
+    got = {
+        (r.source_a, r.source_b): r for r in df.itertuples(index=False)
+    }
+
+    docs = pd.read_parquet(f"{oracle_sf_dir}/documents.parquet")[
+        ["source", "text"]
+    ]
+    counts = defaultdict(Counter)
+    for src, text in docs.itertuples(index=False):
+        if text is None:
+            continue
+        counts[src].update(text.split(" "))
+    vocab = set()
+    for c in counts.values():
+        vocab.update(c)
+    V = len(vocab)
+    n = {s: sum(c.values()) for s, c in counts.items()}
+
+    checked = 0
+    for sa in counts:
+        for sb in counts:
+            if sa == sb:
+                continue
+            kl = 0.0
+            for t in vocab:
+                pa = (counts[sa][t] + 1) / (n[sa] + V)
+                pb = (counts[sb][t] + 1) / (n[sb] + V)
+                kl += pa * math.log(pa / pb)
+            r = got[(sa, sb)]
+            assert r.vocab_size == V and r.n_tokens_a == n[sa]
+            assert abs(r.kl_nats - kl) < 1e-4, (sa, sb, r.kl_nats, kl)
+            assert r.kl_nats >= -1e-5
+            checked += 1
+    assert checked == len(got) > 0
+    assert any(
+        abs(got[(a, b)].kl_nats - got[(b, a)].kl_nats) > 1e-6
+        for (a, b) in got
+    )

@@ -84,6 +84,8 @@ _QUERIES = (
     "discovery_benchmark",
     # round-9: lag-aligned correlation micro sums, stack unpivot
     "acf",
+    # round-9: per-pair micro-nat KL integer sums over union vocab
+    "source_kl",
 )
 
 _DOPS = (1, 7, 64)
