@@ -224,3 +224,83 @@ def test_queries_build_under_case_sensitive_resolution(spark, oracle_sf_dir):
             assert qs[n].build(spark, oracle_sf_dir).limit(1).collect() is not None, n
     finally:
         spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_acf_constant_and_singleton_series(spark):
+    """acf degenerate contract: a constant series has zero variance at
+    every lag (NULL acf via the NULLIF guard, no ANSI crash); a singleton
+    series has no lag pairs at all (no rows); a healthy AR-ish series
+    yields finite values. Engine-vs-engine on the constructed fixture."""
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.timeseries import _acf_sql
+
+    rows = []
+    # user 1: constant series (10 points); user 2: singleton; user 3: ramp
+    for i in range(10):
+        rows.append((1, i + 1, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), 5.0))
+    rows.append((2, 100, pd.Timestamp("2024-01-01"), 1.0))
+    for i in range(12):
+        rows.append((3, 200 + i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), float(i)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    sdf = spark.createDataFrame(pdf)
+    # engine-canonical nanos bigint on the Spark side, like load()
+    sdf = sdf.selectExpr(
+        "user_id", "event_id",
+        "CAST(unix_micros(ts) AS BIGINT) * 1000 AS ts", "value",
+    )
+    sdf.createOrReplaceTempView("events")
+    try:
+        got = (
+            spark.sql(_acf_sql(True))
+            .toPandas()
+            .sort_values(["user_id", "lag"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView("events")
+    assert set(got[got.user_id == 1]["acf"].isna()) == {True}
+    assert (got.user_id != 2).all()  # singleton: no lag pairs
+    assert got[got.user_id == 3]["acf"].notna().any()
+
+
+def test_source_kl_single_source_and_null_text(spark):
+    """source_kl degenerate contract: one source yields NO pairs (empty
+    frame, no crash); NULL texts drop out of the token stream; two
+    identical sources give KL ~ 0 within quantization."""
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _SPARK_D,
+        _skl_body,
+        _skl_ssc_sql,
+    )
+
+    def run(pdf):
+        sdf = spark.createDataFrame(pdf)
+        sdf.createOrReplaceTempView("documents_par")
+        sdf.createOrReplaceTempView("documents")
+        try:
+            sql = (
+                "WITH " + _skl_ssc_sql(_SPARK_D)
+                + ", " + _skl_body("ssc_raw")
+            )
+            return spark.sql(sql).toPandas()
+        finally:
+            spark.catalog.dropTempView("documents_par")
+            spark.catalog.dropTempView("documents")
+
+    one = pd.DataFrame(
+        {"source": ["a", "a"], "text": ["x y z", None]}
+    )
+    assert len(run(one)) == 0
+
+    twin = pd.DataFrame(
+        {
+            "source": ["a", "b"],
+            "text": ["alpha beta beta gamma", "alpha beta beta gamma"],
+        }
+    )
+    out = run(twin)
+    assert len(out) == 2
+    assert (out["kl_nats"].abs() < 1e-5).all()
