@@ -2844,3 +2844,91 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         else _DSIR_SPARK_SHUFFLE
     )
     return _spark_docs(spark, sf_dir, sql)
+
+# --------------------------------------------------------------------------
+# dsir_resample: the RESAMPLING stage of DSIR (round 9) — Xie et al. 2023
+# select the training subset by sampling WITHOUT replacement with
+# probability ∝ exp(logw), which is exactly Gumbel-top-k: draw one Gumbel
+# per doc, add it to the log-weight, keep the top K keys. The engine form
+# is fully deterministic: the Gumbel comes from the per-doc LCG uniform
+# (detrand salt 29) through -ln(-ln(u)), snapped to integer micro-nats so
+# the selection ORDER is an exact integer compare (logw is already
+# micro-snapped) with a doc_id tiebreak — the chosen SET can never diverge
+# between engines or partitionings. K = ceil(n/4) of the weighted docs
+# (the paper's "select a fixed budget from the raw pool" posture; the
+# budget knob is the one a pipeline overrides).
+# --------------------------------------------------------------------------
+
+_DSIR_RESAMPLE_SALT = 29
+_DSIR_KEEP_DEN = 4  # keep ceil(n/4)
+
+
+def _dsir_keyed_tail(dsir_rel: str) -> str:
+    """The Gumbel-keyed projection over a dsir-weights relation —
+    dialect-free, shared verbatim."""
+    u = lcg_uniform_sql("doc_id", salt=_DSIR_RESAMPLE_SALT)
+    return f"""
+    SELECT doc_id, n_tokens, logw_nats, more_target_like,
+           CAST(ROUND(logw_nats * 1000000.0, 0) AS BIGINT)
+           + CAST(ROUND(-ln(-ln({u})) * 1000000.0, 0) AS BIGINT)
+             AS key_micro
+    FROM {dsir_rel}
+    """
+
+
+# The budget is defined over the RAW pool (every documents row, NULL
+# texts included): K = ceil(raw/4) is then a catalog/footer scalar in
+# both engines — no counting job, one execution of the weights plan.
+_DSIR_RESAMPLE_DUCK = f"""
+    WITH dsir AS ({_DSIR_DUCK}),
+    keyed AS ({_dsir_keyed_tail('dsir')}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, n_tokens, logw_nats, more_target_like,
+           CAST(key_micro AS DOUBLE) / 1000000.0 AS gumbel_key
+    FROM ranked
+    WHERE rn <= CAST(CEIL((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                          / {_DSIR_KEEP_DEN}) AS BIGINT)
+    """
+
+
+@register("dsir_resample", _DSIR_RESAMPLE_DUCK)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-EXT: DSIR's selection step realized — Gumbel-top-k sampling
+    without replacement with probability ∝ exp(logw) over the
+    dsir_weights relation (see section comment; deterministic LCG Gumbels,
+    integer micro-nat keys, doc_id tiebreak). Returns the selected quarter
+    of the weighted pool with its keys — the training-subset manifest the
+    paper's resampler emits.
+
+    Scale shape: dsir_weights' one-corpus-pass plan feeds a doc-level
+    relation; K = ceil(raw_docs/4) comes from the parquet footers (no
+    counting job) and the selection is ORDER BY LIMIT K = TakeOrdered —
+    per-partition heaps + one K-row merge, no global sort, no
+    single-partition window, one execution of the weights plan. The
+    oracle twin expresses the same K via a scalar COUNT over the
+    doc-grain relation, fine in-process."""
+    import uuid
+
+    from ..sources import table_rows
+
+    k = -(-table_rows(sf_dir, "documents") // _DSIR_KEEP_DEN)
+    dsir = dsir_weights(spark, sf_dir)
+    view = f"_dsir_w_{uuid.uuid4().hex[:12]}"
+    dsir.createOrReplaceTempView(view)
+    keyed = spark.sql(_dsir_keyed_tail(view))
+    out = (
+        keyed.orderBy(keyed.key_micro.desc(), keyed.doc_id.asc())
+        .limit(int(k))
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "logw_nats",
+            "more_target_like",
+            "CAST(key_micro AS DOUBLE) / 1000000.0 AS gumbel_key",
+        )
+    )
+    spark.catalog.dropTempView(view)
+    return out

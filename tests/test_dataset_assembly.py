@@ -271,3 +271,41 @@ def test_substring_dup_equals_bruteforce_on_random_corpus(spark):
             assert got == expected, (seed, got ^ expected)
         finally:
             spark.catalog.dropTempView("documents_par")
+
+
+def test_dsir_resample_is_exact_gumbel_topk(spark, duck, oracle_sf_dir):
+    """The selected set must be EXACTLY the top-ceil(raw/4) of the
+    weighted pool under key = micro(logw) + micro(gumbel(lcg(doc_id))),
+    recomputed independently in pandas from the dsir_weights relation —
+    and selection must skew target-like vs the pool (the property the
+    resampler exists for)."""
+    import math
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _DSIR_RESAMPLE_SALT,
+    )
+
+    w = duck.execute(all_queries()["dsir_weights"].oracle).df()
+    sel = duck.execute(all_queries()["dsir_resample"].oracle).df()
+    raw = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+
+    A, C, M = 1103515245, 12345, 2147483648
+
+    def gumbel_key(doc_id, logw):
+        s1 = ((doc_id % M) * A + C + _DSIR_RESAMPLE_SALT * 7919) % M
+        s2 = (s1 * A + C) % M
+        u = (s2 + 0.5) / float(M)
+        return round(logw * 1e6) + round(-math.log(-math.log(u)) * 1e6)
+
+    keyed = sorted(
+        (
+            (-gumbel_key(int(r.doc_id), float(r.logw_nats)), int(r.doc_id))
+            for r in w.itertuples(index=False)
+        )
+    )
+    k = -(-raw // 4)
+    want = {doc for _, doc in keyed[:k]}
+    got = set(sel.doc_id)
+    assert got == want and len(got) == min(k, len(w))
+    assert sel.more_target_like.mean() > w.more_target_like.mean()

@@ -86,6 +86,8 @@ _QUERIES = (
     "acf",
     # round-9: per-pair micro-nat KL integer sums over union vocab
     "source_kl",
+    # round-9: Gumbel-top-k selection keys (micro-nat integer compares)
+    "dsir_resample",
 )
 
 _DOPS = (1, 7, 64)
