@@ -419,9 +419,14 @@ def write_curated_corpus_incremental(
         ).createOrReplaceTempView(mem_v)
 
     # --- delta-proportional dedup: new edges with >= 1 end in the batch
-    new_edges = minhash_delta_pairs(
-        spark, sf_dir, dagg_v, mem_v, batch_where
-    ).select("doc_a", "doc_b")
+    # (localCheckpoint: the relation is near-dup-tiny and is consumed by
+    # both the count and the state append — without it the whole probe
+    # re-executes per consumer)
+    new_edges = (
+        minhash_delta_pairs(spark, sf_dir, dagg_v, mem_v, batch_where)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     n_new_edges = new_edges.count()
 
     # --- batch-proportional state append
@@ -457,7 +462,12 @@ def write_curated_corpus_incremental(
     # --- full-snapshot decision recompute from the accumulated SMALL
     # relations (edges + per-doc signal rows) — the identical rule
     # curate_decisions_frame applies one-shot
-    sig_all = spark.read.parquet(paths["signals"])
+    # dropDuplicates(doc_id): makes an accidentally re-submitted batch
+    # harmless for the DECISION path (duplicate edge/member/docagg state
+    # rows are already absorbed by DISTINCT/cc downstream, but duplicate
+    # signal rows would duplicate decisions rows and MULTIPLY corpus rows
+    # through the kept-set join)
+    sig_all = spark.read.parquet(paths["signals"]).dropDuplicates(["doc_id"])
     edges_all = spark.read.parquet(paths["edges"])
     labels, _ = _cc_hybrid(edges_all.toDF("a", "b"))
     clusters = labels.select(

@@ -369,3 +369,40 @@ def test_cli_curate_incremental_two_batches_equal_one_shot(
     assert sorted(
         map(tuple, dec.select("doc_id", "keep").collect())
     ) == sorted(map(tuple, ref_dec.select("doc_id", "keep").collect()))
+
+
+def test_cli_curate_incremental_resubmitted_batch_is_harmless(
+    spark, smoke_sf_dir, tmp_path
+):
+    """At-least-once hardening: re-submitting the SAME batch (the crash-
+    between-append-and-checkpoint replay case) must not corrupt the
+    decisions/corpus snapshot — duplicate signal rows are deduped at
+    decision time, duplicate edges/members are absorbed by DISTINCT/cc."""
+    inc = str(tmp_path / "inc")
+    for pred in ("doc_id < 250", "doc_id < 250", "doc_id >= 250"):
+        assert (
+            main(
+                ["curate", "--sf-dir", smoke_sf_dir, "--out", inc,
+                 "--batch-where", pred]
+            )
+            == 0
+        )
+    ref = str(tmp_path / "oneshot")
+    assert main(["curate", "--sf-dir", smoke_sf_dir, "--out", ref]) == 0
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(inc, "corpus"))
+            .select("doc_id", "source")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(ref, "corpus"))
+            .select("doc_id", "source")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
