@@ -406,7 +406,13 @@ def build_ivf_index(
             f"{prefix}_quantizer"
         )
         ranked_sql = _ivft_ranked_values_sql(cents, _vec_posexp(_pred(where)))
-    elif quantizer != "lcg":
+    elif quantizer == "lcg":
+        # a REBUILD at a prefix that previously carried a trained build
+        # must not leave the stale quantizer table behind — probes and
+        # appends would silently assign against the old trained centroids
+        # while the cells are LCG-partitioned
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_quantizer")
+    else:
         raise ValueError(f"unknown quantizer: {quantizer!r}")
     _ivf_cells_df(spark, where, ranked_sql).write.mode(
         "overwrite"
@@ -424,10 +430,12 @@ def _ivf_quantizer(spark: SparkSession, cells_table: str):
 
     prefix = cells_table[: -len("_cells")] if cells_table.endswith("_cells") else cells_table
     qtable = f"{prefix}_quantizer"
-    try:
-        rows = spark.table(qtable).collect()
-    except Exception:
+    # missing table => LCG-built index; any OTHER failure must surface —
+    # silently falling back to LCG centroids against trained-partitioned
+    # cells would corrupt probes/appends with no error
+    if not spark.catalog.tableExists(qtable):
         return None
+    rows = spark.table(qtable).collect()
     if not rows:
         return None
     dims = max(int(r.dim) for r in rows)

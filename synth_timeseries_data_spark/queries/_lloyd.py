@@ -267,7 +267,9 @@ def trained_centroid_values(cents) -> str:
     exactly and both engines parse the literal to the identical double, so
     inlining loses nothing."""
     rows = ", ".join(
-        f"({c}, {dim + 1}, {w!r})"
+        # float(w): the values arrive as numpy float64 scalars, whose repr
+        # under NumPy >= 2 (NEP 51) is 'np.float64(x)' — unparseable SQL
+        f"({c}, {dim + 1}, {float(w)!r})"
         for c in sorted(cents)
         for dim, w in enumerate(cents[c])
     )

@@ -866,22 +866,15 @@ def _ivft_duck() -> str:
     from .llm_pipeline import _ivf_tail
 
     ctes, trained = _km_cent_chain(_DUCK_D, prefix="km_")
+    # the distance + rank text is the SHARED _ivft_ranked_tail, wrapped as
+    # a nested-WITH CTE — a hand-inlined copy here once desynchronized
+    # from the Spark form's tail would silently split the oracle
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f""",
     tcent AS ({trained}),
-    tdists AS (
-      SELECT p.vec_id, ct.c,
-             SUM(CAST(FLOOR((p.x - ct.w) * (p.x - ct.w) * 1000000.0)
-                      AS BIGINT)) AS d2
-      FROM km_comps p JOIN tcent ct ON ct.dim = p.dim
-      GROUP BY p.vec_id, ct.c
-    ),
-    ranked AS (
-      SELECT vec_id, c,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-      FROM tdists
+    ranked AS (WITH {_ivft_ranked_tail("km_comps")}
     ),
     """
         + _ivf_tail(_DUCK_D, "ranked")

@@ -449,8 +449,13 @@ def write_curated_corpus_incremental(
                    lang_ok = 1 AND q_ok = 1 AS keep_quality
             FROM g""",
     ).where(batch_where)
-    gopher = gopher_rules(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("gopher_keep")
+    # gopher is doc-local — the batch filter pushes through its projection
+    # to the scan, keeping the gate batch-proportional like base (dsir is
+    # corpus-normalized by definition and stays a full pass, as documented)
+    gopher = (
+        gopher_rules(spark, sf_dir)
+        .where(batch_where)
+        .select("doc_id", F.col("keep").alias("gopher_keep"))
     )
     dsir = dsir_weights(spark, sf_dir).select(
         "doc_id", "n_tokens", "logw_nats", "more_target_like"
@@ -513,14 +518,21 @@ def write_curated_corpus_incremental(
     )
     corpus.write.mode("overwrite").partitionBy("source").parquet(corpus_path)
 
+    n_kept = spark.read.parquet(dec_path).where("keep").count()
     version = None
     if publish_root is not None:
-        version = publish_version(
-            spark,
-            spark.read.parquet(corpus_path),
-            publish_root,
-            partition_by=("source",),
-        )
+        if n_kept:
+            version = publish_version(
+                spark,
+                spark.read.parquet(corpus_path),
+                publish_root,
+                partition_by=("source",),
+            )
+        # an all-dropped snapshot writes no partitioned part files — there
+        # is nothing to promote and the prior version must stay committed
+        # (the one-shot CLI path's guard, applied here so a degenerate
+        # batch can't crash the stream and force a state-duplicating
+        # replay)
 
     for v in (dagg_v, mem_v, bd_v):
         spark.catalog.dropTempView(v)
@@ -528,7 +540,7 @@ def write_curated_corpus_incremental(
         ("docs_processed_total", _parquet_rows(paths["signals"])),
         ("batch_new_edges", n_new_edges),
         ("edges_total", _parquet_rows(paths["edges"])),
-        ("kept", spark.read.parquet(dec_path).where("keep").count()),
+        ("kept", n_kept),
         ("decisions_rows_written", _parquet_rows(dec_path)),
         ("corpus_rows_written", _parquet_rows(corpus_path)),
         ("published_version", -1 if version is None else version),

@@ -675,3 +675,26 @@ def test_trained_ivf_serving_index_matches_session(spark, smoke_sf_dir, bucket_d
     got = [tuple(r) for r in got_df.collect()]
     want = [tuple(r) for r in vec_topk_ivf_trained(spark, smoke_sf_dir).collect()]
     assert got == want
+
+
+def test_ivf_lcg_rebuild_drops_stale_trained_quantizer(
+    spark, smoke_sf_dir, bucket_db
+):
+    """Rebuilding at a prefix that previously carried a trained build must
+    not leave the quantizer table behind — probes would silently assign
+    against the old trained centroids while the cells are LCG-partitioned
+    (the review-caught silent-wrong-results case)."""
+    from synth_timeseries_data_spark.functions.neardup_index import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from synth_timeseries_data_spark.queries.llm_pipeline import vec_topk_ivf
+
+    prefix = f"{bucket_db}.reivf"
+    build_ivf_index(spark, smoke_sf_dir, prefix=prefix, quantizer="trained")
+    assert spark.catalog.tableExists(f"{prefix}_quantizer")
+    table = build_ivf_index(spark, smoke_sf_dir, prefix=prefix)  # lcg rebuild
+    assert not spark.catalog.tableExists(f"{prefix}_quantizer")
+    got = [tuple(r) for r in ivf_topk_indexed(spark, smoke_sf_dir, table).collect()]
+    want = [tuple(r) for r in vec_topk_ivf(spark, smoke_sf_dir).collect()]
+    assert got == want
