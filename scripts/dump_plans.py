@@ -62,6 +62,9 @@ FLAGSHIPS = [
     ("imputation_error", "gap-fill benchmark metric: interpolate windows + truth join + event-type-bounded micro-sum rollup"),
     ("discovery_benchmark", "EP3 composed: literal user-cutoff pushed to the events scan, caps-bounded src broadcast into the lag pair join, single-scan pair-grouped metric rollup (r9)"),
     ("vec_topk_ivf_trained", "trained-quantizer IVF: Lloyd chain index relation materialized once, probe-2 semi-join + broadcast exact-cosine verify (r9)"),
+    ("acf", "per-series autocorrelation: ONE series window computes all 8 lag columns, stack() unpivots in the same pass (r9)"),
+    ("source_kl", "pairwise unigram KL: telescoped to per-source scalars + one term equi-join over the session-materialized count relation (r9)"),
+    ("dsir_resample", "Gumbel-top-k selection: weights pipeline into TakeOrderedAndProject, footer-derived budget, no global sort (r9)"),
 ]
 
 
