@@ -733,3 +733,261 @@ def acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials. Skew bound = longest single series."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_acf_sql(True))
+
+
+# --------------------------------------------------------------------------
+# pacf: per-series PARTIAL autocorrelation at lags 1..8 (round 9) — the
+# AR-order identification statistic that pairs with acf: an AR(p) series
+# generated by the SCM kernel's recurrence (reference data_generator.py's
+# lagged equation terms) must show pacf cutting off after lag p while its
+# acf decays geometrically, so pacf is how a consumer verifies the ORDER
+# of the generated lag structure, not just its presence. Computed by
+# Durbin-Levinson on the standard biased autocovariance estimator (common
+# full-series mean, c0 denominator — the PSD estimator DL requires).
+#
+# Cross-engine discipline: this is the engine's first fully IN-EXPRESSION
+# iterative algorithm (quality_classifier iterates driver-coordinated
+# rounds; here the whole recursion runs inside one SQL expression per
+# row). The recursion state is INTEGER (nano-unit BIGINTs): every
+# intermediate — the autocorrelations r_k, each level's phi vector, the
+# reflection coefficient — is snapped to ROUND(x * 1e9) after arithmetic
+# on exactly-representable integer-valued doubles, so the state after
+# every level is bit-identical across engines regardless of how each
+# engine schedules the arithmetic (ROUND-half-away-from-zero matches for
+# doubles on both; probed). Spark runs the recursion as a higher-order
+# aggregate() fold with a struct accumulator (phis + diagonal) — a
+# FIXED-SIZE expression evaluated iteratively at runtime, deliberately
+# not an unrolled CTE chain, whose collapsed expression tree would grow
+# factorially (phi[m][j] references two level-(m-1) terms). DuckDB runs
+# the same integer-state recursion as a recursive CTE (its list_reduce
+# cannot carry a list accumulator); its list_aggregate('sum') SKIPS
+# NULLs where Spark's fold is NULL-strict, so the oracle wraps each sum
+# in an explicit any-NULL guard to replicate the strict cascade.
+# Quantization error vs float Durbin-Levinson: ≤ 1.5e-8 measured on the
+# fixtures (each level compounds ~1e-9 snaps); the suite pins a 1e-5
+# tolerance against an independent float reimplementation.
+# --------------------------------------------------------------------------
+
+_PACF_LAGS = 8
+
+
+def _pacf_sql(spark_side: bool) -> str:
+    L = _PACF_LAGS
+    tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    lags = ", ".join(
+        f"LAG(value, {k}) OVER win AS l{k}" for k in range(1, L + 1)
+    )
+    if spark_side:
+        # lag 0 rides in the same stack() unpivot: its row is the series'
+        # own (n, Σx, Σx²) — the c0/mean inputs — so no separate totals
+        # aggregation or join is needed.
+        unpivot = (
+            "LATERAL VIEW stack("
+            + str(L + 1)
+            + ", 0, value, "
+            + ", ".join(f"{k}, l{k}" for k in range(1, L + 1))
+            + ") u AS k, y"
+        )
+        pairs = f"SELECT user_id, value AS x, k, y FROM w {unpivot}"
+    else:
+        structs = ", ".join(
+            ["{'k': 0, 'y': value}"]
+            + [f"{{'k': {k}, 'y': l{k}}}" for k in range(1, L + 1)]
+        )
+        pairs = (
+            f"SELECT user_id, value AS x, "
+            f"unnest([{structs}], recursive := true) FROM w"
+        )
+
+    # One conditional-aggregation pivot turns the (user, k) sum rows into
+    # per-user columns; a too-short series simply has no k row → NULL
+    # column → NULL r_k → NULL pacf from that lag on (DL genuinely needs
+    # every lower lag).
+    pivots = []
+    for k in range(0, L + 1):
+        for col in ("n", "s_x", "s_y", "s_xy"):
+            alias = col.replace("_", "") + str(k)
+            pivots.append(f"MAX(CASE WHEN k = {k} THEN {col} END) AS {alias}")
+    mean = "(CAST(sx0 AS DOUBLE) / 1000000.0 / CAST(n0 AS DOUBLE))"
+    c0 = (
+        f"(CAST(sxy0 AS DOUBLE) / 1000000.0"
+        f" - CAST(n0 AS DOUBLE) * {mean} * {mean})"
+    )
+    # Snap-with-clamp: a near-constant series can leave c0 a quantization
+    # residual (~1e-18) instead of exactly 0, making the nano ratio
+    # astronomically large — under ANSI that CAST would THROW. Any |r| > 2
+    # or |phi| beyond its mathematical envelope is quantization garbage on
+    # a degenerate series; both engines map it to NULL identically (ABS of
+    # NULL is NULL, NULL > x is NULL, CASE falls through to a NULL ROUND).
+    def snap(v: str, limit: str) -> str:
+        return (
+            f"CASE WHEN ABS({v}) > {limit} THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST(ROUND({v}) AS BIGINT) END"
+        )
+
+    rns = []
+    for k in range(1, L + 1):
+        ck = (
+            f"(CAST(sxy{k} AS DOUBLE) / 1000000.0"
+            f" - {mean} * (CAST(sx{k} AS DOUBLE) + CAST(sy{k} AS DOUBLE))"
+            f" / 1000000.0"
+            f" + CAST(n{k} AS DOUBLE) * {mean} * {mean})"
+        )
+        rk = f"1000000000.0 * {ck} / NULLIF({c0}, 0.0)"
+        rns.append(f"{snap(rk, '2000000000.0')} AS rn{k}")
+
+    if spark_side:
+        s1t = (
+            "CAST(ROUND(CAST(element_at(acc.phis, j) AS DOUBLE)"
+            " * CAST(element_at(rl, m - j) AS DOUBLE)"
+            " / 1000000000.0) AS BIGINT)"
+        )
+        s2t = (
+            "CAST(ROUND(CAST(element_at(acc.phis, j) AS DOUBLE)"
+            " * CAST(element_at(rl, j) AS DOUBLE)"
+            " / 1000000000.0) AS BIGINT)"
+        )
+        s1 = f"aggregate(sequence(1, m - 1), CAST(0 AS BIGINT), (s, j) -> s + {s1t})"
+        s2 = f"aggregate(sequence(1, m - 1), CAST(0 AS BIGINT), (s, j) -> s + {s2t})"
+        # SQL let-bindings: each level's sums and reflection coefficient
+        # are bound ONCE as lambda variables via single-element
+        # transform(array(x), v -> ...) wrappers. Without this, every
+        # textual reference to phim (the per-element update uses it 7×,
+        # the snap guard doubles everything it wraps) RE-EVALUATES the two
+        # inner sum-folds — a measured ~50-100× eval multiplier that, with
+        # AQE coalescing the tiny post-pivot stage to one task, turned the
+        # whole query into minutes of serial interpreted evaluation
+        # (273 s → 7 s at sf0.1; FLOOR.md §r9-pacf).
+        phim_v = (
+            f"1000000000.0 * (CAST(t.rm AS DOUBLE) - CAST(t.s1 AS DOUBLE))"
+            f" / NULLIF(1000000000.0 - CAST(t.s2 AS DOUBLE), 0.0)"
+        )
+        newphi_v = (
+            "CAST(p AS DOUBLE) - CAST(pm AS DOUBLE)"
+            " * CAST(element_at(acc.phis, m - 1 - j0) AS DOUBLE)"
+            " / 1000000000.0"
+        )
+        body = (
+            f"named_struct('phis', "
+            f"concat(transform(acc.phis, (p, j0) -> "
+            f"{snap(newphi_v, '1000000000000000.0')}), array(pm)), "
+            f"'diag', concat(acc.diag, array(pm)))"
+        )
+        level = (
+            f"element_at(transform(array(named_struct("
+            f"'s1', {s1}, 's2', {s2}, 'rm', element_at(rl, m))), t -> "
+            f"element_at(transform(array({snap(phim_v, '2000000000.0')}), "
+            f"pm -> {body}), 1)), 1)"
+        )
+        dl = (
+            f"aggregate(sequence(2, {L}), "
+            f"named_struct('phis', array(element_at(rl, 1)), "
+            f"'diag', array(element_at(rl, 1))), "
+            f"(acc, m) -> {level}, "
+            f"acc -> acc.diag)"
+        )
+        rl_arr = "array(" + ", ".join(f"rn{k}" for k in range(1, L + 1)) + ")"
+        tail = f"""
+    rlt AS (SELECT user_id, {rl_arr} AS rl FROM r)
+    SELECT user_id, CAST(pos + 1 AS INT) AS lag,
+           CAST(d AS DOUBLE) / 1000000000.0 AS pacf
+    FROM (SELECT user_id, {dl} AS diag FROM rlt)
+    LATERAL VIEW posexplode(diag) t AS pos, d
+    """
+    else:
+
+        def strict(terms: str) -> str:
+            # DuckDB's list_aggregate('sum') SKIPS NULL elements; Spark's
+            # fold is NULL-strict. Replicate strictness explicitly.
+            return (
+                f"CASE WHEN len(list_filter({terms}, t -> t IS NULL)) > 0 "
+                f"THEN NULL ELSE CAST(list_aggregate({terms}, 'sum')"
+                f" AS BIGINT) END"
+            )
+
+        s1terms = (
+            "list_transform(generate_series(1, m), j -> "
+            "CAST(ROUND(CAST(phis[j] AS DOUBLE)"
+            " * CAST(rl[m + 1 - j] AS DOUBLE) / 1000000000.0) AS BIGINT))"
+        )
+        s2terms = (
+            "list_transform(generate_series(1, m), j -> "
+            "CAST(ROUND(CAST(phis[j] AS DOUBLE)"
+            " * CAST(rl[j] AS DOUBLE) / 1000000000.0) AS BIGINT))"
+        )
+        phim_v = (
+            f"1000000000.0 * (CAST(rl[m + 1] AS DOUBLE)"
+            f" - CAST({strict(s1terms)} AS DOUBLE))"
+            f" / NULLIF(1000000000.0 - CAST({strict(s2terms)} AS DOUBLE),"
+            f" 0.0)"
+        )
+        phim = snap(phim_v, "2000000000.0")
+        newphi_v = (
+            f"CAST(p AS DOUBLE) - CAST({phim} AS DOUBLE)"
+            f" * CAST(phis[m + 1 - j0] AS DOUBLE) / 1000000000.0"
+        )
+        newphis = (
+            f"list_append(list_transform(phis, (p, j0) -> "
+            f"{snap(newphi_v, '1000000000000000.0')}), {phim})"
+        )
+        rl_arr = "[" + ", ".join(f"rn{k}" for k in range(1, L + 1)) + "]"
+        tail = f"""
+    rlt AS (SELECT user_id, {rl_arr} AS rl FROM r),
+    dl AS (
+      SELECT user_id, rl, 1 AS m, [rl[1]] AS phis FROM rlt
+      UNION ALL
+      SELECT user_id, rl, m + 1, {newphis}
+      FROM dl WHERE m < {L}
+    )
+    SELECT user_id, CAST(m AS INT) AS lag,
+           CAST(phis[m] AS DOUBLE) / 1000000000.0 AS pacf
+    FROM dl
+    """
+    rec = "" if spark_side else "RECURSIVE "
+    return f"""
+    WITH {rec}w AS (
+      SELECT user_id, value, {lags}
+      FROM (SELECT user_id, event_id, {tus} AS ts_us, value FROM events) e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    p AS ({pairs}),
+    s AS (
+      SELECT user_id, k, COUNT(*) AS n,
+             SUM(CAST(FLOOR((x) * 1000000.0) AS BIGINT)) AS s_x,
+             SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS s_y,
+             SUM(CAST(FLOOR((x * y) * 1000000.0) AS BIGINT)) AS s_xy
+      FROM p WHERE y IS NOT NULL
+      GROUP BY user_id, k
+    ),
+    r AS (
+      SELECT user_id, {", ".join(pivots)}, {", ".join(rns)}
+      FROM (SELECT user_id, k, n, s_x, s_y, s_xy FROM s) sp
+      GROUP BY user_id
+    ),
+    {tail}
+    """
+
+
+_PACF_DUCK = _pacf_sql(False)
+
+
+@register("pacf", _PACF_DUCK)
+def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series partial autocorrelation at lags 1..8 via integer-state
+    Durbin-Levinson on the biased autocovariance estimator — the AR-order
+    identification statistic pairing with acf (see section comment for
+    the cross-engine recursion discipline). A constant series (c0 = 0),
+    a singleton, or any series too short for lag k yields NULL pacf from
+    the first undefined lag onward — DL genuinely requires every lower
+    lag, and NULL is the one degenerate value both engines produce
+    identically.
+
+    Scale shape: the same ONE series-keyed window exchange as acf (all 8
+    lag columns over a single sort, lag 0 riding in the same stack()
+    unpivot so no totals join), one series×9-bounded aggregation with
+    map-side partials, then the whole Durbin-Levinson recursion as a
+    single fixed-size projection over one tiny row per series — no
+    joins, no recursion-driven shuffles, skew bound = longest single
+    series."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_pacf_sql(True))

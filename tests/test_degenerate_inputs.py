@@ -304,3 +304,49 @@ def test_source_kl_single_source_and_null_text(spark):
     out = run(twin)
     assert len(out) == 2
     assert (out["kl_nats"].abs() < 1e-5).all()
+
+
+def test_pacf_degenerate_series(spark):
+    """pacf degenerate contract: an exact-constant series has c0 = 0 →
+    NULL at every lag (no ANSI crash); a singleton emits 8 NULL-pacf
+    rows (its lag-0 row exists, no lag pairs); any TWO-point series has
+    the biased-estimator identity pacf(1) = -0.5 and NULL beyond; a
+    perfect ramp (near-unit-root — the 1 - S2 ≈ 0 stress) stays finite
+    at lag 1 and never throws; a near-constant non-representable value
+    (0.1) leaves quantization residuals whose garbage ratios are
+    CLAMPED to NULL or [-2, 2] rather than overflowing the ANSI CAST."""
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.timeseries import _pacf_sql
+
+    rows = []
+    for i in range(16):
+        rows.append((1, i, i * 60_000_000_000, 5.0))      # exact constant
+    rows.append((2, 0, 0, 7.5))                           # singleton
+    rows.append((3, 0, 0, 1.0))
+    rows.append((3, 1, 60_000_000_000, 2.0))              # two points
+    for i in range(64):
+        rows.append((4, i, i * 60_000_000_000, float(i)))  # perfect ramp
+    for i in range(32):
+        rows.append((5, i, i * 60_000_000_000, 0.1))      # non-repr constant
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    try:
+        got = (
+            spark.sql(_pacf_sql(True))
+            .toPandas()
+            .sort_values(["user_id", "lag"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView("events")
+
+    assert len(got) == 5 * 8  # every series emits exactly 8 lag rows
+    assert got[got.user_id == 1]["pacf"].isna().all()
+    assert got[got.user_id == 2]["pacf"].isna().all()
+    two = got[got.user_id == 3].set_index("lag")["pacf"]
+    assert two[1] == -0.5 and two[2:].isna().all()
+    ramp = got[got.user_id == 4].set_index("lag")["pacf"]
+    assert 0.9 < ramp[1] < 1.0  # biased r1 of a ramp: 1 - O(1/n)
+    nc = got[got.user_id == 5]["pacf"]
+    assert ((nc.abs() <= 2.0) | nc.isna()).all()

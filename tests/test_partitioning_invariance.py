@@ -84,6 +84,8 @@ _QUERIES = (
     "discovery_benchmark",
     # round-9: lag-aligned correlation micro sums, stack unpivot
     "acf",
+    # round-9: integer-state Durbin-Levinson over nano-snapped ACF
+    "pacf",
     # round-9: per-pair micro-nat KL integer sums over union vocab
     "source_kl",
     # round-9: Gumbel-top-k selection keys (micro-nat integer compares)
