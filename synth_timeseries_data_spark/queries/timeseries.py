@@ -991,3 +991,91 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     series."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_pacf_sql(True))
+
+
+# --------------------------------------------------------------------------
+# cusum_changepoint: per-series CUSUM mean-shift detection (round 9) — the
+# regime-change diagnostic for generated series: a corpus whose equations
+# switch coefficients mid-series (or whose confounder turns on at time T,
+# reference kernel_confounded's U-injection) must show the CUSUM peak at
+# the switch point, and a stationary series must not. Statistic: the
+# classic max_t |S_t| / (sigma * sqrt(n)) over centered cumulative sums.
+#
+# Determinism: the cumulative sum runs over exact FLOOR-micro BIGINTs
+# (order-fixed by the window sort), and the centered value is computed
+# division-FIRST — R_t - t * (Sx / n) — so every operand stays well inside
+# double exactness (n * R_t as integers would overflow int64 past ~1e5-row
+# series); identical IEEE ops on identical exact inputs are bit-equal
+# across engines. The argmax is a ROW_NUMBER over (|C_t| DESC, t ASC) —
+# the deterministic tiebreak device, not engine-specific arg_max. A
+# constant series has C_t exactly 0 at every t (t*X - t*X with X*n well
+# under 2^53) and sigma 0 → cp_pos 1 (the all-zero tie resolves to the
+# first point) with NULL cusum_stat via the NULLIF guard.
+# --------------------------------------------------------------------------
+
+
+def _cusum_sql(spark_side: bool) -> str:
+    tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, {tus} AS ts_us, value FROM events
+    ),
+    w AS (
+      SELECT user_id, ts_us,
+             ROW_NUMBER() OVER win AS t,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER win AS r_t,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id) AS sx,
+             SUM(CAST(FLOOR(value * value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id) AS sxx
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    c AS (
+      SELECT user_id, ts_us, t, n, sx, sxx,
+             ABS(CAST(r_t AS DOUBLE)
+                 - CAST(t AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS abs_c
+      FROM w
+    ),
+    ranked AS (
+      SELECT user_id, ts_us, t, n, sx, sxx, abs_c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY abs_c DESC, t ASC) AS rn
+      FROM c
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(t AS BIGINT) AS cp_pos,
+           CAST(ts_us AS BIGINT) AS cp_ts_us,
+           abs_c / 1000000.0 AS cusum_abs,
+           (abs_c / 1000000.0) / NULLIF(SQRT(GREATEST(
+               CAST(sxx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)),
+               0.0))
+             * SQRT(CAST(n AS DOUBLE)), 0.0) AS cusum_stat
+    FROM ranked WHERE rn = 1
+    """
+
+
+_CUSUM_DUCK = _cusum_sql(False)
+
+
+@register("cusum_changepoint", _CUSUM_DUCK)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint: the position/timestamp of the maximal
+    centered cumulative sum and its sigma*sqrt(n)-standardized statistic
+    (see section comment for the exact-integer cumsum + division-first
+    centering discipline and the degenerate contracts). One row per
+    series.
+
+    Scale shape: ONE series-keyed exchange carries both window passes
+    (the ts-ordered cumsum and the |C| ranking re-sort the partition
+    in place) and the rn = 1 filter reduces to one row per series before
+    anything leaves the stage; no joins, no data-proportional shuffle
+    beyond the initial series partitioning. Skew bound = longest single
+    series."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cusum_sql(True))

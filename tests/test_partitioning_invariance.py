@@ -86,6 +86,8 @@ _QUERIES = (
     "acf",
     # round-9: integer-state Durbin-Levinson over nano-snapped ACF
     "pacf",
+    # round-9: exact-integer CUSUM cumsum + division-first centering
+    "cusum_changepoint",
     # round-9: per-pair micro-nat KL integer sums over union vocab
     "source_kl",
     # round-9: Gumbel-top-k selection keys (micro-nat integer compares)

@@ -180,3 +180,52 @@ def test_pacf_matches_float_durbin_levinson(spark, oracle_sf_dir):
         if len(v) > 1 and got.get((uid, 1)) is not None:
             assert abs(got[(uid, 1)] - want[0]) < 1e-5
     assert checked > 500
+
+
+def test_cusum_changepoint_semantics(spark):
+    """Independent check of the CUSUM algebra on constructed series: a
+    planted mean shift is recovered at the exact switch position (numpy
+    recomputation of the same integer-cumsum/division-first centering),
+    a stationary series scores a small statistic, a constant series
+    resolves to cp_pos 1 with NULL stat, and a singleton emits one row
+    with NULL stat."""
+    import numpy as np
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.timeseries import _cusum_sql
+
+    rng = np.random.RandomState(7)
+    shifted = np.concatenate([rng.normal(0, 1, 200), rng.normal(3, 1, 100)])
+    flat = rng.normal(0, 1, 250)
+    rows = []
+    for i, v in enumerate(shifted):
+        rows.append((1, i, i * 60_000_000_000, float(v)))
+    for i, v in enumerate(flat):
+        rows.append((2, i, i * 60_000_000_000, float(v)))
+    for i in range(20):
+        rows.append((3, i, i * 60_000_000_000, 4.25))   # constant
+    rows.append((4, 0, 0, 1.5))                          # singleton
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    try:
+        got = (
+            spark.sql(_cusum_sql(True))
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+    finally:
+        spark.catalog.dropTempView("events")
+
+    # numpy twin of the engine arithmetic for the shifted series
+    X = np.floor(shifted * 1e6).astype("int64")
+    t = np.arange(1, len(X) + 1)
+    C = np.abs(np.cumsum(X).astype(float) - t * (float(X.sum()) / len(X)))
+    assert got.loc[1, "cp_pos"] == C.argmax() + 1 == 200
+    # analytic magnitude: |S_200| ≈ 200·|0 - grand_mean| = 200, sigma ≈ 1.9,
+    # stat ≈ 200/(1.9·√300) ≈ 6.1 — far above the ~1.36 critical value
+    assert got.loc[1, "cusum_stat"] > 4
+    assert got.loc[2, "cusum_stat"] < 2.5  # stationary: sub-critical
+    assert got.loc[3, "cp_pos"] == 1 and pd.isna(got.loc[3, "cusum_stat"])
+    assert got.loc[3, "cusum_abs"] == 0.0
+    assert got.loc[4, "n_points"] == 1 and pd.isna(got.loc[4, "cusum_stat"])
