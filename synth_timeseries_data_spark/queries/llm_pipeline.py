@@ -2592,6 +2592,107 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bigram_xent: per-document cross-entropy under the corpus's add-one-
+# smoothed BIGRAM LM (round 9) — one model order above unigram_xent, the
+# cheapest signal that separates "right words, wrong order" from fluent
+# text (a bag-of-frequent-words spam doc scores near the corpus mean on
+# unigram xent but far on bigram xent). p(w2|w1) = (c12 + 1)/(c1 + V)
+# with c1 = Σ_w2 c12 (left-context mass) and V = the vocabulary of
+# bigram participants — the standard Laplace conditional. Per-bigram
+# ln-probabilities snap to integer micro-nats (two ROUND(ln·1e6) terms
+# per type, weighted by exact tf), so the per-doc mean is
+# order-independent and engine-identical — the unigram_xent discipline.
+# --------------------------------------------------------------------------
+
+
+def _bigram_xent_sql(d) -> str:
+    spark = d is _SPARK_D
+    if spark:
+        pairs = (
+            "SELECT doc_id, element_at(ws, i) AS w1,"
+            " element_at(ws, i + 1) AS w2 "
+            "FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) x AS i"
+        )
+        # Broadcast-vocab plan, the unigram_xent device one order up: tf12
+        # (the big doc-clustered relation) NEVER moves; the bigram counts
+        # come from a second explode branch whose exchange ships ~bigram
+        # vocab × partitions rows; v1 folds from v12 (vocab-sized, never
+        # re-reads the corpus); both broadcast back onto tf12, which stays
+        # doc-clustered for the final per-doc aggregate.
+        counted = """
+    tf12 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs
+             GROUP BY doc_id, w1, w2),
+    v12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    v1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM v12 GROUP BY w1),
+    vsz AS (SELECT COUNT(DISTINCT t) AS v FROM
+            (SELECT w1 AS t FROM v12 UNION ALL SELECT w2 AS t FROM v12)),
+    scored AS (SELECT /*+ BROADCAST(v12), BROADCAST(v1) */
+                      tf12.doc_id, tf12.tf, v12.c12, v1.c1
+               FROM tf12 JOIN v12 ON v12.w1 = tf12.w1 AND v12.w2 = tf12.w2
+                         JOIN v1 ON v1.w1 = tf12.w1)"""
+    else:
+        pairs = (
+            "SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 "
+            "FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)"
+        )
+        counted = """
+    tf12 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs
+             GROUP BY doc_id, w1, w2),
+    v12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf12
+            GROUP BY w1, w2),
+    v1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM v12 GROUP BY w1),
+    vsz AS (SELECT COUNT(DISTINCT t) AS v FROM
+            (SELECT w1 AS t FROM v12 UNION ALL SELECT w2 AS t FROM v12)),
+    scored AS (SELECT tf12.doc_id, tf12.tf, v12.c12, v1.c1
+               FROM tf12 JOIN v12 ON v12.w1 = tf12.w1 AND v12.w2 = tf12.w2
+                         JOIN v1 ON v1.w1 = tf12.w1)"""
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    pairs AS ({pairs}),
+    {counted}
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(tf * (
+                   CAST(ROUND(ln(CAST(c1 AS DOUBLE)
+                              + CAST((SELECT v FROM vsz) AS DOUBLE))
+                              * 1000000.0, 0) AS BIGINT)
+                 - CAST(ROUND(ln(CAST(c12 AS DOUBLE) + 1.0)
+                              * 1000000.0, 0) AS BIGINT)
+               )) AS DOUBLE) / 1000000.0 / SUM(tf), 6) + 0.0 AS xent2_nats
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+_BX_SPARK, _BX_DUCK = _dual(_bigram_xent_sql)
+_BX_SPARK_SHUFFLE = _BX_SPARK.replace(
+    "/*+ BROADCAST(v12), BROADCAST(v1) */", ""
+)
+assert _BX_SPARK_SHUFFLE != _BX_SPARK
+
+
+@register("bigram_xent", _BX_DUCK)
+def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one-smoothed
+    bigram LM — the word-ORDER fluency signal unigram_xent cannot see
+    (see section comment). Single-token docs have no bigrams and emit no
+    row. The bigram-vocab broadcast is size-gated like unigram_xent's
+    (_VOCAB_BCAST_DOCS_BYTES); over the gate the two aggregated
+    relations shuffle-join on (w1, w2) instead.
+
+    Scale shape: two concurrent explode branches over one corpus scan
+    pipeline (tf12 doc-clustered with map-side partials; v12 partial-
+    aggregated to per-partition-distinct bigrams before its exchange),
+    v1 folded vocab-side, broadcasts back onto the unmoved tf12."""
+    sql = (
+        _BX_SPARK
+        if _docs_disk_bytes(sf_dir) < _VOCAB_BCAST_DOCS_BYTES
+        else _BX_SPARK_SHUFFLE
+    )
+    return _spark_docs(spark, sf_dir, sql)
+
+
+# --------------------------------------------------------------------------
 # source_kl: pairwise unigram KL divergence between sources (round 9) —
 # the corpus-DRIFT diagnostic a curation pipeline runs between crawl
 # increments / dumps: KL(a || b) over add-one-smoothed per-source unigram

@@ -534,10 +534,16 @@ def test_vocab_shuffle_variants_equal_broadcast_forms(spark, oracle_sf_dir):
         _spark_docs,
     )
 
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _BX_SPARK,
+        _BX_SPARK_SHUFFLE,
+    )
+
     for hinted, unhinted, keycols in (
         (_TFIDF_SPARK, _TFIDF_SPARK_SHUFFLE, ("doc_id", "rk")),
         (_XENT_SPARK, _XENT_SPARK_SHUFFLE, ("doc_id",)),
         (_DSIR_SPARK, _DSIR_SPARK_SHUFFLE, ("doc_id",)),
+        (_BX_SPARK, _BX_SPARK_SHUFFLE, ("doc_id",)),
     ):
         a = _spark_docs(spark, oracle_sf_dir, hinted).collect()
         b = _spark_docs(spark, oracle_sf_dir, unhinted).collect()
@@ -1491,3 +1497,53 @@ def test_source_kl_matches_numpy_reference(spark, duck, oracle_sf_dir):
         abs(got[(a, b)].kl_nats - got[(b, a)].kl_nats) > 1e-6
         for (a, b) in got
     )
+
+
+def test_bigram_xent_matches_python_reimpl(spark, oracle_sf_dir):
+    """Independent pin of the bigram-LM algebra: the add-one conditional
+    p(w2|w1) = (c12+1)/(c1+V), per-bigram micro-nat snaps, and the
+    tf-weighted per-doc mean recomputed in plain python from the raw
+    fixture — bit-level agreement on the ROUND(.,6) grain."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent2_nats)
+        for r in all_queries()["bigram_xent"].build(spark, oracle_sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{oracle_sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab: set = set()
+    for t in docs.text:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            vocab.add(a)
+            vocab.add(b)
+    V = len(vocab)
+    checked = 0
+    for _, row in docs.iterrows():
+        ws = row.text.split(" ")
+        if len(ws) < 2:
+            assert row.doc_id not in got
+            continue
+        sm = 0
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            sm += round(math.log(c1[a] + V) * 1e6) - round(
+                math.log(c12[(a, b)] + 1) * 1e6
+            )
+            n += 1
+        nb, x2 = got[row.doc_id]
+        assert nb == n
+        assert abs(x2 - round(sm / 1e6 / n, 6)) < 2e-6, (row.doc_id, x2)
+        checked += 1
+    assert checked > 400

@@ -37,6 +37,7 @@ _QUERIES = (
     "domain_mix",
     "char_entropy",
     "unigram_xent",
+    "bigram_xent",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget

@@ -516,3 +516,12 @@ def test_vec_topk_ivf_trained_probe_is_semi_join_shaped(spark, oracle_sf_dir):
     inverted-file probe — never a corpus-wide shuffle on the verify)."""
     plan = _plan(spark, "vec_topk_ivf_trained", oracle_sf_dir)
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_bigram_xent_broadcast_vocab_tf12_unmoved(spark, oracle_sf_dir):
+    """unigram_xent's broadcast-vocab shape one order up: the doc-clustered
+    tf12 relation joins both corpus-count relations via BroadcastHashJoin
+    and never exchanges to (w1, w2) and back; no Window anywhere."""
+    plan = _plan(spark, "bigram_xent", oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "Window" not in plan
