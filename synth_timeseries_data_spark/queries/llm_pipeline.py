@@ -2693,6 +2693,88 @@ def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# zipf_fit: per-source Zipf law fit (round 9) — the corpus-health
+# statistic curation pipelines plot per dump: natural text follows
+# freq ∝ rank^s with s ≈ -1; machine-generated spam, template boilerplate
+# and truncated crawls bend the log-log line (slope far from -1, low R²).
+# OLS of ln(freq) on ln(rank) over each source's top-_ZIPF_CAP terms:
+# both logs snap to integer micro-nats, the raw OLS sums accumulate as
+# exact BIGINTs (micro² products fit comfortably: |x|,|y| ≤ ~2e7 micro,
+# x·y ≤ 4e14, × cap 1000 ≤ 4e17), and slope/R² come from one shared IEEE
+# formula — the corr_matrix discipline applied to a regression.
+# --------------------------------------------------------------------------
+
+_ZIPF_CAP = 1000
+
+
+def _zipf_sql(d) -> str:
+    spark = d is _SPARK_D
+    toks = (
+        "SELECT source, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if spark
+        else "SELECT source, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    return f"""
+    WITH w AS (SELECT source, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    toks AS ({toks}),
+    tf AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, term ASC) AS rk
+      FROM tf
+    ),
+    pts AS (
+      SELECT source,
+             CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+      FROM ranked WHERE rk <= {_ZIPF_CAP}
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+             AS zipf_slope,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+             AS r2
+    FROM s
+    """
+
+
+_ZIPF_SPARK, _ZIPF_DUCK = _dual(_zipf_sql)
+
+
+@register("zipf_fit", _ZIPF_DUCK)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf law fit: OLS slope and R² of ln(freq) vs ln(rank)
+    over the top-1000 terms (see section comment). A single-term source
+    has zero x-variance → NULL slope/R² via the NULLIF guard.
+
+    Scale shape: one explode → (source, term) count with map-side
+    partials, one source-keyed rank window over the vocab-sized count
+    relation (never the token stream), the cap filter reduces to ≤1000
+    rows per source before the tiny OLS aggregation. Skew bound =
+    largest single-source vocabulary, not its token count."""
+    return _spark_docs(spark, sf_dir, _ZIPF_SPARK)
+
+
+# --------------------------------------------------------------------------
 # source_kl: pairwise unigram KL divergence between sources (round 9) —
 # the corpus-DRIFT diagnostic a curation pipeline runs between crawl
 # increments / dumps: KL(a || b) over add-one-smoothed per-source unigram

@@ -1547,3 +1547,60 @@ def test_bigram_xent_matches_python_reimpl(spark, oracle_sf_dir):
         assert abs(x2 - round(sm / 1e6 / n, 6)) < 2e-6, (row.doc_id, x2)
         checked += 1
     assert checked > 400
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """Semantic pin for the Zipf OLS: a corpus constructed with exact
+    freq = floor(1000 / rank) (a true s = -1 power law) fits slope ≈ -1
+    with R² ≈ 1, and a uniform-frequency corpus has slope exactly 0.
+    Recomputed independently in numpy on the same micro-nat grain."""
+    import math
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    words = []
+    for r in range(1, 201):
+        words += [f"w{r:04d}"] * (1000 // r)
+    rng = np.random.RandomState(3)
+    rng.shuffle(words)
+    zipf_text = " ".join(words)
+    flat_text = " ".join(f"u{r:04d}" for r in range(1, 201)) + " " + " ".join(
+        f"u{r:04d}" for r in range(1, 201)
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["zipfy", "flat"],
+            "lang": ["en", "en"],
+            "text": [zipf_text, flat_text],
+        }
+    )
+    sf_dir = str(tmp_path / "zipf_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in all_queries()["zipf_fit"].build(spark, sf_dir).collect()
+    }
+    # numpy twin on the same snapped grain
+    x = np.array(
+        [round(math.log(r) * 1e6) for r in range(1, 201)], dtype=float
+    )
+    y = np.array(
+        [round(math.log(1000 // r) * 1e6) for r in range(1, 201)], dtype=float
+    )
+    n = 200.0
+    want = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    assert got["zipfy"].n_terms == 200
+    assert abs(got["zipfy"].zipf_slope - want) < 1e-9
+    assert -1.05 < got["zipfy"].zipf_slope < -0.93
+    assert got["zipfy"].r2 > 0.99
+    assert got["flat"].zipf_slope == 0.0  # all counts equal: flat line

@@ -38,6 +38,7 @@ _QUERIES = (
     "char_entropy",
     "unigram_xent",
     "bigram_xent",
+    "zipf_fit",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget
