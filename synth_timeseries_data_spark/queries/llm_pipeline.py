@@ -2775,6 +2775,109 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hll_distinct: deterministic HyperLogLog vocabulary estimate per source
+# (round 9) — the MERGEABLE-SKETCH member of the corpus-health family.
+# COUNT(DISTINCT term) at 100 TB shuffles the full token vocabulary;
+# the HLL register table is 4096 × 1 byte per source, registers combine
+# by MAX (associative, order-free — partials merge map-side, across
+# partitions, across DAYS of incremental ingest), and the estimate is
+# within ~1.04/√4096 ≈ 1.6% σ. Unlike Spark's approx_count_distinct /
+# DuckDB's approx_distinct (different sketches, not comparable), this
+# HLL is built from shared primitives so both engines produce the SAME
+# registers bit-for-bit: bucket = first 3 md5 hex chars (12 bits), rank
+# = leading-zero BITS of the 52-bit tail + 1 via TRIM(LEADING '0')
+# length arithmetic (no per-row hex→int CONV), Σ2^(-Mj) accumulated
+# EXACTLY as Σ2^(53-Mj) BIGINTs. Small-range linear-counting correction
+# per the HLL paper. Every float literal is CAST(. AS DOUBLE) — DuckDB
+# parses bare decimals as DECIMAL and its exact division diverges from
+# IEEE (the verify-skill gotcha, hit live here).
+# --------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_sql(d) -> str:
+    spark = d is _SPARK_D
+    toks = (
+        "SELECT source, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if spark
+        else "SELECT source, u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    md = f"CAST({_HLL_M} AS DOUBLE)"
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {md}))"
+    )
+    raw = (
+        f"{alpha} * {md} * {md}"
+        f" / (CAST(s53 AS DOUBLE) / POW(CAST(2.0 AS DOUBLE), 53)"
+        f" + ({md} - CAST(nz AS DOUBLE)))"
+    )
+    return f"""
+    WITH w AS (SELECT source, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    toks AS ({toks}),
+    h AS (SELECT source, md5(term) AS m FROM toks),
+    rk AS (
+      SELECT source,
+             SUBSTR(m, 1, 3) AS bucket,
+             CASE WHEN LENGTH(TRIM(LEADING '0' FROM SUBSTR(m, 4, 13))) = 0
+                  THEN 53
+                  ELSE (13 - LENGTH(TRIM(LEADING '0' FROM SUBSTR(m, 4, 13)))) * 4
+                       + CASE SUBSTR(TRIM(LEADING '0' FROM SUBSTR(m, 4, 13)), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1
+             END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT source, bucket, MAX(rank) AS mj
+      FROM rk GROUP BY source, bucket
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS nz,
+             CAST(SUM(CAST(POW(CAST(2.0 AS DOUBLE), 53 - mj) AS BIGINT))
+                  AS BIGINT) AS s53
+      FROM regs GROUP BY source
+    )
+    SELECT source,
+           CAST(nz AS BIGINT) AS n_registers_hit,
+           {raw} AS hll_raw,
+           CASE WHEN {raw} <= CAST(2.5 AS DOUBLE) * {md} AND nz < {_HLL_M}
+                THEN ROUND({md} * ln({md} / ({md} - CAST(nz AS DOUBLE))), 6)
+                     + 0.0
+                ELSE ROUND({raw}, 6) + 0.0
+           END AS distinct_estimate
+    FROM agg
+    """
+
+
+_HLL_SPARK, _HLL_DUCK = _dual(_hll_sql)
+
+
+@register("hll_distinct", _HLL_DUCK)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-vocabulary estimate from
+    engine-identical md5-derived registers (see section comment for the
+    bucket/rank/exact-power-sum construction and why the built-in approx
+    sketches can't be oracle-checked). Linear-counting correction below
+    2.5·m, raw HLL above.
+
+    Scale shape: one explode → a (source, bucket) MAX aggregation whose
+    state is ≤ 4096 rows per source with map-side partials (the token
+    stream never shuffles — only per-partition register partials), then
+    a source-bounded fold. The register relation is the mergeable
+    sketch: MAX-combine across any partitioning, batch, or ingest
+    increment."""
+    return _spark_docs(spark, sf_dir, _HLL_SPARK)
+
+
+# --------------------------------------------------------------------------
 # source_kl: pairwise unigram KL divergence between sources (round 9) —
 # the corpus-DRIFT diagnostic a curation pipeline runs between crawl
 # increments / dumps: KL(a || b) over add-one-smoothed per-source unigram

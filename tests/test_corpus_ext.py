@@ -1604,3 +1604,41 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert -1.05 < got["zipfy"].zipf_slope < -0.93
     assert got["zipfy"].r2 > 0.99
     assert got["flat"].zipf_slope == 0.0  # all counts equal: flat line
+
+
+def test_hll_distinct_accuracy_large_cardinality(spark, tmp_path):
+    """HLL guarantee pin on a fixture big enough to exercise the RAW
+    estimator branch (the driver fixtures' ~31-term vocabularies sit in
+    the linear-counting regime): 120k distinct tokens estimated within
+    5% (3σ of the m=4096 sketch is ~4.9%), plus exactness checks in the
+    linear-counting regime and the one-distinct-token degenerate."""
+    import os
+
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    big_words = [f"tok{i:06d}" for i in range(120_000)]
+    docs = []
+    for c in range(120):  # 1000 tokens per doc
+        docs.append(
+            (c, "big", "en", " ".join(big_words[c * 1000 : (c + 1) * 1000]))
+        )
+    docs.append((1000, "tiny", "en", "alpha beta gamma alpha"))
+    docs.append((1001, "mono", "en", "same same same same"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "lang", "text"])
+    sf_dir = str(tmp_path / "hll_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in all_queries()["hll_distinct"].build(spark, sf_dir).collect()
+    }
+    big = got["big"]
+    assert big.n_registers_hit == 4096  # 120k >> m: every register hit
+    assert abs(big.distinct_estimate - 120_000) / 120_000 < 0.05
+    # linear counting is near-exact at tiny cardinalities
+    assert abs(got["tiny"].distinct_estimate - 3) < 0.01
+    assert abs(got["mono"].distinct_estimate - 1) < 0.01

@@ -39,6 +39,7 @@ _QUERIES = (
     "unigram_xent",
     "bigram_xent",
     "zipf_fit",
+    "hll_distinct",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget
