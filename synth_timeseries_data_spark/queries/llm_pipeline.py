@@ -2878,6 +2878,91 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cms_heavy_hitters: count-min sketch point queries (round 9) — the
+# second mergeable sketch beside hll_distinct. The CMS cell table is
+# d=4 rows × w=4096 buckets of SUM-mergeable counters (4 md5 hex-char
+# windows as the pairwise-independent-enough hash family — the minhash
+# digest-window device), so per-term frequency point queries at 100 TB
+# never materialize the vocabulary relation: estimate = MIN over the 4
+# row cells, guaranteed ≥ the true count and ≤ true + (e/w)·N with
+# probability 1 - e^-4 per query. The registered entry builds the
+# sketch and point-queries it for the exact top-32 terms (deterministic
+# rank tiebreak), emitting exact vs estimate so the one-sided guarantee
+# is value-checked cross-engine on every gate run.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_TOPK = 32
+
+
+def _cms_sql(d) -> str:
+    spark = d is _SPARK_D
+    toks = (
+        "SELECT tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
+        if spark
+        else "SELECT u.term FROM w, unnest(w.ws) AS u(term)"
+    )
+    if spark:
+        rows_unpivot = (
+            "LATERAL VIEW stack(" + str(_CMS_D) + ", "
+            + ", ".join(
+                f"{i}, SUBSTR(m, {i + 1}, 3)" for i in range(_CMS_D)
+            )
+            + ") t AS i, b"
+        )
+        cells_src = f"SELECT i, b FROM h {rows_unpivot}"
+    else:
+        structs = ", ".join(
+            f"{{'i': {i}, 'b': SUBSTR(m, {i + 1}, 3)}}" for i in range(_CMS_D)
+        )
+        cells_src = f"SELECT unnest([{structs}], recursive := true) FROM h"
+    return f"""
+    WITH w AS (SELECT doc_id, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    toks AS ({toks}),
+    h AS (SELECT term, md5(term) AS m FROM toks),
+    cells AS (SELECT i, b, COUNT(*) AS c FROM ({cells_src}) z GROUP BY i, b),
+    tf AS (SELECT term, COUNT(*) AS exact_c FROM toks GROUP BY term),
+    top AS (
+      SELECT term, exact_c,
+             ROW_NUMBER() OVER (ORDER BY exact_c DESC, term ASC) AS rk
+      FROM tf
+    ),
+    cand AS (SELECT term, exact_c, rk, md5(term) AS m
+             FROM top WHERE rk <= {_CMS_TOPK}),
+    est AS (
+      SELECT cand.term, cand.exact_c, cand.rk, MIN(cells.c) AS cms_c
+      FROM cand JOIN cells
+        ON cells.b = SUBSTR(cand.m, cells.i + 1, 3)
+      GROUP BY cand.term, cand.exact_c, cand.rk
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, term,
+           CAST(exact_c AS BIGINT) AS exact_c,
+           CAST(cms_c AS BIGINT) AS cms_c,
+           CAST(cms_c - exact_c AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+_CMS_SPARK, _CMS_DUCK = _dual(_cms_sql)
+
+
+@register("cms_heavy_hitters", _CMS_DUCK)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point queries for the exact top-32 terms
+    (see section comment). overestimate = cms_c - exact_c is emitted so
+    the one-sided guarantee (always ≥ 0, small with high probability) is
+    part of the value-hashed result.
+
+    Scale shape: the sketch aggregation carries ≤ d·w = 16,384 cells of
+    state with map-side partials — the token stream never shuffles, and
+    cells are SUM-mergeable across partitions, batches and ingest
+    increments (the CMS property the operator exists for). The top-k
+    candidate pass is the vocab-bounded tfidf device; the probe join
+    touches 4 cells per candidate."""
+    return _spark_docs(spark, sf_dir, _CMS_SPARK)
+
+
+# --------------------------------------------------------------------------
 # source_kl: pairwise unigram KL divergence between sources (round 9) —
 # the corpus-DRIFT diagnostic a curation pipeline runs between crawl
 # increments / dumps: KL(a || b) over add-one-smoothed per-source unigram

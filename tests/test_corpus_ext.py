@@ -1642,3 +1642,44 @@ def test_hll_distinct_accuracy_large_cardinality(spark, tmp_path):
     # linear counting is near-exact at tiny cardinalities
     assert abs(got["tiny"].distinct_estimate - 3) < 0.01
     assert abs(got["mono"].distinct_estimate - 1) < 0.01
+
+
+def test_cms_guarantee_under_collisions(spark, tmp_path):
+    """CMS property pin in the COLLISION regime the driver fixture's
+    31-term vocabulary can't reach: 150k distinct low-frequency tokens
+    hashed into 4x4096 cells force real collisions, and the sketch must
+    still satisfy the one-sided guarantee exactly (cms >= exact for
+    every queried term) with the standard (e/w)*N error envelope. The
+    fixture is deterministic, so the bound check is stable."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    # 32 planted heavy hitters (100 occurrences each) + 150k singletons
+    docs = []
+    heavy = " ".join(
+        f"hot{i:02d}" for i in range(32) for _ in range(100)
+    )
+    docs.append((0, "s", "en", heavy))
+    noise = [f"n{i:06d}" for i in range(150_000)]
+    for c in range(150):
+        docs.append((c + 1, "s", "en", " ".join(noise[c * 1000 : (c + 1) * 1000])))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "lang", "text"])
+    sf_dir = str(tmp_path / "cms_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    rows = all_queries()["cms_heavy_hitters"].build(spark, sf_dir).collect()
+    assert len(rows) == 32
+    assert all(r.term.startswith("hot") for r in rows)
+    assert all(r.cms_c >= r.exact_c for r in rows)  # one-sided, always
+    n_tokens = 32 * 100 + 150_000
+    eps_bound = math.e / 4096 * n_tokens
+    # with 150k tokens over 4096 cells collisions are certain — the sketch
+    # must be actually absorbing them, not running collision-free
+    assert any(r.overestimate > 0 for r in rows)
+    assert all(r.overestimate <= 2 * eps_bound for r in rows)

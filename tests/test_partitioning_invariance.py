@@ -40,6 +40,7 @@ _QUERIES = (
     "bigram_xent",
     "zipf_fit",
     "hll_distinct",
+    "cms_heavy_hitters",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget
