@@ -2963,6 +2963,81 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ks_drift: exact two-sample Kolmogorov-Smirnov between sources over the
+# document-length distribution (round 9) — the SHAPE-drift diagnostic
+# beside source_kl's token-distribution KL: a crawl increment whose docs
+# got systematically truncated moves KS on length long before the token
+# mix shifts. D = max_v |F_a(v) - F_b(v)| computed EXACTLY: the step
+# functions are integer cumulative counts on the pooled distinct-length
+# grid, and |c_a·n_b - c_b·n_a| stays integer until the single final
+# division — no float comparison ambiguity anywhere in the max. The
+# grid is (sources × distinct lengths) via ONE equality join + a
+# per-source window cumsum (the inequality-join form would be
+# O(|lengths|²) at scale; measured equal, structurally replaced).
+# ks_scaled = sqrt(n_a·n_b/(n_a+n_b))·D is the asymptotic
+# Kolmogorov-distributed statistic (1.36 ≈ the 5% critical value).
+# --------------------------------------------------------------------------
+
+
+def _ks_sql(d) -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, source, {d['len'](d['split']('text'))} AS v
+                  FROM {d['pdocs']}),
+    cnt AS (SELECT source, v, COUNT(*) AS c FROM docs GROUP BY source, v),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    vals AS (SELECT DISTINCT v FROM cnt),
+    grid AS (
+      SELECT source, v,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+               AS c_le
+      FROM (
+        SELECT s.source, vals.v, COALESCE(cnt.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM cnt) s
+        CROSS JOIN vals
+        LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = vals.v
+      ) filled
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.v,
+             a.c_le AS ca, b.c_le AS cb, na.n AS n_a, nb.n AS n_b
+      FROM grid a
+      JOIN grid b ON a.v = b.v AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    )
+    SELECT source_a, source_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)) AS ks_stat,
+           ROUND(SQRT(CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)
+                      / (CAST(MAX(n_a) AS DOUBLE) + CAST(MAX(n_b) AS DOUBLE)))
+                 * CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6)
+             + 0.0 AS ks_scaled
+    FROM pairs
+    GROUP BY source_a, source_b
+    """
+
+
+_KS_SPARK, _KS_DUCK = _dual(_ks_sql)
+
+
+@register("ks_drift", _KS_DUCK)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact two-sample KS over per-source document-length
+    distributions (see section comment): integer step functions on the
+    pooled length grid, integer cross-multiplied deviations, one final
+    division — D is exact, not a float-max artifact.
+
+    Scale shape: one per-source length count (map-side partials,
+    vocab-of-lengths-sized), a sources × distinct-lengths grid via
+    equality join + window cumsum (never an inequality join), and a
+    pair self-join whose row count is pairs × distinct lengths — all
+    relations are statistics-sized; the corpus is scanned once."""
+    return _spark_docs(spark, sf_dir, _KS_SPARK)
+
+
+# --------------------------------------------------------------------------
 # source_kl: pairwise unigram KL divergence between sources (round 9) —
 # the corpus-DRIFT diagnostic a curation pipeline runs between crawl
 # increments / dumps: KL(a || b) over add-one-smoothed per-source unigram

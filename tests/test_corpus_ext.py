@@ -1683,3 +1683,50 @@ def test_cms_guarantee_under_collisions(spark, tmp_path):
     # must be actually absorbing them, not running collision-free
     assert any(r.overestimate > 0 for r in rows)
     assert all(r.overestimate <= 2 * eps_bound for r in rows)
+
+
+def test_ks_drift_semantics(spark, tmp_path):
+    """Independent pin of the KS algebra: identical-distribution sources
+    score D = 0 exactly (same length multiset), a planted truncation
+    (every doc halved) is detected at D = 1 (disjoint supports), and a
+    partial shift matches the numpy two-sample KS exactly."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries import all_queries
+
+    rng = np.random.RandomState(11)
+    lens_a = rng.randint(50, 150, 300)
+    lens_c = rng.randint(80, 200, 250)  # overlapping but shifted
+    docs = []
+    i = 0
+    for L in lens_a:
+        docs.append((i, "a", "en", " ".join(["w"] * L))); i += 1
+    for L in lens_a:  # source b: identical length multiset to a
+        docs.append((i, "b", "en", " ".join(["w"] * L))); i += 1
+    for L in lens_a:  # source t: every doc truncated far below a's range
+        docs.append((i, "t", "en", " ".join(["w"] * (L // 10)))); i += 1
+    for L in lens_c:
+        docs.append((i, "c", "en", " ".join(["w"] * L))); i += 1
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "lang", "text"])
+    sf_dir = str(tmp_path / "ks_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    got = {
+        (r.source_a, r.source_b): r
+        for r in all_queries()["ks_drift"].build(spark, sf_dir).collect()
+    }
+    assert got[("a", "b")].ks_stat == 0.0
+    assert got[("a", "t")].ks_stat == 1.0  # disjoint length supports
+    # numpy two-sample KS for the partial shift pair
+    a = np.sort(lens_a); c = np.sort(lens_c)
+    allv = np.unique(np.concatenate([a, c]))
+    Fa = np.searchsorted(a, allv, side="right") / len(a)
+    Fc = np.searchsorted(c, allv, side="right") / len(c)
+    want = float(np.abs(Fa - Fc).max())
+    assert abs(got[("a", "c")].ks_stat - want) < 1e-12
+    assert got[("a", "c")].n_a == 300 and got[("a", "c")].n_b == 250

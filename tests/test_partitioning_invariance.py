@@ -41,6 +41,7 @@ _QUERIES = (
     "zipf_fit",
     "hll_distinct",
     "cms_heavy_hitters",
+    "ks_drift",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget
