@@ -1079,3 +1079,126 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     series."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cusum_sql(True))
+
+
+# --------------------------------------------------------------------------
+# asof_join_orders: two-TABLE as-of join (round 9) — every event enriched
+# with the customer's latest order at-or-before the event timestamp. The
+# canonical temporal-relational operator Spark lacks natively (DuckDB
+# grew ASOF JOIN; Flink/kdb call it temporal/aj): asof_lag is the
+# SELF-series bracket, this is the cross-table form a feature pipeline
+# runs ("state of the dimension as of the fact's timestamp").
+#
+# Spark-first plan: NOT a join at all — the probe and build relations
+# union into one stream tagged (typ 0 = order, 1 = event), ONE
+# customer-keyed window sort orders them by (ts, typ, id), and
+# LAST_VALUE ... IGNORE NULLS carries the most recent order's attributes
+# forward onto every event row; filtering typ = 1 yields exactly the
+# as-of match. typ 0 sorts before typ 1 at equal timestamps, so an order
+# AT the event instant matches (>= semantics, same as DuckDB's ASOF).
+# Ties inside the build side are resolved BEFORE the union (one order
+# per (cust, date), highest orderkey wins) — ASOF tie behavior is
+# engine-unspecified, so the dedup makes the semantics total.
+#
+# The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
+# implementation of the semantics, not a shared SQL template.
+# --------------------------------------------------------------------------
+
+_ASOFJ_SPARK = """
+    WITH od AS (
+      SELECT uid, od_us, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS uid, od_us, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, od_us
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders_us
+      ) x WHERE rn = 1
+    ),
+    u AS (
+      SELECT uid, od_us AS ts_us, 0 AS typ,
+             CAST(NULL AS BIGINT) AS event_id,
+             o_orderkey, o_totalprice
+      FROM od
+      UNION ALL
+      SELECT user_id AS uid, ts DIV 1000 AS ts_us, 1 AS typ, event_id,
+             CAST(NULL AS BIGINT) AS o_orderkey,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM events
+    ),
+    b AS (
+      SELECT uid, ts_us, typ, event_id,
+             LAST_VALUE(o_orderkey) IGNORE NULLS OVER win AS last_ok,
+             LAST_VALUE(o_totalprice) IGNORE NULLS OVER win AS last_tp,
+             LAST_VALUE(CASE WHEN typ = 0 THEN ts_us END) IGNORE NULLS
+               OVER win AS last_ots
+      FROM u
+      WINDOW win AS (PARTITION BY uid
+                     ORDER BY ts_us ASC, typ ASC,
+                              COALESCE(event_id, o_orderkey) ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, uid AS user_id, ts_us,
+           last_ok AS o_orderkey, last_tp AS o_totalprice,
+           ts_us - last_ots AS us_since_order
+    FROM b WHERE typ = 1
+"""
+
+_ASOFJ_DUCK = """
+    WITH od AS (
+      SELECT uid, od_us, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS uid, epoch_us(o_orderdate) AS od_us,
+               o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey,
+                                               epoch_us(o_orderdate)
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) x WHERE rn = 1
+    ),
+    e AS (SELECT event_id, user_id AS uid, epoch_us(ts) AS ts_us FROM events)
+    SELECT e.event_id, e.uid AS user_id, e.ts_us,
+           od.o_orderkey, od.o_totalprice,
+           e.ts_us - od.od_us AS us_since_order
+    FROM e ASOF LEFT JOIN od
+      ON e.uid = od.uid AND e.ts_us >= od.od_us
+"""
+
+
+def _orders_us_view(spark: SparkSession, sf_dir: str) -> None:
+    """Register ``orders_us``: orders with o_orderdate normalized to an
+    epoch-microsecond BIGINT on whatever session we were handed — the
+    sources/tables.py events device applied to the orders dimension
+    (TIMESTAMP_NTZ needs timezone-free arithmetic; TIMESTAMP uses
+    unix_micros)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    orders = load(spark, sf_dir, "orders")
+    odt = orders.schema["o_orderdate"].dataType
+    if isinstance(odt, T.TimestampNTZType):
+        ou = orders.withColumn(
+            "od_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ),
+        )
+    else:
+        ou = orders.withColumn("od_us", F.unix_micros("o_orderdate"))
+    ou.createOrReplaceTempView("orders_us")
+
+
+@register("asof_join_orders", _ASOFJ_DUCK)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join: each event joined to its user's latest order
+    at-or-before the event timestamp (see section comment for the
+    join-free union-bracket plan and the native-ASOF oracle). Events of
+    users with no prior order keep NULL order columns (left semantics).
+
+    Scale shape: ONE customer-keyed exchange of orders+events together,
+    one window sort, no join operator at all — the classic two-sided
+    as-of alternative (range join or per-key broadcast) shuffles both
+    relations anyway and then pays the probe; the union form pays
+    exactly one exchange and inherits skew bounds from the busiest
+    single customer."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _orders_us_view(spark, sf_dir)
+    return spark.sql(_ASOFJ_SPARK)

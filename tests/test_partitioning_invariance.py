@@ -42,6 +42,7 @@ _QUERIES = (
     "hll_distinct",
     "cms_heavy_hitters",
     "ks_drift",
+    "asof_join_orders",
     "dsir_weights",
     "length_percentiles",
     # round-7 additions with float-derived micro-int columns: the budget

@@ -525,3 +525,14 @@ def test_bigram_xent_broadcast_vocab_tf12_unmoved(spark, oracle_sf_dir):
     plan = _plan(spark, "bigram_xent", oracle_sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "Window" not in plan
+
+
+def test_asof_join_orders_is_join_free(spark, oracle_sf_dir):
+    """The two-table as-of runs as the union-bracket plan: ONE window over
+    the tagged union, no join operator anywhere (the oracle side uses
+    DuckDB's native ASOF JOIN — the Spark plan must not degenerate into a
+    range join or a per-event probe)."""
+    plan = _plan(spark, "asof_join_orders", oracle_sf_dir)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
