@@ -2797,25 +2797,18 @@ _HLL_P = 12
 _HLL_M = 1 << _HLL_P
 
 
-def _hll_sql(d) -> str:
+def _hll_registers_sql(d, docs_rel: str) -> str:
+    """(source, bucket, mj) registers over any docs relation — the
+    MAX-mergeable sketch fragment shared by the registry query and the
+    streaming maintainer (streaming/jobs.py hll_ingest_stream)."""
     spark = d is _SPARK_D
     toks = (
         "SELECT source, tok AS term FROM w LATERAL VIEW explode(ws) x AS tok"
         if spark
         else "SELECT source, u.term FROM w, unnest(w.ws) AS u(term)"
     )
-    md = f"CAST({_HLL_M} AS DOUBLE)"
-    alpha = (
-        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-        f" + CAST(1.079 AS DOUBLE) / {md}))"
-    )
-    raw = (
-        f"{alpha} * {md} * {md}"
-        f" / (CAST(s53 AS DOUBLE) / POW(CAST(2.0 AS DOUBLE), 53)"
-        f" + ({md} - CAST(nz AS DOUBLE)))"
-    )
     return f"""
-    WITH w AS (SELECT source, {d['split']('text')} AS ws FROM {d['pdocs']}),
+    WITH w AS (SELECT source, {d['split']('text')} AS ws FROM {docs_rel}),
     toks AS ({toks}),
     h AS (SELECT source, md5(term) AS m FROM toks),
     rk AS (
@@ -2833,10 +2826,30 @@ def _hll_sql(d) -> str:
                        + 1
              END AS rank
       FROM h
-    ),
-    regs AS (
-      SELECT source, bucket, MAX(rank) AS mj
-      FROM rk GROUP BY source, bucket
+    )
+    SELECT source, bucket, MAX(rank) AS mj
+    FROM rk GROUP BY source, bucket
+    """
+
+
+def _hll_estimate_sql(regs_rel: str) -> str:
+    """Per-source estimate over a (source, bucket, mj) register relation
+    (MAX-merged on read, so ``regs_rel`` may hold overlapping appended
+    partials). Engine-neutral: every float literal CAST AS DOUBLE."""
+    md = f"CAST({_HLL_M} AS DOUBLE)"
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / {md}))"
+    )
+    raw = (
+        f"{alpha} * {md} * {md}"
+        f" / (CAST(s53 AS DOUBLE) / POW(CAST(2.0 AS DOUBLE), 53)"
+        f" + ({md} - CAST(nz AS DOUBLE)))"
+    )
+    return f"""
+    WITH regs AS (
+      SELECT source, bucket, MAX(mj) AS mj
+      FROM {regs_rel} GROUP BY source, bucket
     ),
     agg AS (
       SELECT source,
@@ -2855,6 +2868,11 @@ def _hll_sql(d) -> str:
            END AS distinct_estimate
     FROM agg
     """
+
+
+def _hll_sql(d) -> str:
+    regs = _hll_registers_sql(d, d["pdocs"])
+    return _hll_estimate_sql(f"({regs})")
 
 
 _HLL_SPARK, _HLL_DUCK = _dual(_hll_sql)

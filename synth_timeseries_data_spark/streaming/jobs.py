@@ -365,3 +365,57 @@ def docdedup_stream(docs: DataFrame) -> DataFrame:
     query under ordered replay is asserted in tests/test_streaming.py."""
     fp = docs.selectExpr("doc_id", "md5(text) AS fp", "source")
     return fp.dropDuplicates(["fp"])
+
+
+def hll_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    registers_table: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Streaming HyperLogLog maintenance: a file-source stream over
+    ``docs_dir`` (each arriving parquet file = one micro-batch of
+    documents) computes the batch's (source, bucket, mj) registers with
+    the SAME fragment the registry's hll_distinct query uses and APPENDS
+    them to ``registers_table`` — no rewrite, no read-modify-write: HLL
+    registers merge by MAX, so overlapping appended partials are merged
+    on read, and after replaying a corpus in ANY batch split the merged
+    registers are bit-identical to the one-shot sketch (pinned in
+    tests/test_streaming.py). After each append, the per-source estimate
+    over everything ingested so far goes to ``out_dir`` with the batch
+    id — the vocabulary-growth monitoring feed a crawl operator watches.
+
+    This is the sketch whose merge story the operator exists for: at
+    100 TB the register append is a few KB per batch per source, the
+    estimate read scans register partials only (never the corpus), and
+    an unclean restart needs NO rebuild — re-appended batch registers
+    are idempotent under MAX-merge (at-least-once delivery is exactly
+    absorbed, unlike count-based state). availableNow-triggered; returns
+    the started StreamingQuery."""
+    import os
+    import uuid
+
+    from ..queries import llm_pipeline as lp
+
+    d = lp._SPARK_D
+    stream_tag = uuid.uuid4().hex[:12]
+    docs = stream_documents(spark, docs_dir)
+
+    def _append_and_estimate(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        view = f"_hll_ingest_batch_{stream_tag}"
+        batch.createOrReplaceTempView(view)
+        regs = s.sql(lp._hll_registers_sql(d, view))
+        regs.write.mode("append").parquet(registers_table)
+        est = s.sql(
+            lp._hll_estimate_sql(f"parquet.`{os.path.abspath(registers_table)}`")
+        ).selectExpr("*", f"CAST({epoch_id} AS BIGINT) AS batch_id")
+        est.write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_append_and_estimate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -713,3 +713,62 @@ def test_curate_ingest_stream_replays_to_one_shot(spark, smoke_sf_dir, tmp_path)
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_hll_ingest_stream_replays_to_one_shot(spark, smoke_sf_dir, tmp_path):
+    """Streaming HLL maintenance: replaying the corpus as two arbitrary
+    batches and MAX-merging the appended register partials must produce
+    BIT-IDENTICAL per-source estimates to the one-shot hll_distinct
+    query — the mergeability the sketch exists for. Also pins
+    at-least-once absorption: re-appending one batch's registers (a
+    duplicate delivery) must not move the estimate."""
+    import glob
+    import shutil
+
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.queries import llm_pipeline as lp
+    from synth_timeseries_data_spark.streaming.jobs import hll_ingest_stream
+
+    docs = spark.read.parquet(f"{smoke_sf_dir}/documents.parquet")
+    flat = tmp_path / "arrivals"
+    flat.mkdir()
+    for i, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        sub = tmp_path / f"b{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(str(sub))
+        shutil.copy(
+            glob.glob(str(sub / "part-*.parquet"))[0],
+            str(flat / f"{i}.parquet"),
+        )
+
+    regs = str(tmp_path / "registers")
+    feed = str(tmp_path / "feed")
+    q = hll_ingest_stream(
+        spark, str(flat), regs, feed, checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+
+    est = {
+        r.source: (r.n_registers_hit, r.hll_raw, r.distinct_estimate)
+        for r in spark.sql(lp._hll_estimate_sql(f"parquet.`{regs}`")).collect()
+    }
+    one_shot = {
+        r.source: (r.n_registers_hit, r.hll_raw, r.distinct_estimate)
+        for r in all_queries()["hll_distinct"].build(spark, smoke_sf_dir).collect()
+    }
+    assert est == one_shot and len(est) > 0
+
+    # the monitoring feed carries one row set per batch
+    feed_rows = spark.read.parquet(feed)
+    assert feed_rows.select("batch_id").distinct().count() == 2
+
+    # duplicate delivery: re-append batch 0's registers; MAX-merge absorbs it
+    b0 = spark.read.parquet(str(tmp_path / "b0"))
+    b0.createOrReplaceTempView("_hll_dup_batch")
+    spark.sql(
+        lp._hll_registers_sql(lp._SPARK_D, "_hll_dup_batch")
+    ).write.mode("append").parquet(regs)
+    est2 = {
+        r.source: (r.n_registers_hit, r.hll_raw, r.distinct_estimate)
+        for r in spark.sql(lp._hll_estimate_sql(f"parquet.`{regs}`")).collect()
+    }
+    assert est2 == one_shot
