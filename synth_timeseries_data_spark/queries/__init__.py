@@ -129,27 +129,30 @@ _REPO_ROOT = _os.path.dirname(
 )
 
 
-def last_green_rounds() -> dict[str, int]:
-    """name -> newest round whose committed CORRECTNESS_r*.json carries a
-    fully-green driver row (rows+schema+hash matched, no error)."""
+def _correctness_records():
     import glob
     import json
     import os
     import re
 
-    out: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
-        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        if not isinstance(rec, dict):
-            continue
+        if isinstance(rec, dict):
+            yield int(m.group(1)), rec
+
+
+def last_green_rounds() -> dict[str, int]:
+    """name -> newest round whose committed CORRECTNESS_r*.json carries a
+    fully-green driver row (rows+schema+hash matched, no error)."""
+    out: dict[str, int] = {}
+    for rnd, rec in _correctness_records():
         for name, row in rec.items():
             if (
                 isinstance(row, dict)
@@ -162,11 +165,34 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
-def stalest_window(oracle_names) -> frozenset[str]:
-    """The ``_DRIVER_CAP`` stalest oracle entries (never-attested first,
-    then oldest attestation, name tiebreak)."""
-    last = last_green_rounds()
-    ranked = sorted(oracle_names, key=lambda n: (last.get(n, -1), n))
+def last_rowsonly_rounds() -> dict[str, int]:
+    """name -> newest round with ANY driver record that ran the query and
+    counted rows (the rows-only attestation the driver emits for entries
+    without an oracle: ``err == 'no_oracle'``, ``spark_rows`` set)."""
+    out: dict[str, int] = {}
+    for rnd, rec in _correctness_records():
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("spark_rows") is not None:
+                out[name] = max(out.get(name, -(10**9)), rnd)
+    return out
+
+
+def stalest_window(oracle_names, rowsonly_names=()) -> frozenset[str]:
+    """The ``_DRIVER_CAP`` stalest registry entries (never-attested first,
+    then oldest attestation, name tiebreak).
+
+    Oracle entries age by their last fully-green round; rows-only entries
+    (no DuckDB oracle — generation sweeps, write workflows) age by their
+    last rows-recorded round, so every registry entry — not just the
+    oracle-checkable ones — is guaranteed a driver record within the
+    capacity bound ceil(N_total/50). (Rounds ≤9 never rotated rows-only
+    entries in at all, leaving 5 of them with zero lifetime records —
+    VERDICT r9 'What's wrong' #1.)"""
+    green = last_green_rounds()
+    ran = last_rowsonly_rounds()
+    last = {n: green.get(n, -1) for n in oracle_names}
+    last.update({n: ran.get(n, -1) for n in rowsonly_names})
+    ranked = sorted(last, key=lambda n: (last[n], n))
     return frozenset(ranked[:_DRIVER_CAP])
 
 
@@ -196,16 +222,14 @@ def all_queries() -> dict[str, Query]:
     from . import discovery  # noqa: F401
 
     # The driver verifies the first 50 registry entries in order, so ordering
-    # is part of the contract: the stalest-attested oracle entries first
-    # (stable in import order within each group), then the rest of the oracle
-    # entries, then the structurally rows-only ops (generation sweeps, write
-    # workflows) whose real check is the bit-exact golden suite.
+    # is part of the contract: the stalest-attested entries first (stable in
+    # import order within the window), then everything else. Rows-only
+    # entries participate in the rotation (aged by their last rows-recorded
+    # driver row) so no registry entry goes unattested forever.
     global _DEMOTED
     oracle_names = [q.name for q in REGISTRY.values() if q.oracle is not None]
-    window = stalest_window(oracle_names)
-    _DEMOTED = frozenset(oracle_names) - window
-    ordered = sorted(
-        REGISTRY.values(),
-        key=lambda q: (q.oracle is None, q.name in _DEMOTED),
-    )
+    rowsonly_names = [q.name for q in REGISTRY.values() if q.oracle is None]
+    window = stalest_window(oracle_names, rowsonly_names)
+    _DEMOTED = frozenset(REGISTRY) - window
+    ordered = sorted(REGISTRY.values(), key=lambda q: q.name in _DEMOTED)
     return {q.name: q for q in ordered}

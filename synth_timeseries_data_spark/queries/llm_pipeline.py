@@ -2608,10 +2608,17 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_xent_sql(d) -> str:
     spark = d is _SPARK_D
     if spark:
+        # size(ws) >= 2 guard: Spark's sequence(start, stop) defaults the
+        # step to -1 when start > stop, so a single-token doc would explode
+        # sequence(1, 0) = [1, 0] and element_at(ws, 0) throws
+        # INVALID_INDEX_OF_ZERO — whereas DuckDB's generate_series(1, 0) is
+        # empty. The guard restores the contract (no row for <2-token docs)
+        # on both engines; same device as the hash_runs size(ws) >= 10 gate.
         pairs = (
             "SELECT doc_id, element_at(ws, i) AS w1,"
             " element_at(ws, i + 1) AS w2 "
-            "FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) x AS i"
+            "FROM (SELECT * FROM w WHERE size(ws) >= 2) w2g "
+            "LATERAL VIEW explode(sequence(1, size(ws) - 1)) x AS i"
         )
         # Broadcast-vocab plan, the unigram_xent device one order up: tf12
         # (the big doc-clustered relation) NEVER moves; the bigram counts
@@ -2841,9 +2848,24 @@ def _hll_estimate_sql(regs_rel: str) -> str:
         f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
         f" + CAST(1.079 AS DOUBLE) / {md}))"
     )
+    # Σ2^(-mj) as TWO exact BIGINT partial sums with NO overflow path
+    # (ADVICE r9: a single Σ2^(53-mj) BIGINT worst-cases at 4096·2^52 =
+    # 2^64 > int64 when many registers sit at rank 1, which non-ANSI
+    # Spark would wrap silently). Split at rank 12: s_hi = Σ_{mj≤11}
+    # 2^(11-mj) ≤ 4096·2^10 = 2^22; s_lo = Σ_{mj≥12} 2^(53-mj) ≤
+    # 4096·2^41 = 2^53 — both exact, order-independent, far inside
+    # int64 for EVERY possible register state. The recombination
+    # s_hi·2^42 + s_lo runs as one fixed IEEE expression on exact
+    # integers, so both engines round the same exact value once —
+    # bit-identical to CAST(Σ AS DOUBLE) of the unsplit sum wherever
+    # that sum didn't overflow.
+    s53d = (
+        f"(CAST(s_hi AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 42)"
+        f" + CAST(s_lo AS DOUBLE))"
+    )
     raw = (
         f"{alpha} * {md} * {md}"
-        f" / (CAST(s53 AS DOUBLE) / POW(CAST(2.0 AS DOUBLE), 53)"
+        f" / ({s53d} / POW(CAST(2.0 AS DOUBLE), 53)"
         f" + ({md} - CAST(nz AS DOUBLE)))"
     )
     return f"""
@@ -2854,8 +2876,12 @@ def _hll_estimate_sql(regs_rel: str) -> str:
     agg AS (
       SELECT source,
              COUNT(*) AS nz,
-             CAST(SUM(CAST(POW(CAST(2.0 AS DOUBLE), 53 - mj) AS BIGINT))
-                  AS BIGINT) AS s53
+             CAST(SUM(CASE WHEN mj <= 11
+                  THEN CAST(POW(CAST(2.0 AS DOUBLE), 11 - mj) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_hi,
+             CAST(SUM(CASE WHEN mj >= 12
+                  THEN CAST(POW(CAST(2.0 AS DOUBLE), 53 - mj) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_lo
       FROM regs GROUP BY source
     )
     SELECT source,
@@ -2994,6 +3020,17 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(|lengths|²) at scale; measured equal, structurally replaced).
 # ks_scaled = sqrt(n_a·n_b/(n_a+n_b))·D is the asymptotic
 # Kolmogorov-distributed statistic (1.36 ≈ the 5% critical value).
+#
+# Integer-range bound (ADVICE r9): the cross-product deviation
+# |c_a·n_b - c_b·n_a| ≤ n_a·n_b must fit int64, which holds while
+# n_a·n_b < 2^63 — i.e. up to ~3.0e9 DOCS PER SOURCE (≈9.2e18 product).
+# At the 100 TB design point that is ~30 KB/doc × 3e9 = 90 TB per single
+# source, so a realistically-sharded corpus (sources = crawls/dumps)
+# stays exact with ≥10× headroom; a degenerate one-source-holds-
+# everything layout at >3e9 tiny docs would silently wrap under
+# non-ANSI Spark. If that regime ever matters, compute the deviation as
+# |CAST(ca AS DOUBLE)·n_b - CAST(cb AS DOUBLE)·n_a| — D keeps ~6
+# significant digits past the exact range instead of wrapping.
 # --------------------------------------------------------------------------
 
 

@@ -391,9 +391,14 @@ def hll_ingest_stream(
     estimate read scans register partials only (never the corpus), and
     an unclean restart needs NO rebuild — re-appended batch registers
     are idempotent under MAX-merge (at-least-once delivery is exactly
-    absorbed, unlike count-based state). availableNow-triggered; returns
-    the started StreamingQuery."""
-    import os
+    absorbed, unlike count-based state). The estimate feed is idempotent
+    too (ADVICE r9): each batch's rows land in a batch_id=N partition
+    via dynamic-partition OVERWRITE, so a replayed batch replaces its
+    own partition instead of appending a duplicate row set — consumers
+    see exactly one estimate per batch id, and a late replay refreshes
+    it from the (monotone-richer) register state rather than leaving a
+    stale duplicate. availableNow-triggered; returns the started
+    StreamingQuery."""
     import uuid
 
     from ..queries import llm_pipeline as lp
@@ -408,14 +413,35 @@ def hll_ingest_stream(
         batch.createOrReplaceTempView(view)
         regs = s.sql(lp._hll_registers_sql(d, view))
         regs.write.mode("append").parquet(registers_table)
-        est = s.sql(
-            lp._hll_estimate_sql(f"parquet.`{os.path.abspath(registers_table)}`")
-        ).selectExpr("*", f"CAST({epoch_id} AS BIGINT) AS batch_id")
-        est.write.mode("append").parquet(out_dir)
+        _hll_publish_estimate(s, registers_table, out_dir, epoch_id)
 
     return (
         docs.writeStream.foreachBatch(_append_and_estimate)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _hll_publish_estimate(
+    spark: SparkSession, registers_table: str, out_dir: str, epoch_id: int
+) -> None:
+    """Publish the per-source HLL estimate over everything ingested so far
+    into ``out_dir``, keyed by batch: one ``batch_id=N`` partition per
+    micro-batch, written with dynamic-partition overwrite so re-running
+    the same epoch (at-least-once replay after an unclean restart)
+    REPLACES that batch's rows instead of appending duplicates. Module-
+    level so tests can drive the replay path directly."""
+    import os
+
+    from ..queries import llm_pipeline as lp
+
+    est = spark.sql(
+        lp._hll_estimate_sql(f"parquet.`{os.path.abspath(registers_table)}`")
+    ).selectExpr("*", f"CAST({epoch_id} AS BIGINT) AS batch_id")
+    (
+        est.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
     )

@@ -306,6 +306,53 @@ def test_source_kl_single_source_and_null_text(spark):
     assert (out["kl_nats"].abs() < 1e-5).all()
 
 
+def test_bigram_xent_single_token_and_empty_docs(spark):
+    """bigram_xent degenerate contract (ADVICE r9, high): docs with fewer
+    than two tokens have no bigrams and emit NO row — they must not crash
+    the query. Unguarded, Spark's sequence(1, size(ws)-1) on a one-token
+    doc yields sequence(1, 0) = [1, 0] (step defaults to -1 when
+    start > stop) and element_at(ws, 0) throws INVALID_INDEX_OF_ZERO;
+    DuckDB's generate_series(1, 0) is simply empty. Engine-vs-engine on a
+    fixture with single-token, empty-string, NULL-text and healthy docs."""
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _BX_DUCK,
+        _BX_SPARK,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["solo", "", None, "alpha beta beta gamma"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("documents_par")
+    try:
+        got = (
+            spark.sql(_BX_SPARK)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView("documents_par")
+
+    con = duckdb.connect()
+    con.register("documents_raw", pdf)
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_raw")
+    want = (
+        con.execute(_BX_DUCK).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+
+    # only the healthy doc emits a row, identically on both engines
+    assert got["doc_id"].tolist() == [3]
+    got = got.astype({c: want[c].dtype for c in want.columns})
+    assert got.equals(want)
+
+
 def test_pacf_degenerate_series(spark):
     """pacf degenerate contract: an exact-constant series has c0 = 0 →
     NULL at every lag (no ANSI crash); a singleton emits 8 NULL-pacf

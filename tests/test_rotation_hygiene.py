@@ -1,24 +1,26 @@
 """Rotation-window hygiene: the driver verifies the first 50 registry
-entries per round, so the registry schedules which oracle entries sit in
-that window. Since round 9 the window is COMPUTED stalest-first from the
+entries per round, so the registry schedules which entries sit in that
+window. Since round 9 the window is COMPUTED stalest-first from the
 committed CORRECTNESS_r*.json artifacts (queries/__init__.py —
-``stalest_window``), replacing the hand-maintained ledger of rounds 1-8.
-These tests audit the scheduler against the actual driver artifacts, not
-comments, so an arithmetic slip fails at commit time instead of at judging:
+``stalest_window``), replacing the hand-maintained ledger of rounds 1-8;
+since round 10 the rows-only entries (no DuckDB oracle) participate in
+the rotation too, aged by their last rows-recorded driver row, so every
+registry entry — not just oracle-checkable ones — is attested within the
+capacity bound. These tests audit the scheduler against the actual driver
+artifacts, not comments, so an arithmetic slip fails at commit time
+instead of at judging:
 
 - the window is exactly the driver cap;
 - the window is stalest-first (no demoted entry is staler than any window
   entry — never-attested entries enter immediately, fair round-robin);
 - every demoted entry's attestation is within the capacity bound
-  ceil(N_oracle / 50) rounds — the strongest freshness any schedule can
-  guarantee under the cap (with 100 entries this is the old "≤1 round old"
-  invariant exactly; it degrades gracefully as the registry grows).
+  ceil(N_total / 50) rounds — the strongest freshness any schedule can
+  guarantee under the cap.
 """
 
 from __future__ import annotations
 
 import glob
-import json
 import math
 import os
 import re
@@ -37,52 +39,70 @@ def _rounds_desc() -> list[int]:
     )
 
 
+def _staleness() -> dict[str, int]:
+    """Per-entry staleness exactly as the scheduler computes it."""
+    qs = Q.all_queries()
+    green = Q.last_green_rounds()
+    ran = Q.last_rowsonly_rounds()
+    return {
+        n: (green if q.oracle is not None else ran).get(n, -1)
+        for n, q in qs.items()
+    }
+
+
 def _parts():
     qs = Q.all_queries()  # populates Q._DEMOTED
-    oracle = [n for n, q in qs.items() if q.oracle is not None]
-    window = [n for n in oracle if n not in Q._DEMOTED]
-    return qs, oracle, window, set(Q._DEMOTED)
+    window = [n for n in qs if n not in Q._DEMOTED]
+    return qs, window, set(Q._DEMOTED)
 
 
 def test_window_is_exactly_the_driver_cap():
-    qs, oracle, window, demoted = _parts()
+    qs, window, demoted = _parts()
     assert len(window) == Q._DRIVER_CAP, (len(window), sorted(window))
     # ordering contract: the driver checks the FIRST 50 entries — those
     # must be exactly the window.
     assert set(list(qs)[: Q._DRIVER_CAP]) == set(window)
-    unknown = demoted - set(oracle)
-    assert not unknown, f"demoted names unknown/rows-only entries: {unknown}"
+    unknown = demoted - set(qs)
+    assert not unknown, f"demoted names unknown: {unknown}"
 
 
 def test_window_is_stalest_first():
-    _, oracle, window, demoted = _parts()
-    last = Q.last_green_rounds()
-    key = lambda n: (last.get(n, -1), n)  # noqa: E731
+    qs, window, demoted = _parts()
+    last = _staleness()
+    key = lambda n: (last[n], n)  # noqa: E731
     worst_window = max(key(n) for n in window)
     best_demoted = min(key(n) for n in demoted)
     assert worst_window <= best_demoted, (
         f"window holds {worst_window} while staler {best_demoted} is "
         f"demoted — scheduler is not stalest-first"
     )
-    never = [n for n in oracle if n not in last]
+    never = [n for n in qs if last[n] == -1]
     overflow = [n for n in never if n not in window]
     assert len(never) > Q._DRIVER_CAP or not overflow, (
         f"never-attested entries left out of a non-full window: {overflow}"
     )
 
 
-def test_every_demoted_entry_is_green_within_capacity_bound():
-    _, oracle, _, demoted = _parts()
-    bound = math.ceil(len(oracle) / Q._DRIVER_CAP)
+def test_every_demoted_entry_is_attested_within_capacity_bound():
+    qs, _, demoted = _parts()
+    bound = math.ceil(len(qs) / Q._DRIVER_CAP)
     rounds = _rounds_desc()[:bound]
-    last = Q.last_green_rounds()
-    stale = [
-        n for n in demoted if n not in last or last[n] not in rounds
-    ]
+    last = _staleness()
+    stale = [n for n in demoted if last[n] not in rounds]
     assert not stale, (
-        f"demoted entries with no green row in the last {bound} driver "
+        f"demoted entries with no driver record in the last {bound} driver "
         f"records (rounds {rounds}): {stale}"
     )
+
+
+def test_no_entry_has_zero_lifetime_driver_records_once_windowed():
+    """Every registry entry either has SOME lifetime driver record or sits
+    in the current window (so it gets one this round) — the r9 verdict's
+    'never attested, never scheduled' hole is structurally closed."""
+    qs, window, _ = _parts()
+    last = _staleness()
+    orphans = [n for n in qs if last[n] == -1 and n not in window]
+    assert not orphans, orphans
 
 
 # ---------------------------------------------------------------------------
@@ -115,9 +135,7 @@ def _simulate(n_entries, n_rounds, fail=None, cap=None):
 
 
 def test_simulated_fairness_bound_holds():
-    import math
-
-    for n_entries in (40, 50, 100, 113, 120, 137, 251):
+    for n_entries in (40, 50, 100, 113, 120, 128, 137, 251):
         bound = math.ceil(n_entries / Q._DRIVER_CAP)
         last, _ = _simulate(n_entries, n_rounds=12)
         final = 12

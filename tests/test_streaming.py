@@ -772,3 +772,27 @@ def test_hll_ingest_stream_replays_to_one_shot(spark, smoke_sf_dir, tmp_path):
         for r in spark.sql(lp._hll_estimate_sql(f"parquet.`{regs}`")).collect()
     }
     assert est2 == one_shot
+
+    # feed idempotency (ADVICE r9): replaying an epoch's estimate publish
+    # must REPLACE its batch_id partition, not append a duplicate row set —
+    # per-batch row counts and the batch_id set are unchanged after replay.
+    from synth_timeseries_data_spark.streaming.jobs import (
+        _hll_publish_estimate,
+    )
+
+    before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(feed)
+            .groupBy("batch_id").count().collect(),
+        )
+    )
+    _hll_publish_estimate(spark, regs, feed, epoch_id=1)  # replayed delivery
+    after_rows = spark.read.parquet(feed)
+    after = sorted(map(tuple, after_rows.groupBy("batch_id").count().collect()))
+    assert after == before
+    # and the replayed partition holds exactly one row per source
+    per_source = (
+        after_rows.where("batch_id = 1").groupBy("source").count().collect()
+    )
+    assert per_source and all(r["count"] == 1 for r in per_source)
