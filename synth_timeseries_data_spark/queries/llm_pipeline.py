@@ -3035,9 +3035,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ks_sql(d) -> str:
+    # plain `documents`, NOT the documents_par spread view: the per-doc
+    # work is one size(split(text)) — scan-bound, no explode — so the
+    # spread's repartition ships the full text column through an exchange
+    # for nothing. A/B (FLOOR.md §r10): plain wins 0.63 vs 1.11 s at
+    # sf0.1, 1.76 vs 2.35 s at sf1, ties at sf10; at cluster scale scan
+    # parallelism comes from file splits anyway.
     return f"""
     WITH docs AS (SELECT doc_id, source, {d['len'](d['split']('text'))} AS v
-                  FROM {d['pdocs']}),
+                  FROM documents),
     cnt AS (SELECT source, v, COUNT(*) AS c FROM docs GROUP BY source, v),
     n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
     vals AS (SELECT DISTINCT v FROM cnt),

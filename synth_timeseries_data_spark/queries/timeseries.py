@@ -1096,28 +1096,25 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # forward onto every event row; filtering typ = 1 yields exactly the
 # as-of match. typ 0 sorts before typ 1 at equal timestamps, so an order
 # AT the event instant matches (>= semantics, same as DuckDB's ASOF).
-# Ties inside the build side are resolved BEFORE the union (one order
-# per (cust, date), highest orderkey wins) — ASOF tie behavior is
-# engine-unspecified, so the dedup makes the semantics total.
+# Build-side ties (several orders at one (cust, date)) resolve INSIDE
+# the same window: orders at equal ts sort by o_orderkey ASC, so
+# LAST_VALUE carries the HIGHEST orderkey — ASOF tie behavior is
+# engine-unspecified, so this makes the semantics total. (r9 shipped a
+# separate ROW_NUMBER dedup window over orders first; the r10 floor
+# audit measured that second exchange+sort as the DOMINANT component —
+# 0.55 s of the 0.86 s total at sf0.1 — and the fold-into-one-window
+# form is row-identical and 2.2x faster, 0.45 vs 0.97 s. FLOOR.md §r10.)
 #
 # The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
 # implementation of the semantics, not a shared SQL template.
 # --------------------------------------------------------------------------
 
 _ASOFJ_SPARK = """
-    WITH od AS (
-      SELECT uid, od_us, o_orderkey, o_totalprice FROM (
-        SELECT o_custkey AS uid, od_us, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey, od_us
-                                  ORDER BY o_orderkey DESC) AS rn
-        FROM orders_us
-      ) x WHERE rn = 1
-    ),
-    u AS (
-      SELECT uid, od_us AS ts_us, 0 AS typ,
+    WITH u AS (
+      SELECT o_custkey AS uid, od_us AS ts_us, 0 AS typ,
              CAST(NULL AS BIGINT) AS event_id,
              o_orderkey, o_totalprice
-      FROM od
+      FROM orders_us
       UNION ALL
       SELECT user_id AS uid, ts DIV 1000 AS ts_us, 1 AS typ, event_id,
              CAST(NULL AS BIGINT) AS o_orderkey,
@@ -1198,7 +1195,9 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of alternative (range join or per-key broadcast) shuffles both
     relations anyway and then pays the probe; the union form pays
     exactly one exchange and inherits skew bounds from the busiest
-    single customer."""
+    single customer. Build-side tie resolution rides the same window
+    (r10: the separate orders-dedup window was the dominant measured
+    component and is folded away — FLOOR.md §r10)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     _orders_us_view(spark, sf_dir)
     return spark.sql(_ASOFJ_SPARK)

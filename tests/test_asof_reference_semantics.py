@@ -96,9 +96,10 @@ def test_asof_join_orders_interleaved_semantics(spark):
     events before any order -> NULL; an order AT the event instant
     matches (>= semantics); later orders supersede earlier ones; two
     orders on the same (cust, date) resolve to the highest orderkey on
-    BOTH engines (the tie is deduped before the asof, because native
-    ASOF tie behavior is engine-unspecified). Spark's join-free
-    union-bracket plan vs DuckDB's native ASOF LEFT JOIN."""
+    BOTH engines (native ASOF tie behavior is engine-unspecified, so
+    Spark resolves the tie inside the union window's orderkey-ASC
+    LAST_VALUE carry and the oracle dedups before its ASOF). Spark's
+    join-free union-bracket plan vs DuckDB's native ASOF LEFT JOIN."""
     import pandas as pd
 
     from synth_timeseries_data_spark.queries.timeseries import (
