@@ -115,6 +115,18 @@ def cmd_plot_bundle(args) -> int:
     for row in summary.collect():
         print(f"wrote frame={row['frame']} ({row['n_rows']} rows)")
     print(f"bundle -> {args.out}")
+    if getattr(args, "render", False):
+        from .functions.render import render_plot_bundle
+
+        try:
+            figures = render_plot_bundle(
+                args.out, os.path.join(args.out, "figures")
+            )
+        except RuntimeError as exc:
+            print(f"--render failed: {exc}", file=sys.stderr)
+            return 2
+        for path in figures:
+            print(f"rendered {path}")
     return 0
 
 
@@ -156,6 +168,32 @@ def cmd_curate(args) -> int:
         # the pointer already carries the footer-counted rows — no scan
         n = published_info(args.publish)["n_rows"]
         print(f"published v{version} ({n} rows) -> {args.publish}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """EP1→EP3 as one invocation: generate the sweep, persist it, score
+    the discovery screener against the DSL ground truth per config, and
+    write the metrics rollup cube (the reference's a1.py:308-344 →
+    helper_funcs scoring lifecycle)."""
+    from .queries.benchmark import _SCOREABLE, run_benchmark
+    from .session import get_session
+
+    spark = get_session("benchmark")
+    families = (
+        list(_SCOREABLE) if args.families == "all"
+        else args.families.split(",")
+    )
+    try:
+        summary = run_benchmark(spark, families, args.out)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    print(f"generated {summary['n_configs']} configs -> {summary['corpus']}")
+    print(f"scores -> {summary['scores']}")
+    print(f"metrics cube -> {summary['metrics']}")
+    print(f"overall avg_f1={summary['avg_f1']:.4f} "
+          f"avg_shd={summary['avg_shd']:.2f}")
     return 0
 
 
@@ -259,6 +297,13 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--render",
+        action="store_true",
+        help="additionally draw the reference's three PNGs into "
+        "<out>/figures (requires matplotlib; the bundle data itself "
+        "never does)",
+    )
 
     c = sub.add_parser(
         "curate",
@@ -297,6 +342,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     cr.add_argument("--out", required=True)
 
+    bm = sub.add_parser(
+        "benchmark",
+        help="EP1→EP3 end-to-end: generate the factorial sweep, persist "
+        "it, score the discovery screener vs the DSL ground truth per "
+        "config, and write the metrics rollup cube",
+    )
+    bm.add_argument(
+        "--families", default="all",
+        help="comma list of scoreable families (a1,b2,c1) or 'all'",
+    )
+    bm.add_argument("--out", required=True)
+
     ix = sub.add_parser(
         "index",
         help="build the persisted serving indexes (bucketed write-once "
@@ -322,6 +379,7 @@ def main(argv: list[str] | None = None) -> int:
         "plot-bundle": cmd_plot_bundle,
         "curate": cmd_curate,
         "index": cmd_index,
+        "benchmark": cmd_benchmark,
         "corpus-report": cmd_corpus_report,
     }[args.cmd](args)
 

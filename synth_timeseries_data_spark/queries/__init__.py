@@ -220,6 +220,7 @@ def all_queries() -> dict[str, Query]:
     from . import corpus_mining  # noqa: F401
     from . import generation  # noqa: F401
     from . import discovery  # noqa: F401
+    from . import benchmark  # noqa: F401
 
     # The driver verifies the first 50 registry entries in order, so ordering
     # is part of the contract: the stalest-attested entries first (stable in

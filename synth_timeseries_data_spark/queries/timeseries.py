@@ -970,6 +970,131 @@ def _pacf_sql(spark_side: bool) -> str:
 
 _PACF_DUCK = _pacf_sql(False)
 
+# Past this many events rows the Durbin-Levinson fold moves from the
+# interpreted SQL higher-order functions to a vectorized numpy
+# mapInPandas stage (the kmeans-past-10k precedent): the fold's
+# per-series interpreted cost (~3 ms/series through nested
+# transform/aggregate lambdas) is what made pacf the registry's worst
+# per-decade grower (1.7 -> 7 -> 42 s at sf0.1/1/10, VERDICT r09 item 3),
+# while the numpy recursion over the same integer state is microseconds
+# per series. Oracle/fixture scales stay on the pure-SQL plan the driver
+# gate attests.
+_PACF_NUMPY_GATE = 2_000_000
+
+
+def _pacf_rl_sql() -> str:
+    """The SQL prefix shared by both pacf strategies: everything up to and
+    including the exact nano-scaled autocorrelation BIGINTs rn1..rnL (one
+    row per series) — the window, the stack() unpivot, the exact-sum
+    aggregation and the pivot, but NOT the Durbin-Levinson fold."""
+    full = _pacf_sql(True)
+    prefix = full.split("rlt AS (")[0].rstrip().rstrip(",")
+    cols = ", ".join(f"rn{k}" for k in range(1, _PACF_LAGS + 1))
+    return f"{prefix} SELECT user_id, {cols} FROM r"
+
+
+def _dl_round_half_up(x):
+    """Spark's ROUND on DoubleType (BigDecimal HALF_UP — away from zero),
+    vectorized. Binary emulation floor(x+0.5)/ceil(x-0.5) is exact for
+    |x| < 2^52: x±0.5 is then exactly representable, and any decimal-tie
+    double (shortest repr "k.5") is binary-exactly k.5, so binary and
+    decimal HALF_UP agree. Every fold intermediate is bounded well under
+    2^52 (|phi| snapped at 1e15, |s-terms| <= 2e15, |r| snapped at 2e9)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _pacf_dl_batches(batches):
+    """Vectorized Durbin-Levinson over (user_id, rn1..rnL) rows —
+    bit-exact replication of the SQL fold in ``_pacf_sql`` (integer
+    nano-state, snap-with-clamp at every level, NULL-strict sums, NULL
+    contaminating every later lag). State is float64 value + bool
+    validity mask per series; all arithmetic follows the SQL expression
+    order term-for-term (see test_pacf_numpy_matches_sql for the
+    bit-equality pin across both fixture tiers)."""
+    import numpy as np
+    import pandas as pd
+
+    L = _PACF_LAGS
+    for pdf in batches:
+        s = len(pdf)
+        if s == 0:
+            continue
+        uid = pdf["user_id"].to_numpy()
+        # rl: (S, L) float64 + validity; int64 -> float64 exact (< 2^53)
+        rl = np.empty((s, L), dtype=np.float64)
+        rl_ok = np.empty((s, L), dtype=bool)
+        for k in range(1, L + 1):
+            col = pdf[f"rn{k}"]
+            ok = col.notna().to_numpy()
+            rl_ok[:, k - 1] = ok
+            v = col.to_numpy(dtype="float64", na_value=np.nan)
+            rl[:, k - 1] = np.where(ok, v, 0.0)
+
+        phis = np.zeros((s, L), dtype=np.float64)
+        phis_ok = np.zeros((s, L), dtype=bool)
+        diag = np.zeros((s, L), dtype=np.float64)
+        diag_ok = np.zeros((s, L), dtype=bool)
+        phis[:, 0], phis_ok[:, 0] = rl[:, 0], rl_ok[:, 0]
+        diag[:, 0], diag_ok[:, 0] = rl[:, 0], rl_ok[:, 0]
+
+        for m in range(2, L + 1):
+            # s1 = sum_j ROUND(phis[j] * rl[m-j] / 1e9), NULL-strict
+            s1 = np.zeros(s, dtype=np.float64)
+            s2 = np.zeros(s, dtype=np.float64)
+            s_ok = np.ones(s, dtype=bool)
+            for j in range(1, m):
+                t1 = _dl_round_half_up(phis[:, j - 1] * rl[:, m - j - 1]
+                                       / 1000000000.0)
+                t2 = _dl_round_half_up(phis[:, j - 1] * rl[:, j - 1]
+                                       / 1000000000.0)
+                s_ok &= phis_ok[:, j - 1] & rl_ok[:, m - j - 1] \
+                    & rl_ok[:, j - 1]
+                s1 += t1
+                s2 += t2
+            # phim = snap(1e9 * (rm - s1) / NULLIF(1e9 - s2, 0), 2e9)
+            rm, rm_ok = rl[:, m - 1], rl_ok[:, m - 1]
+            denom = 1000000000.0 - s2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                phim_v = 1000000000.0 * (rm - s1) / denom
+            pm_ok = s_ok & rm_ok & (denom != 0.0) \
+                & ~np.isnan(phim_v) & (np.abs(phim_v) <= 2000000000.0)
+            pm = np.where(pm_ok, _dl_round_half_up(phim_v), 0.0)
+            # newphi[j0] = snap(p - pm * phis[m-1-j0]/1e9, 1e15)
+            new_phis = phis.copy()
+            new_ok = phis_ok.copy()
+            for j0 in range(0, m - 1):
+                p, p_ok = phis[:, j0], phis_ok[:, j0]
+                q, q_ok = phis[:, m - 2 - j0], phis_ok[:, m - 2 - j0]
+                v = p - (pm * q) / 1000000000.0
+                ok = p_ok & pm_ok & q_ok & ~np.isnan(v) \
+                    & (np.abs(v) <= 1000000000000000.0)
+                new_phis[:, j0] = np.where(ok, _dl_round_half_up(v), 0.0)
+                new_ok[:, j0] = ok
+            new_phis[:, m - 1], new_ok[:, m - 1] = pm, pm_ok
+            phis, phis_ok = new_phis, new_ok
+            diag[:, m - 1], diag_ok[:, m - 1] = pm, pm_ok
+
+        out_uid = np.repeat(uid, L)
+        out_lag = np.tile(np.arange(1, L + 1, dtype=np.int32), s)
+        vals = (diag / 1000000000.0).reshape(-1)
+        ok = diag_ok.reshape(-1)
+        # nullable Float64 (masked) — NaN would survive Arrow as a VALUE,
+        # but the SQL path emits genuine NULLs for undefined lags
+        pacf_col = pd.array(vals, dtype="Float64")
+        pacf_col[~ok] = pd.NA
+        yield pd.DataFrame(
+            {"user_id": out_uid, "lag": out_lag, "pacf": pacf_col}
+        )
+
+
+def _pacf_numpy(spark: SparkSession) -> DataFrame:
+    rl = spark.sql(_pacf_rl_sql())
+    return rl.mapInPandas(
+        _pacf_dl_batches, schema="user_id bigint, lag int, pacf double"
+    )
+
 
 @register("pacf", _PACF_DUCK)
 def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,8 +1113,20 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials, then the whole Durbin-Levinson recursion as a
     single fixed-size projection over one tiny row per series — no
     joins, no recursion-driven shuffles, skew bound = longest single
-    series."""
+    series.
+
+    Strategy gate (r10): past ``_PACF_NUMPY_GATE`` events rows the DL
+    fold runs as a vectorized numpy mapInPandas stage over the same
+    exact rn1..rnL BIGINT state (bit-equality pinned both tiers); the
+    interpreted SQL fold's ~3 ms/series made pacf superlinear across
+    decades, and an explicit REPARTITION of the fold stage measured
+    WORSE (24 -> 77 s at sf10 — the exchange cost exceeds any
+    parallelism win on a 150k-row relation). FLOOR.md §r10-pacf."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    from ..sources import table_rows
+
+    if table_rows(sf_dir, "events") > _PACF_NUMPY_GATE:
+        return _pacf_numpy(spark)
     return spark.sql(_pacf_sql(True))
 
 

@@ -182,6 +182,55 @@ def test_pacf_matches_float_durbin_levinson(spark, oracle_sf_dir):
     assert checked > 500
 
 
+def test_pacf_numpy_matches_sql(spark, oracle_sf_dir):
+    """Bit-equality pin for the r10 strategy gate: the vectorized numpy
+    Durbin-Levinson (`_pacf_numpy`, the past-`_PACF_NUMPY_GATE` plan)
+    must reproduce the SQL fold BIT-EXACTLY — same rows, same NULLs,
+    same IEEE doubles — on the oracle fixture AND on the degenerate
+    series set (constant / singleton / two-point / ramp / non-repr
+    constant — the snap-to-NULL and NULL-contamination paths)."""
+    import struct
+
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.timeseries import (
+        _pacf_numpy,
+        _pacf_sql,
+    )
+    from synth_timeseries_data_spark.sources import load
+
+    def key(rows):
+        return [
+            (r.user_id, r.lag,
+             struct.pack("<d", r.pacf).hex() if r.pacf is not None else None)
+            for r in rows
+        ]
+
+    load(spark, oracle_sf_dir, "events").createOrReplaceTempView("events")
+    a = spark.sql(_pacf_sql(True)).orderBy("user_id", "lag").collect()
+    b = _pacf_numpy(spark).orderBy("user_id", "lag").collect()
+    assert len(a) > 0 and key(a) == key(b)
+
+    rows = []
+    for i in range(16):
+        rows.append((1, i, i * 60_000_000_000, 5.0))
+    rows.append((2, 0, 0, 7.5))
+    rows.append((3, 0, 0, 1.0))
+    rows.append((3, 1, 60_000_000_000, 2.0))
+    for i in range(64):
+        rows.append((4, i, i * 60_000_000_000, float(i)))
+    for i in range(32):
+        rows.append((5, i, i * 60_000_000_000, 0.1))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    try:
+        a = spark.sql(_pacf_sql(True)).orderBy("user_id", "lag").collect()
+        b = _pacf_numpy(spark).orderBy("user_id", "lag").collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert len(a) == 5 * 8 and key(a) == key(b)
+
+
 def test_cusum_changepoint_semantics(spark):
     """Independent check of the CUSUM algebra on constructed series: a
     planted mean shift is recovered at the exact switch position (numpy
