@@ -65,14 +65,15 @@ FLAGSHIPS = [
     ("acf", "per-series autocorrelation: ONE series window computes all 8 lag columns, stack() unpivots in the same pass (r9)"),
     ("source_kl", "pairwise unigram KL: telescoped to per-source scalars + one term equi-join over the session-materialized count relation (r9)"),
     ("dsir_resample", "Gumbel-top-k selection: weights pipeline into TakeOrderedAndProject, footer-derived budget, no global sort (r9)"),
-    ("pacf", "Durbin-Levinson partial autocorrelation: acf's single series window + 36-col pivot + let-bound integer-state fold (r9)"),
+    ("pacf", "Durbin-Levinson partial autocorrelation: acf's single series window + 36-col pivot + let-bound integer-state fold; numpy mapInPandas fold past 2M events (r10)"),
     ("cusum_changepoint", "CUSUM argmax: ONE series exchange carries cumsum + rank windows, rn=1 reduces in-stage (r9)"),
     ("bigram_xent", "bigram LM cross-entropy: doc-clustered tf12 never moves, bigram vocab partial-aggs then broadcasts back, size-gated (r9)"),
     ("zipf_fit", "Zipf OLS per source: explode → tf agg → vocab-sized rank window → exact micro-nat regression fold (r9)"),
     ("hll_distinct", "HyperLogLog registers: token stream never shuffles — 4096-bucket MAX partials per partition, source-bounded estimate fold (r9)"),
     ("cms_heavy_hitters", "count-min sketch: 16,384 SUM-mergeable cells with map-side partials + top-k probe join on 4 cells/candidate (r9)"),
     ("ks_drift", "exact pairwise KS: per-source length histogram, grid equality-join + window cumsum, pair join on statistics-sized relations (r9)"),
-    ("asof_join_orders", "two-table as-of: join-free union bracket — ONE customer exchange, window last-value carry, typ filter (r9)"),
+    ("asof_join_orders", "two-table as-of: join-free union bracket — ONE customer exchange, orders dedup folded into the union window's last-value carry (r10)"),
+    ("benchmark_scores", "EP1→EP3 composed: applyInPandas sweep generation + config-keyed lag self-join screener + broadcast literal meta/ground-truth + single-scan pair-grouped metric tail (r10)"),
 ]
 
 
