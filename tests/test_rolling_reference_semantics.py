@@ -231,6 +231,87 @@ def test_pacf_numpy_matches_sql(spark, oracle_sf_dir):
     assert len(a) == 5 * 8 and key(a) == key(b)
 
 
+def test_pacf_fold_random_adversarial(spark):
+    """Seeded-random adversarial sweep of the numpy-vs-SQL fold
+    equivalence, driving the Durbin-Levinson TAIL directly over
+    constructed rn vectors (no events table): magnitudes across the
+    whole snapped range, values AT the ±2e9 snap bound, sparse NULLs at
+    every position, and near-tie products — 400 series, bit-equality on
+    every emitted double. This is the direct pin on `_pacf_dl_batches`'
+    claim that binary HALF_UP emulation and NULL-strict masking replicate
+    the SQL fold on ALL inputs, not just fixture-shaped ones."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from synth_timeseries_data_spark.queries.timeseries import (
+        _PACF_LAGS,
+        _pacf_dl_batches,
+        _pacf_sql,
+    )
+
+    rng = np.random.default_rng(20260817)
+    L = _PACF_LAGS
+    series = []
+    for uid in range(400):
+        if uid % 7 == 0:
+            # adversarial: values at/near the snap bounds and tiny ones
+            rl = rng.choice(
+                [2_000_000_000, -2_000_000_000, 1_999_999_999, 1, -1, 0,
+                 999_999_999, 1_000_000_000, 500_000_000],
+                size=L,
+            ).astype(object)
+        elif uid % 7 == 1:
+            # near-tie products: multiples of 5e8 make x*y/1e9 land on .5
+            rl = (rng.integers(-4, 5, size=L) * 500_000_000).astype(object)
+        else:
+            rl = rng.integers(-2_000_000_000, 2_000_000_001,
+                              size=L).astype(object)
+        # sparse NULLs in every regime
+        for k in range(L):
+            if rng.random() < 0.08:
+                rl[k] = None
+        series.append((uid, [None if v is None else int(v) for v in rl]))
+
+    sdf = spark.createDataFrame(
+        series, "user_id bigint, rl array<bigint>"
+    )
+    sdf.createOrReplaceTempView("rlt")
+    tail = _pacf_sql(True).split("FROM r)", 1)[1]
+    try:
+        got_sql = spark.sql(tail).orderBy("user_id", "lag").collect()
+    finally:
+        spark.catalog.dropTempView("rlt")
+
+    pdf = pd.DataFrame(
+        {"user_id": [u for u, _ in series],
+         **{f"rn{k}": pd.array([r[k - 1] for _, r in series],
+                               dtype="Int64")
+            for k in range(1, L + 1)}}
+    )
+    out = pd.concat(list(_pacf_dl_batches([pdf])), ignore_index=True)
+    out = out.sort_values(["user_id", "lag"]).reset_index(drop=True)
+
+    def k_sql(rows):
+        return [(r.user_id, r.lag,
+                 struct.pack("<d", r.pacf).hex() if r.pacf is not None
+                 else None) for r in rows]
+
+    def k_np(df):
+        res = []
+        for r in df.itertuples(index=False):
+            v = r.pacf
+            res.append((int(r.user_id), int(r.lag),
+                        None if pd.isna(v)
+                        else struct.pack("<d", float(v)).hex()))
+        return res
+
+    a, b = k_sql(got_sql), k_np(out)
+    assert len(a) == 400 * L
+    assert a == b
+
+
 def test_cusum_changepoint_semantics(spark):
     """Independent check of the CUSUM algebra on constructed series: a
     planted mean shift is recovered at the exact switch position (numpy
