@@ -205,6 +205,14 @@ def main() -> None:
             d = min(d, time.perf_counter() - t0)
         print(f"duckdb {name:18s} {d:7.4f}s", flush=True)
 
+    # machine-readable dump so FLOOR.md numbers are reproducible from the
+    # script output rather than transcribed stdout
+    import json
+
+    print(json.dumps([
+        {"query": q, "form": f, "sec": round(s, 4)} for q, f, s in rows
+    ]), flush=True)
+
 
 if __name__ == "__main__":
     main()

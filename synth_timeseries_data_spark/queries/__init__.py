@@ -130,22 +130,35 @@ _REPO_ROOT = _os.path.dirname(
 
 
 def _correctness_records():
-    import glob
-    import json
-    import os
-    import re
+    # parsed once per process: the committed artifacts are immutable for
+    # a session's lifetime, and last_green_rounds + last_rowsonly_rounds
+    # would otherwise each re-read every file on every all_queries() call
+    global _RECORDS_CACHE
+    if _RECORDS_CACHE is None:
+        import glob
+        import json
+        import os
+        import re
 
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if isinstance(rec, dict):
-            yield int(m.group(1)), rec
+        recs = []
+        for path in glob.glob(
+            os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")
+        ):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if isinstance(rec, dict):
+                recs.append((int(m.group(1)), rec))
+        _RECORDS_CACHE = recs
+    return _RECORDS_CACHE
+
+
+_RECORDS_CACHE: list | None = None
 
 
 def last_green_rounds() -> dict[str, int]:

@@ -305,8 +305,20 @@ def run_benchmark(spark: SparkSession, families, out: str) -> dict:
     metrics_dir = os.path.join(out, "metrics")
     cube.write.mode("overwrite").parquet(metrics_dir)
 
-    grand = [r for r in cube.collect()
+    # read the WRITTEN cube back (rollup-sized, one tiny job) instead of
+    # re-evaluating the lazy aggregation a second time for the summary
+    cube_rows = spark.read.parquet(metrics_dir).collect()
+    grand = [r for r in cube_rows
              if r.g_family == 1 and r.g_n_vars == 1 and r.g_max_lag == 1]
+    # coverage guard: a config whose (family, n_vars, max_lag) combo has
+    # no parsed ground-truth edges would be dropped silently by the caps
+    # join in the scoring SQL — fail loudly instead of under-covering
+    scored = grand[0].n_configs if grand else 0
+    if scored != len(rows):
+        raise RuntimeError(
+            f"benchmark scored {scored} of {len(rows)} generated configs "
+            "— some configs have no parsed DSL ground truth"
+        )
     return {
         "n_configs": len(rows),
         "corpus": corpus_dir,

@@ -988,7 +988,11 @@ def _pacf_rl_sql() -> str:
     row per series) — the window, the stack() unpivot, the exact-sum
     aggregation and the pivot, but NOT the Durbin-Levinson fold."""
     full = _pacf_sql(True)
-    prefix = full.split("rlt AS (")[0].rstrip().rstrip(",")
+    parts = full.split("rlt AS (")
+    # guard the string coupling: a rename of the rlt CTE inside _pacf_sql
+    # must fail HERE, not as malformed SQL on the >2M-row path only
+    assert len(parts) == 2, "rlt CTE marker not found in _pacf_sql"
+    prefix = parts[0].rstrip().rstrip(",")
     cols = ", ".join(f"rn{k}" for k in range(1, _PACF_LAGS + 1))
     return f"{prefix} SELECT user_id, {cols} FROM r"
 

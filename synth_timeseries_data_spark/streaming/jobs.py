@@ -445,3 +445,18 @@ def _hll_publish_estimate(
         .partitionBy("batch_id")
         .parquet(out_dir)
     )
+
+
+def read_hll_estimate_feed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the estimate feed with its batch_id contract normalized.
+
+    The feed is hive-partitioned by ``batch_id`` (the replay-idempotence
+    device above), and Spark's partition-column TYPE INFERENCE would
+    otherwise surface batch_id as INT — a silent narrowing vs the BIGINT
+    epoch ids the writer casts. Consumers should read through this
+    helper (or cast themselves); mixing a pre-partitioned flat feed dir
+    with this layout is not supported — use a fresh out_dir."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out_dir)
+    return df.withColumn("batch_id", F.col("batch_id").cast("bigint"))

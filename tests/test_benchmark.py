@@ -158,10 +158,10 @@ def test_cli_benchmark_rollup_consistent(spark, bench_out):
     assert fam.n_configs == len(cfg)
 
 
-def test_benchmark_registry_entry_scores_subgrid(spark):
+def test_benchmark_registry_entry_scores_subgrid(spark, smoke_sf_dir):
     from synth_timeseries_data_spark.queries import all_queries
 
-    df = all_queries()["benchmark_scores"].build(spark, "/root/testdata/sf0.001")
+    df = all_queries()["benchmark_scores"].build(spark, smoke_sf_dir)
     rows = df.collect()
     assert len(rows) == 66  # n=500 slice of a1/b2/c1 complete grids
     assert {r.family for r in rows} == set(_SCOREABLE)

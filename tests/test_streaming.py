@@ -757,9 +757,16 @@ def test_hll_ingest_stream_replays_to_one_shot(spark, smoke_sf_dir, tmp_path):
     }
     assert est == one_shot and len(est) > 0
 
-    # the monitoring feed carries one row set per batch
-    feed_rows = spark.read.parquet(feed)
+    # the monitoring feed carries one row set per batch, and the read
+    # helper restores the writer's BIGINT batch_id contract (partition
+    # type inference would narrow it to INT)
+    from synth_timeseries_data_spark.streaming.jobs import (
+        read_hll_estimate_feed,
+    )
+
+    feed_rows = read_hll_estimate_feed(spark, feed)
     assert feed_rows.select("batch_id").distinct().count() == 2
+    assert dict(feed_rows.dtypes)["batch_id"] == "bigint"
 
     # duplicate delivery: re-append batch 0's registers; MAX-merge absorbs it
     b0 = spark.read.parquet(str(tmp_path / "b0"))
