@@ -180,6 +180,23 @@ def cmd_benchmark(args) -> int:
     from .session import get_session
 
     spark = get_session("benchmark")
+    if getattr(args, "predictions", None):
+        from .queries.benchmark import rollup_scores, score_predictions
+
+        preds = spark.read.parquet(args.predictions)
+        scores = score_predictions(spark, preds)
+        scores_dir = os.path.join(args.out, "scores")
+        scores.write.mode("overwrite").parquet(scores_dir)
+        cube = rollup_scores(spark, spark.read.parquet(scores_dir))
+        metrics_dir = os.path.join(args.out, "metrics")
+        cube.write.mode("overwrite").parquet(metrics_dir)
+        for r in spark.read.parquet(metrics_dir).collect():
+            if r.g_family == 1 and r.g_n_vars == 1 and r.g_max_lag == 1:
+                print(f"scored {r.n_configs} configs: avg_f1={r.avg_f1:.4f} "
+                      f"avg_shd={r.avg_shd:.2f}")
+        print(f"scores -> {scores_dir}")
+        print(f"metrics cube -> {metrics_dir}")
+        return 0
     families = (
         list(_SCOREABLE) if args.families == "all"
         else args.families.split(",")
@@ -353,6 +370,12 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list of scoreable families (a1,b2,c1) or 'all'",
     )
     bm.add_argument("--out", required=True)
+    bm.add_argument(
+        "--predictions",
+        help="skip generation/screener: score this parquet of predicted "
+        "edges (family, n_vars, max_lag, i, j, k — e.g. from the "
+        "tetrad_edges/tcdf_edges decoders) against the DSL ground truth",
+    )
 
     ix = sub.add_parser(
         "index",

@@ -233,6 +233,107 @@ ORDER BY g_family, g_n_vars, g_max_lag, family, n_vars, max_lag
 """
 
 
+_PRED_SCORE_SQL = """
+    WITH gtc AS (
+      SELECT DISTINCT family, n_vars, max_lag,
+             CAST(NULLIF(SUBSTRING(target, 2), '') AS INT) AS i,
+             CAST(NULLIF(SUBSTRING(source, 2), '') AS INT) AS j,
+             lag AS k
+      FROM parsed_edges_bench
+    ),
+    preds AS (
+      SELECT DISTINCT family, n_vars, max_lag, i, j, k FROM ext_preds
+    ),
+    configs AS (
+      SELECT DISTINCT family, n_vars, max_lag FROM preds
+    ),
+    c1 AS (SELECT family, n_vars, max_lag,
+                  explode(sequence(1, n_vars)) AS i FROM configs),
+    c2 AS (SELECT family, n_vars, max_lag, i,
+                  explode(sequence(1, n_vars)) AS j FROM c1),
+    c3 AS (SELECT family, n_vars, max_lag, i, j,
+                  explode(sequence(0, max_lag)) AS k FROM c2),
+    cells AS (SELECT * FROM c3 WHERE NOT (i = j AND k = 0)),
+    scored AS (
+      SELECT c.family, c.n_vars, c.max_lag, c.i, c.j, c.k,
+             CASE WHEN g.i IS NOT NULL THEN 1 ELSE 0 END AS gt,
+             CASE WHEN p.i IS NOT NULL THEN 1 ELSE 0 END AS pred
+      FROM cells c
+      LEFT JOIN gtc g
+        ON g.family = c.family AND g.n_vars = c.n_vars
+       AND g.max_lag = c.max_lag AND g.i = c.i AND g.j = c.j AND g.k = c.k
+      LEFT JOIN preds p
+        ON p.family = c.family AND p.n_vars = c.n_vars
+       AND p.max_lag = c.max_lag AND p.i = c.i AND p.j = c.j AND p.k = c.k
+    ),
+    pgroups AS (
+      SELECT family, n_vars, max_lag,
+             LEAST(i, j) AS lo, GREATEST(i, j) AS hi, k,
+             MAX(CASE WHEN i <= j THEN gt ELSE 0 END) AS gt_lo,
+             MAX(CASE WHEN i > j THEN gt ELSE 0 END) AS gt_hi,
+             MAX(CASE WHEN i <= j THEN pred ELSE 0 END) AS pred_lo,
+             MAX(CASE WHEN i > j THEN pred ELSE 0 END) AS pred_hi,
+             MAX(CASE WHEN i = j THEN 1 ELSE 0 END) AS is_self
+      FROM scored
+      GROUP BY family, n_vars, max_lag,
+               LEAST(i, j), GREATEST(i, j), k
+    ),
+    conf AS (
+      SELECT family, n_vars, max_lag,
+             CAST(SUM(gt_lo * pred_lo + gt_hi * pred_hi) AS BIGINT) AS tp,
+             CAST(SUM((1 - gt_lo) * pred_lo
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE (1 - gt_hi) * pred_hi END) AS BIGINT) AS fp,
+             CAST(SUM(gt_lo * (1 - pred_lo)
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE gt_hi * (1 - pred_hi) END) AS BIGINT) AS fn,
+             CAST(SUM((1 - gt_lo) * (1 - pred_lo)
+                      + CASE WHEN is_self = 1 THEN 0
+                             ELSE (1 - gt_hi) * (1 - pred_hi) END)
+                  AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN is_self = 1 THEN ABS(gt_lo - pred_lo)
+                           ELSE ABS((gt_lo + gt_hi) - (pred_lo + pred_hi)) +
+                                CASE WHEN gt_lo + gt_hi = 1
+                                          AND pred_lo + pred_hi = 1
+                                          AND gt_lo != pred_lo
+                                     THEN 1 ELSE 0 END
+                      END) AS BIGINT) AS shd_rev
+      FROM pgroups GROUP BY family, n_vars, max_lag
+    )
+    SELECT c.family, c.n_vars, c.max_lag,
+           c.tp, c.fp, c.fn, c.tn,
+           CASE WHEN c.tp + c.fn = 0 THEN 0.0
+                ELSE CAST(c.tp AS DOUBLE) / (c.tp + c.fn) END AS tpr,
+           CASE WHEN c.tp + c.fp = 0 THEN 0.0
+                ELSE CAST(c.fp AS DOUBLE) / (c.tp + c.fp) END AS fdr,
+           CASE WHEN 2 * c.tp + c.fp + c.fn = 0 THEN 0.0
+                ELSE CAST(2 * c.tp AS DOUBLE)
+                     / (2 * c.tp + c.fp + c.fn) END AS f1,
+           c.fp + c.fn AS shd,
+           c.shd_rev
+    FROM conf c
+    ORDER BY c.family, c.n_vars, c.max_lag
+"""
+
+
+def score_predictions(spark: SparkSession, preds: DataFrame) -> DataFrame:
+    """Score an EXTERNALLY-produced edge set against the DSL ground truth
+    — the reference's real evaluation path (run Tetrad/TCDF, decode the
+    adjacency output, then metrics_helper.py:7-138 scoring). The engine
+    ships the decoders (`tetrad_edges`, `tcdf_edges`, `decode_edges`);
+    this closes the loop: one call from a predictions relation
+    (family, n_vars, max_lag, i, j, k — one row per predicted directed
+    edge, i = target index, j = source index, k = lag) to the M1-M5
+    table, using the same pair-grouped single-scan metric tail as
+    discovery_benchmark. Configs are taken FROM the predictions
+    relation; a config whose (family, n_vars, max_lag) has no DSL
+    ground truth scores against an empty gt set (all predictions fp) —
+    callers wanting a guard should check `tp + fn > 0`."""
+    preds.createOrReplaceTempView("ext_preds")
+    _parsed_edges(spark).createOrReplaceTempView("parsed_edges_bench")
+    return spark.sql(_PRED_SCORE_SQL)
+
+
 def _grid_rows(families):
     from .generation import _complete_grid
 

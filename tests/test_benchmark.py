@@ -172,6 +172,77 @@ def test_benchmark_registry_entry_scores_subgrid(spark, smoke_sf_dir):
         assert r.shd == r.fp + r.fn
 
 
+def test_score_predictions_perfect_and_reversed(spark):
+    """score_predictions (the external-algorithm scoring path): feeding
+    the parsed ground truth back as predictions must score PERFECTLY
+    (tp = m, fp = fn = 0, f1 = 1, both SHDs 0) for every config; then
+    reversing the orientation of exactly one non-symmetric edge must
+    cost fp=1 fn=1 (shd_xor=2) but shd_rev=1 — the reference's
+    reversal-costs-1 semantics (metrics_helper.py:80-138)."""
+    from synth_timeseries_data_spark.queries.benchmark import (
+        score_predictions,
+    )
+
+    gt = _gt_cells(spark)
+    rows = []
+    for (fam, v, lag), cells in gt.items():
+        for (i, j, k) in cells:
+            rows.append((fam, v, lag, i, j, k))
+    preds = spark.createDataFrame(
+        rows, "family string, n_vars int, max_lag int, i int, j int, k int"
+    )
+    perfect = score_predictions(spark, preds).collect()
+    assert len(perfect) == len(gt)
+    for r in perfect:
+        m = len(gt[(r.family, r.n_vars, r.max_lag)])
+        assert (r.tp, r.fp, r.fn) == (m, 0, 0), r
+        assert r.f1 == 1.0 and r.shd == 0 and r.shd_rev == 0
+
+    # reverse one a1 (4,2) edge whose mirror is NOT also a gt edge
+    key = ("a1", 4, 2)
+    cells = gt[key]
+    flip = next((i, j, k) for (i, j, k) in sorted(cells)
+                if i != j and (j, i, k) not in cells)
+    mutated = [
+        (f, v, l, j, i, k) if (f, v, l) == key and (i, j, k) == flip
+        else (f, v, l, i, j, k)
+        for (f, v, l, i, j, k) in rows
+    ]
+    preds2 = spark.createDataFrame(
+        mutated,
+        "family string, n_vars int, max_lag int, i int, j int, k int",
+    )
+    got = {(r.family, r.n_vars, r.max_lag): r
+           for r in score_predictions(spark, preds2).collect()}
+    r = got[key]
+    assert (r.fp, r.fn, r.shd, r.shd_rev) == (1, 1, 2, 1), r
+    # every other config still perfect
+    for other, rr in got.items():
+        if other != key:
+            assert rr.shd == 0 and rr.shd_rev == 0
+
+
+def test_cli_benchmark_predictions_mode(spark, tmp_path):
+    from synth_timeseries_data_spark.queries.dsl import _parsed_edges
+
+    pe = _parsed_edges(spark)
+    preds = pe.selectExpr(
+        "family", "n_vars", "max_lag",
+        "CAST(SUBSTRING(target, 2) AS INT) AS i",
+        "CAST(SUBSTRING(source, 2) AS INT) AS j",
+        "lag AS k",
+    )
+    pdir = str(tmp_path / "preds")
+    preds.write.parquet(pdir)
+    out = str(tmp_path / "bmout")
+    assert main(["benchmark", "--predictions", pdir, "--out", out]) == 0
+    cube = spark.read.parquet(os.path.join(out, "metrics"))
+    grand = cube.where(
+        "g_family = 1 AND g_n_vars = 1 AND g_max_lag = 1"
+    ).collect()[0]
+    assert grand.avg_f1 == 1.0 and grand.avg_shd == 0.0
+
+
 def test_cli_benchmark_rejects_unscoreable_family(spark):
     out = tempfile.mkdtemp(prefix="cli_bmr_")
     try:
