@@ -334,6 +334,25 @@ def score_predictions(spark: SparkSession, preds: DataFrame) -> DataFrame:
     return spark.sql(_PRED_SCORE_SQL)
 
 
+def predictions_from_edges(edges: DataFrame, family: str, n_vars: int,
+                           max_lag: int) -> DataFrame:
+    """Adapt a decoder-shaped edge relation (source 'Xj', target 'Xi',
+    lag — the columns tetrad_edges / decode_edges / parse_edges emit)
+    into score_predictions' input for ONE config. The caller supplies
+    the config identity (they know which generated dataset the external
+    algorithm ran on)."""
+    from pyspark.sql import functions as F
+
+    return edges.select(
+        F.lit(family).alias("family"),
+        F.lit(n_vars).cast("int").alias("n_vars"),
+        F.lit(max_lag).cast("int").alias("max_lag"),
+        F.expr("CAST(SUBSTRING(target, 2) AS INT)").alias("i"),
+        F.expr("CAST(SUBSTRING(source, 2) AS INT)").alias("j"),
+        F.col("lag").cast("int").alias("k"),
+    )
+
+
 def _grid_rows(families):
     from .generation import _complete_grid
 

@@ -243,6 +243,30 @@ def test_cli_benchmark_predictions_mode(spark, tmp_path):
     assert grand.avg_f1 == 1.0 and grand.avg_shd == 0.0
 
 
+def test_tetrad_decode_composes_into_scorer(spark, oracle_sf_dir):
+    """Decoder → scorer composition: tetrad_edges' decoded output (the
+    reference's adjmatrix_to_causal_tensor path) adapts via
+    predictions_from_edges into score_predictions with no manual column
+    surgery; the scored row is structurally coherent (full confusion
+    partition over the cell space, capacity identity tp+fn = |gt|)."""
+    from synth_timeseries_data_spark.queries import all_queries
+    from synth_timeseries_data_spark.queries.benchmark import (
+        predictions_from_edges,
+        score_predictions,
+    )
+
+    decoded = all_queries()["tetrad_edges"].build(spark, oracle_sf_dir)
+    preds = predictions_from_edges(decoded, "a1", 4, 4)
+    r = score_predictions(spark, preds).collect()
+    assert len(r) == 1
+    row = r[0]
+    gt = _gt_cells(spark)[("a1", 4, 4)]
+    n_cells = 4 * 4 * 5 - 4  # V*V*(L+1) minus self-at-lag-0
+    assert row.tp + row.fp + row.fn + row.tn == n_cells
+    assert row.tp + row.fn == len(gt)
+    assert row.shd == row.fp + row.fn
+
+
 def test_cli_benchmark_rejects_unscoreable_family(spark):
     out = tempfile.mkdtemp(prefix="cli_bmr_")
     try:
