@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.detrand import lcg_uniform_sql
+from ..functions.materialize import materialized
 from . import register
 from ._lloyd import (
     _KM_ITERS,
@@ -294,6 +295,175 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and collects both splits' doc lists, whose product explodes only for
     colliding hashes (same device as contamination_check)."""
     return _spark_docs(spark, sf_dir, _DECONTAM_SPARK)
+
+
+# --------------------------------------------------------------------------
+# bloom_decontam: Bloom-filter decontamination probe — the broadcast-bitmap
+# twin of decontam_ngram for the production direction (drop TRAIN docs
+# carrying held-out n-grams, the GPT-3 appendix-C sweep) at corpus scales
+# where even the inverted-index join is wasteful: the eval set is small and
+# fixed, so its 8-token runs compress into a Bloom bitmap that BROADCASTS
+# to every scan task; the 100 TB train side never shuffles against the
+# test TABLE at all, only against the ≤m-row position relation.
+# --------------------------------------------------------------------------
+
+_BLOOM_HASHES = 4  # k: disjoint 8-hex-char md5 slices → 32-bit values
+
+
+def _bloom_decontam_sql(d) -> str:
+    strcast = "STRING" if d is _SPARK_D else "VARCHAR"
+    bucket = _hex2int(
+        d, f"SUBSTR(md5(CONCAT('split|', CAST(doc_id AS {strcast}))), 1, 15)"
+    )
+    ws = d["split"]("text")
+    # md5 on BOTH engines here (unlike decontam's internal xxhash64): the
+    # bit POSITIONS are the cross-engine contract, so the underlying hash
+    # must be dialect-portable. k=4 positions per run from disjoint
+    # 8-hex-char md5 slices, reduced mod m.
+    run_md5 = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+    posj = _hex2int(d, "SUBSTR(hh, 1 + j * 8, 8)")
+    hint = "/*+ BROADCAST(b) */ " if d is _SPARK_D else ""
+    # m = next power of two >= 64 * distinct test grams, computed IN-SQL
+    # so both engines derive the identical size at any scale: fill stays
+    # ~1 - e^(-1/16) ~= 6.1%, per-gram false-positive rate ~(0.061)^4 ~=
+    # 1.4e-5, so even a 10k-gram train doc has <0.1% chance of a
+    # false-positive FLAG. A large m is free here: the filter relation
+    # holds only the SET positions (<= 4c rows), not m bits, so the
+    # sizing rule trades nothing for the 3-decades-lower FPR (8c sizing
+    # measured 115 flagged train docs at sf0.01 vs 3 truly leaked —
+    # per-doc FP compounds across a doc's grams; 64c flags exactly the
+    # 3). GREATEST guards the empty-test-split case (m=64, empty bloom,
+    # zero flags).
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {ws} AS ws,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 >= 90 THEN 'test' END AS split
+      FROM {d['pdocs']}
+    ),
+    w AS (SELECT doc_id, split, ws FROM s
+          WHERE split IS NOT NULL AND {d['len']('ws')} >= {_DC_K}),
+    pos AS (SELECT doc_id, split, ws,
+                   {d['expand']('1', d['len']('ws') + f' - {_DC_K - 1}')} AS i
+            FROM w),
+    runs AS (SELECT DISTINCT doc_id, split, {run_md5} AS hh FROM pos),
+    mrel AS (
+      SELECT CAST(POW(2.0, CEIL(LOG2(64.0 * GREATEST(COUNT(DISTINCT hh), 1))))
+                  AS BIGINT) AS m
+      FROM runs WHERE split = 'test'
+    ),
+    texp AS (SELECT hh, {d['expand']('0', str(_BLOOM_HASHES - 1))} AS j
+             FROM runs WHERE split = 'test'),
+    bloom AS (SELECT DISTINCT ({posj}) % mr.m AS p
+              FROM texp CROSS JOIN mrel mr),
+    trexp AS (SELECT doc_id, hh, {d['expand']('0', str(_BLOOM_HASHES - 1))} AS j
+              FROM runs WHERE split = 'train'),
+    trp AS (SELECT DISTINCT doc_id, hh, ({posj}) % mr.m AS p
+            FROM trexp CROSS JOIN mrel mr),
+    hits AS (
+      SELECT {hint}t.doc_id, t.hh,
+             COUNT(*) AS np, COUNT(b.p) AS nm
+      FROM trp t LEFT JOIN bloom b ON b.p = t.p
+      GROUP BY t.doc_id, t.hh
+    )
+    SELECT doc_id AS train_doc,
+           COUNT(*) AS n_flagged_runs
+    FROM hits WHERE np = nm
+    GROUP BY doc_id
+    """
+
+
+_BLOOM_DC_DUCK = _bloom_decontam_sql(_DUCK_D)
+
+
+def _bloom_g_spark() -> str:
+    """ONE corpus pass: per distinct run hash, whether the test split
+    carries it and the set of train docs that do (the decontam
+    single-aggregate device — collect_set dedups per-doc runs in the
+    same exchange)."""
+    d = _SPARK_D
+    bucket = _hex2int(
+        d, "SUBSTR(md5(CONCAT('split|', CAST(doc_id AS STRING))), 1, 15)"
+    )
+    run_md5 = f"md5({_joinarr(d, _slice(d, 'ws', 'i', _DC_K))})"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {d['split']('text')} AS ws,
+             CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                  WHEN {bucket} % 100 >= 90 THEN 'test' END AS split
+      FROM {d['pdocs']}
+    ),
+    w AS (SELECT doc_id, split, ws FROM s
+          WHERE split IS NOT NULL AND {d['len']('ws')} >= {_DC_K}),
+    pos AS (SELECT doc_id, split, ws,
+                   {d['expand']('1', d['len']('ws') + f' - {_DC_K - 1}')} AS i
+            FROM w),
+    rawruns AS (SELECT doc_id, split, {run_md5} AS hh FROM pos)
+    SELECT hh,
+           MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test,
+           collect_set(CASE WHEN split = 'train' THEN doc_id END) AS tr
+    FROM rawruns GROUP BY hh
+    """
+
+
+_BLOOM_POSJ = _hex2int(_SPARK_D, "SUBSTR(hh, 1 + j * 8, 8)")
+
+# tail over the materialized gram relation: every reference re-executes
+# only the tiny checkpointed leaf, not the corpus pipeline
+_BLOOM_TAIL_SPARK = f"""
+    WITH mrel AS (
+      SELECT CAST(POW(2.0, CEIL(LOG2(64.0 *
+                  GREATEST(COALESCE(SUM(in_test), 0), 1))))
+                  AS BIGINT) AS m
+      FROM bloom_g
+    ),
+    texp AS (SELECT hh, explode(sequence(0, {_BLOOM_HASHES - 1})) AS j
+             FROM bloom_g WHERE in_test = 1),
+    bloom AS (SELECT DISTINCT ({_BLOOM_POSJ}) % mr.m AS p
+              FROM texp CROSS JOIN mrel mr),
+    trexp AS (SELECT hh, tr, explode(sequence(0, {_BLOOM_HASHES - 1})) AS j
+              FROM bloom_g WHERE size(tr) > 0),
+    trp AS (SELECT DISTINCT hh, ({_BLOOM_POSJ}) % mr.m AS p
+            FROM trexp CROSS JOIN mrel mr),
+    hits AS (
+      SELECT /*+ BROADCAST(b) */ t.hh,
+             COUNT(*) AS np, COUNT(b.p) AS nm
+      FROM trp t LEFT JOIN bloom b ON b.p = t.p
+      GROUP BY t.hh
+    ),
+    flagged AS (SELECT hh FROM hits WHERE np = nm)
+    SELECT doc_id AS train_doc, COUNT(*) AS n_flagged_runs
+    FROM (SELECT f.hh, explode(g.tr) AS doc_id
+          FROM flagged f JOIN bloom_g g ON g.hh = f.hh)
+    GROUP BY doc_id
+"""
+
+
+@register("bloom_decontam", _BLOOM_DC_DUCK)
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: TRAIN docs whose 8-token runs probe
+    positive against a Bloom bitmap of the TEST split's runs — no false
+    negatives (every truly-leaked train doc is flagged), per-gram false
+    positives bounded ~1.4e-5 per gram by the in-SQL sizing rule (m =
+    next pow2 >= 64x distinct test grams; see _bloom_decontam_sql — the
+    filter relation stores set positions, so the generous m costs no
+    broadcast bytes). Complements
+    decontam_ngram (per-TEST-doc exact report): this is the side you run
+    over the 100 TB corpus, where the filter relation (<= min(4c, m)
+    rows from a FIXED-size eval set) broadcasts to the scan and the
+    train side's only shuffle is its own doc-keyed aggregate.
+
+    Spark strategy: the corpus pipeline collapses into ONE pass (the
+    decontam single-aggregate device) materialized per session —
+    Catalyst inlines CTEs, so the naive single-statement form re-ran
+    the scan+explode+md5 pipeline for each of its three references
+    (measured 4.9 s vs ~2 s at sf0.1); the bloom/probe/flag tail runs
+    over the checkpointed gram relation. The oracle keeps the plain
+    single-statement form (DuckDB executes each CTE once)."""
+    _register_docs(spark, sf_dir)
+    g = materialized(spark, f"bloomdc|{sf_dir}", lambda: spark.sql(_bloom_g_spark()))
+    g.createOrReplaceTempView("bloom_g")
+    return spark.sql(_BLOOM_TAIL_SPARK)
 
 
 # --------------------------------------------------------------------------

@@ -198,6 +198,122 @@ def test_decontam_spark_matches_duckdb_on_planted_data(spark):
 
 
 # ---------------------------------------------------------------------------
+# bloom_decontam
+# ---------------------------------------------------------------------------
+
+
+def _exact_bloom_ground_truth(sf_dir: str):
+    """Independent pure-python recomputation of the exact leak set: per
+    train doc, the distinct 8-token runs it shares verbatim with any
+    test-split doc (same md5-bucket split rule, same tokenization)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+    def split_of(doc_id: int) -> str | None:
+        h = hashlib.md5(f"split|{doc_id}".encode()).hexdigest()
+        b = int(h[:15], 16) % 100
+        return "train" if b < 80 else ("test" if b >= 90 else None)
+
+    grams: dict[str, dict[str, set]] = {"train": {}, "test": {}}
+    train_docs = set()
+    for r in docs.itertuples(index=False):
+        sp = split_of(r.doc_id)
+        if sp is None:
+            continue
+        ws = str(r.text).split(" ")
+        if sp == "train":
+            train_docs.add(r.doc_id)
+        if len(ws) < 8:
+            continue
+        for i in range(len(ws) - 7):
+            g = " ".join(ws[i:i + 8])
+            grams[sp].setdefault(g, set()).add(r.doc_id)
+    exact: dict[int, int] = {}
+    for g, tr in grams["train"].items():
+        if g in grams["test"]:
+            for d in tr:
+                exact[d] = exact.get(d, 0) + 1
+    return exact, train_docs
+
+
+def test_bloom_decontam_no_false_negatives_and_bounded_fp(spark, oracle_sf_dir):
+    """The Bloom probe's structural guarantees against an independent
+    python recomputation: every truly-leaked train doc is flagged with
+    n_flagged_runs >= its exact distinct leaked-run count (no false
+    negatives — Bloom filters cannot miss), and the 64c sizing rule
+    keeps false-positive FLAGS to a handful of docs (per-gram FPR
+    ~1.4e-5; per-doc well under 1%)."""
+    from synth_timeseries_data_spark.queries import all_queries
+
+    exact, train_docs = _exact_bloom_ground_truth(oracle_sf_dir)
+    got = {
+        r.train_doc: r.n_flagged_runs
+        for r in all_queries()["bloom_decontam"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    # no false negatives, and counts dominate the exact counts
+    for d, n_exact in exact.items():
+        assert d in got and got[d] >= n_exact, (d, n_exact, got.get(d))
+    # false-positive FLAGS bounded: a handful of docs at worst
+    fp_docs = set(got) - set(exact)
+    clean = len(train_docs) - len(exact)
+    assert len(fp_docs) <= max(3, 0.02 * clean), (len(fp_docs), clean)
+    assert len(exact) > 0  # the fixture must actually exercise the leak path
+
+
+def test_bloom_decontam_spark_matches_duckdb_on_planted_data(spark):
+    """Cross-engine pin on planted data: the materialized-g Spark plan and
+    the single-statement DuckDB oracle must agree row-for-row (the
+    positions ARE the contract — both engines slice the same md5)."""
+    import duckdb
+
+    from synth_timeseries_data_spark.queries.corpus_ext import (
+        _BLOOM_DC_DUCK,
+    )
+    from synth_timeseries_data_spark.queries import all_queries  # noqa: F401
+
+    base = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"
+    docs = [(i, f"{base} u{i} v{i} w{i}") for i in range(120)]
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    ).createOrReplaceTempView("documents_par")
+    try:
+        from synth_timeseries_data_spark.functions.materialize import (
+            materialized,
+        )
+        from synth_timeseries_data_spark.queries.corpus_ext import (
+            _BLOOM_TAIL_SPARK,
+            _bloom_g_spark,
+        )
+
+        g = materialized(
+            spark, "bloomdc|planted-test",
+            lambda: spark.sql(_bloom_g_spark()),
+        )
+        g.createOrReplaceTempView("bloom_g")
+        got = sorted(
+            (r.train_doc, r.n_flagged_runs)
+            for r in spark.sql(_BLOOM_TAIL_SPARK).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) "
+            "AS t(doc_id, text)"
+        )
+        want = sorted(map(tuple, con.execute(_BLOOM_DC_DUCK).fetchall()))
+        con.close()
+        assert got == want
+        assert len(got) > 0  # planted run leaks into every train doc
+    finally:
+        spark.catalog.dropTempView("documents_par")
+
+
+# ---------------------------------------------------------------------------
 # semdedup
 # ---------------------------------------------------------------------------
 
