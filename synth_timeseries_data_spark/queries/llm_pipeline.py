@@ -1149,6 +1149,46 @@ def _cc_hybrid(
     return star_labels, rounds + star_rounds
 
 
+# Below this many near-dup PAIRS the connected-components step runs as a
+# driver-side union-find over one bounded collect instead of the iterative
+# distributed loop (r10 optimization round). Rationale: every _cc_hybrid
+# round is a join + aggregation + localCheckpoint + a scalar collect — 6-10
+# driver-coordinated jobs even on a 20-pair fixture graph, pure stage-wave
+# latency (FLOOR.md). The pair relation is the OUTPUT of the ≥0.5-Jaccard
+# verify — near-dup-proportional, orders of magnitude smaller than the
+# corpus — so a planning-scalar-class read of it is bounded the same way
+# kmeans' K×dims centroid reads and bpe_train's merge table are. 50k pairs
+# ≈ 0.8 MB collected; past the gate (or past the corpus-rows guard, which
+# avoids even the probe job at real scale) the Kiveris star/propagation
+# hybrid runs unchanged — that is the 100 TB path, and the two paths are
+# pinned label-identical in tests/test_cc_stars.py.
+_CC_DRIVER_PAIRS = 50_000
+_CC_DRIVER_DOCS = 2_000_000
+
+
+def _cc_driver_labels(pairs) -> dict[int, int]:
+    """Union-find → {node: component-min label} over an iterable of
+    (a, b) edges; self-loops ignored. Identical fixpoint to _cc_hybrid /
+    _cc_alternating_stars (roots are always the component min because
+    unions attach the larger root under the smaller)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
 @register("dedup_clusters", _clusters_duck_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pair graph —
@@ -1156,21 +1196,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id. Dedup pipelines keep ONE doc per component, so clustering
     the pairs is the step that makes pair generation actionable.
 
-    Diameter-adaptive hybrid (_cc_hybrid): convergence-checked min-label
-    propagation for the shallow common case, alternating
-    large-star/small-star contraction (Kiveris et al. SoCC'14 — the
-    GraphX/GraphFrames algorithm) past it, so adversarial long chains
-    stay O(log n) rounds while fixture-shaped graphs pay the cheap
-    2-3-round path. The driver only ever reads scalars."""
+    Strategy gate (r10 optimization): below ``_CC_DRIVER_PAIRS`` near-dup
+    pairs (and ``_CC_DRIVER_DOCS`` corpus rows, so real scale never pays
+    the probe) the component labels come from a driver-side union-find
+    over ONE bounded collect of the pair relation — the pair graph is
+    near-dup-proportional planning data, and the iterative loop's 6-10
+    coordination jobs dominated this query's cost at every fixture scale.
+    Past the gate: the diameter-adaptive hybrid (_cc_hybrid) —
+    convergence-checked min-label propagation for the shallow common
+    case, alternating large-star/small-star contraction (Kiveris et al.
+    SoCC'14 — the GraphX/GraphFrames algorithm) past it, so adversarial
+    long chains stay O(log n) rounds; there the driver only ever reads
+    scalars. Both paths are pinned label-identical on random + adversarial
+    graphs (tests/test_cc_stars.py)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
+
+    from ..sources import table_rows
 
     pairs = materialized(
         spark,
         f"mh_pairs|{sf_dir}",
         lambda: minhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
     )
-    labels, _ = _cc_hybrid(pairs.toDF("a", "b"))
+    labels = None
+    if table_rows(sf_dir, "documents") <= _CC_DRIVER_DOCS:
+        # bounded probe: one job over the already-materialized pair
+        # relation; returns ≤ gate+1 rows regardless of true pair count
+        head = pairs.limit(_CC_DRIVER_PAIRS + 1).collect()
+        if len(head) <= _CC_DRIVER_PAIRS:
+            lab = _cc_driver_labels((r[0], r[1]) for r in head)
+            labels = spark.createDataFrame(
+                sorted(lab.items()), "v long, label long"
+            )
+    if labels is None:
+        labels, _ = _cc_hybrid(pairs.toDF("a", "b"))
     w_size = F.count("*").over(Window.partitionBy("cluster_rep"))
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_rep")

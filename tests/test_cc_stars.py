@@ -124,6 +124,57 @@ def test_hybrid_random_graphs_match_union_find(spark):
         assert got == _uf_components(pairs), (n_nodes, n_edges)
 
 
+def test_driver_union_find_matches_hybrid_and_stars(spark):
+    # r10 optimization: below the pair gate dedup_clusters labels come
+    # from _cc_driver_labels (driver union-find). Pin it label-identical
+    # to BOTH distributed algorithms on every shape above plus seeded
+    # random graphs — the three paths must be indistinguishable.
+    import random
+
+    from synth_timeseries_data_spark.queries.llm_pipeline import (
+        _cc_driver_labels,
+    )
+
+    rng = random.Random(0xBEEF)
+    cases = [
+        [(i, i + 1) for i in range(120)],                      # chain
+        [(1000, v) for v in range(1001, 1020)] + [(5, 6)],     # star + pair
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)],              # dupes/self
+    ]
+    for n_nodes, n_edges in ((60, 25), (80, 80), (40, 200)):
+        cases.append(
+            [
+                (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                for _ in range(n_edges)
+            ]
+        )
+    for pairs in cases:
+        clean = [(a, b) for a, b in pairs if a != b]
+        want = _uf_components(clean)
+        assert _cc_driver_labels(pairs) == want
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        hyb, _ = _cc_hybrid(edges)
+        assert {r["v"]: r["label"] for r in hyb.collect()} == want
+
+
+def test_dedup_clusters_gate_paths_row_equal(spark, oracle_sf_dir):
+    # the registered query must emit IDENTICAL rows whichever CC path the
+    # gate picks: force the distributed path by dropping the pair gate to
+    # zero and compare against the (default) driver union-find path
+    import synth_timeseries_data_spark.queries.llm_pipeline as lp
+    from synth_timeseries_data_spark.queries import all_queries
+
+    build = all_queries()["dedup_clusters"].build
+    fast = sorted(map(tuple, build(spark, oracle_sf_dir).collect()))
+    old = lp._CC_DRIVER_PAIRS
+    lp._CC_DRIVER_PAIRS = -1
+    try:
+        slow = sorted(map(tuple, build(spark, oracle_sf_dir).collect()))
+    finally:
+        lp._CC_DRIVER_PAIRS = old
+    assert fast == slow and len(fast) > 0
+
+
 def test_empty_edges(spark):
     edges = (
         spark.createDataFrame([(1, 2)], "a long, b long").where(F.lit(False))
