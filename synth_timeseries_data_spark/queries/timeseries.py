@@ -977,9 +977,14 @@ _PACF_DUCK = _pacf_sql(False)
 # transform/aggregate lambdas) is what made pacf the registry's worst
 # per-decade grower (1.7 -> 7 -> 42 s at sf0.1/1/10, VERDICT r09 item 3),
 # while the numpy recursion over the same integer state is microseconds
-# per series. Oracle/fixture scales stay on the pure-SQL plan the driver
-# gate attests.
-_PACF_NUMPY_GATE = 2_000_000
+# per series. r10 optimization round: the gate dropped 2M -> 50k after a
+# same-session A/B at the 100k-event bench tier measured the numpy stage
+# 2.5x faster there too (SQL 1.75 s vs numpy 0.70 s min-of-5, rows
+# BIT-equal including NULL positions) — the interpreted fold loses at
+# every tier with >= a few hundred series; 50k keeps the sf0.01/sf0.001
+# oracle tiers on the pure-SQL plan the driver gate attests, and
+# test_pacf_numpy_matches_sql pins the two paths bit-identical.
+_PACF_NUMPY_GATE = 50_000
 
 
 def _pacf_rl_sql() -> str:
