@@ -438,11 +438,18 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ITP_RATE = 0.2  # the rate grid's middle point (d1.py:386)
 
 
-def _interpolate_sql(spark_side: bool) -> str:
+def _interpolate_sql(spark_side: bool, carry: tuple = ()) -> str:
+    """``carry``: (source_expr, name) pass-through columns for composers —
+    imputation_error carries the TRUTH value and event_type through the
+    pipeline instead of joining back to the events scan (r10
+    optimization); interpolate_ts itself always calls with carry=() so
+    its declared projection is byte-identical to the attested form."""
     from ..functions.detrand import lcg_uniform_sql
 
     u = lcg_uniform_sql("event_id", salt=3)
     tus = "ts DIV 1000" if spark_side else "epoch_us(ts)"
+    carry_src = "".join(f", {src} AS {name}" for src, name in carry)
+    carry_thru = "".join(f", {name}" for _, name in carry)
     if spark_side:
         lastnn = lambda x: f"last_value({x}, true)"
         firstnn = lambda x: f"first_value({x}, true)"
@@ -452,11 +459,11 @@ def _interpolate_sql(spark_side: bool) -> str:
     return f"""
     WITH m AS (
       SELECT user_id, event_id, {tus} AS ts_us,
-             CASE WHEN {u} < {_ITP_RATE} THEN NULL ELSE value END AS v
+             CASE WHEN {u} < {_ITP_RATE} THEN NULL ELSE value END AS v{carry_src}
       FROM events
     ),
     w AS (
-      SELECT user_id, event_id, ts_us, v,
+      SELECT user_id, event_id, ts_us, v{carry_thru},
              {lastnn('v')} OVER prevw AS pv,
              {lastnn('CASE WHEN v IS NOT NULL THEN ts_us END')}
                OVER prevw AS pt,
@@ -469,7 +476,7 @@ def _interpolate_sql(spark_side: bool) -> str:
              nextw AS (PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
-    SELECT user_id, event_id, ts_us,
+    SELECT user_id, event_id, ts_us{carry_thru},
            v IS NULL AS was_masked,
            CASE WHEN v IS NOT NULL THEN v
                 WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt != pt
@@ -586,6 +593,42 @@ def outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _imputation_error_sql(spark_side: bool) -> str:
+    if spark_side:
+        # r10 optimization: the truth value and event_type are columns of
+        # the SAME events scan the interpolation pipeline masks, so carry
+        # them through the window instead of joining the filled relation
+        # back to a second events scan on event_id — the join (an extra
+        # corpus-sized scan + equi-join at any scale) disappears; rows and
+        # every aggregate are identical because the join was 1:1 on
+        # event_id. The DuckDB oracle keeps the composed join form.
+        filled = _interpolate_sql(
+            True, carry=(("value", "v_true"), ("event_type", "event_type"))
+        )
+        return f"""
+    WITH filled AS ({filled})
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN f.value_filled IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unfilled,
+           CAST(SUM(CAST(FLOOR(ABS(f.value_filled - f.v_true) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sae_micro,
+           CAST(SUM(CAST(FLOOR((f.value_filled - f.v_true)
+                               * (f.value_filled - f.v_true) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sse_micro,
+           CAST(SUM(CAST(FLOOR(ABS(f.value_filled - f.v_true) * 1000000.0)
+                         AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(f.value_filled) AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE)) AS mae,
+           ROUND(SQRT(CAST(SUM(CAST(FLOOR((f.value_filled - f.v_true)
+                                          * (f.value_filled - f.v_true)
+                                          * 1000000.0) AS BIGINT))
+                           AS DOUBLE)
+                      / (CAST(COUNT(f.value_filled) AS DOUBLE)
+                         * CAST(1000000.0 AS DOUBLE))), 9) + 0.0 AS rmse
+    FROM filled f
+    WHERE f.was_masked
+    GROUP BY f.event_type
+    """
     filled = _interpolate_sql(spark_side)
     return f"""
     WITH filled AS ({filled})
