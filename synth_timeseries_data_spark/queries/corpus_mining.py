@@ -1299,20 +1299,28 @@ _WD_STOP_CAP = 64
 _WD_MIN_SHARED = 2
 
 
-def _winnow_dup_sql(d) -> str:
+def _winnow_dup_tail(uf: str) -> str:
+    """Pair rollup over a (doc_id, fp) distinct-fingerprint relation —
+    shared by the one-statement oracle form and the Spark form, where
+    ``uf`` is the session-materialized fingerprint index."""
     return f"""
-    WITH fp AS ({_winnowing_sql(d)}),
-    uf AS (SELECT DISTINCT doc_id, fp FROM fp),
     keep AS (
-      SELECT fp FROM uf GROUP BY fp HAVING COUNT(*) <= {_WD_STOP_CAP}
+      SELECT fp FROM {uf} GROUP BY fp HAVING COUNT(*) <= {_WD_STOP_CAP}
     ),
-    kf AS (SELECT uf.doc_id, uf.fp FROM uf JOIN keep k ON k.fp = uf.fp)
+    kf AS (SELECT u.doc_id, u.fp FROM {uf} u JOIN keep k ON k.fp = u.fp)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fps
     FROM kf a JOIN kf b ON b.fp = a.fp AND b.doc_id > a.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= {_WD_MIN_SHARED}
     """
+
+
+def _winnow_dup_sql(d) -> str:
+    return f"""
+    WITH fp AS ({_winnowing_sql(d)}),
+    uf AS (SELECT DISTINCT doc_id, fp FROM fp),
+    {_winnow_dup_tail('uf')}"""
 
 
 _WD_DUCK = _winnow_dup_sql(_DUCK_D)
@@ -1334,5 +1342,22 @@ def winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate generation is an equality self-join on the
     capped fingerprint key — never doc x doc; the cap bounds per-key
-    fan-out at 64²/2 pairs; the pair rollup is candidate-proportional."""
-    return _spark_docs(spark, sf_dir, _winnow_dup_sql(_SPARK_D))
+    fan-out at 64²/2 pairs; the pair rollup is candidate-proportional.
+    The distinct (doc_id, fp) relation materializes once per session as
+    an index relation (r10 optimization — the minhash_dedup `_indexed`
+    discipline): the one-statement form re-ran the full winnowing
+    pipeline (scan → explode → arithmetic min window) THREE times, once
+    per CTE reference under Spark's CTE inlining (plan-verified, 3 scan
+    branches); the materialized form runs it once and the tail's three
+    references scan the leaf. This is exactly the relation the persisted
+    winnowing serving index stores (functions/neardup_index.py)."""
+    from .llm_pipeline import _SPARK_D, _indexed, _register_docs
+
+    _register_docs(spark, sf_dir)
+    _indexed(
+        spark,
+        f"wd_uf|{sf_dir}",
+        f"WITH fp AS ({_winnowing_sql(_SPARK_D)}) "
+        "SELECT DISTINCT doc_id, fp FROM fp",
+    ).createOrReplaceTempView("wd_uf")
+    return spark.sql("WITH " + _winnow_dup_tail("wd_uf"))
