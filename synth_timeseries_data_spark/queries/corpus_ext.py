@@ -1889,10 +1889,23 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plain equality shuffles on doc_id. Output is n_sources² bounded."""
     from pyspark.sql import functions as F
 
+    from ..functions.materialize import materialized
     from ..sources import load
     from .llm_pipeline import minhash_dedup
 
-    pairs = minhash_dedup(spark, sf_dir)
+    # r10 optimization: reuse the session-materialized near-dup pair
+    # relation (the SAME `mh_pairs` key dedup_clusters materializes) —
+    # the bucket-join + array-intersect verify tail otherwise re-executes
+    # on every call even though the LSH index relations are memoized.
+    # At 100 TB this is the pair manifest a dedup pipeline persists once
+    # and every diagnostic reads.
+    pairs = materialized(
+        spark,
+        f"mh_pairs|{sf_dir}",
+        lambda: minhash_dedup(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        ),
+    )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     j = (
         pairs.join(

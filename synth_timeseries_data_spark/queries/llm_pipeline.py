@@ -1214,11 +1214,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import table_rows
 
+    # full 3-col pair manifest (jaccard included) under ONE session key —
+    # source_overlap reuses the same materialized relation, so the two
+    # consumers must agree on the schema
     pairs = materialized(
         spark,
         f"mh_pairs|{sf_dir}",
-        lambda: minhash_dedup(spark, sf_dir).select("doc_a", "doc_b"),
-    )
+        lambda: minhash_dedup(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        ),
+    ).select("doc_a", "doc_b")
     labels = None
     if table_rows(sf_dir, "documents") <= _CC_DRIVER_DOCS:
         # bounded probe: one job over the already-materialized pair
