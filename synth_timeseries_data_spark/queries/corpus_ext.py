@@ -1120,12 +1120,19 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _bpe_encode_spark_sql(merges: "list[tuple[str, str]]") -> str:
+def _bpe_encode_spark_sql(
+    merges: "list[tuple[str, str]]", carry: "tuple[str, ...]" = ()
+) -> str:
     """The Spark apply plan with the merge table inlined as LITERALS:
     one corpus pass of chained REPLACEs, no subqueries, no re-planned
-    CTEs. ``merges`` is rank-ordered."""
+    CTEs. ``merges`` is rank-ordered. ``carry``: extra ``d.``-qualified
+    select items for composers (tokenizer_stats carries lang/n_chars so
+    it needn't join documents a second time — r10 optimization);
+    bpe_encode itself always calls with carry=() so its declared
+    projection is byte-identical to the attested form."""
     d = _SPARK_D
     b1, b2 = "\x01", "\x01\x01"
+    carry_cols = "".join(f",\n           {c}" for c in carry)
     enc = f"CONCAT({_sql_str(b2)}, array_join(ws, {_sql_str(b2)}), {_sql_str(b2)})"
     for a, b in merges:
         pat = _sql_str(b1 + a + b2 + b + b1)
@@ -1145,7 +1152,7 @@ def _bpe_encode_spark_sql(merges: "list[tuple[str, str]]") -> str:
     SELECT d.doc_id,
            CAST(size({d['split']('d.text')}) AS BIGINT) AS n_tokens,
            s.n_bpe_tokens,
-           s.enc_hash
+           s.enc_hash{carry_cols}
     FROM {d['pdocs']} d LEFT JOIN stats s ON s.doc_id = d.doc_id
     """
 

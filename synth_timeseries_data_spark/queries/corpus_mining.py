@@ -1002,17 +1002,46 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bpe_encode's one map-only REPLACE pass (merge table =
     session-memoized planning scalars) followed by a lang-keyed partial
-    aggregation — the join back to documents is doc_id-equi over the
-    same scan lineage and the output is language-cardinality-bounded."""
+    aggregation. r10 optimization: lang/n_chars/text-nullness ride the
+    encode relation as carry columns (the imputation_error device) —
+    the encode plan already joins the documents scan once for its
+    all-docs contract, so the tail's second documents join (and scan)
+    is gone; aggregates are expression-identical, output unchanged."""
     import uuid
 
-    from .corpus_ext import bpe_encode
-    from .llm_pipeline import _register_docs
+    from .corpus_ext import _BPE_MERGES_SPARK, _bpe_encode_spark_sql
+    from .llm_pipeline import _indexed, _register_docs
 
     _register_docs(spark, sf_dir)
+    merges = [
+        (r.a, r.b)
+        for r in _indexed(
+            spark, f"bpe_merges|{sf_dir}", _BPE_MERGES_SPARK
+        ).collect()
+    ]
     view = f"_tok_stats_enc_{uuid.uuid4().hex[:12]}"
-    bpe_encode(spark, sf_dir).createOrReplaceTempView(view)
-    df = spark.sql(_tok_stats_tail(view))
+    spark.sql(
+        _bpe_encode_spark_sql(
+            merges,
+            carry=("d.lang", "d.n_chars", "d.text IS NOT NULL AS text_ok"),
+        )
+    ).createOrReplaceTempView(view)
+    df = spark.sql(
+        f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe_tokens) AS DOUBLE) / SUM(n_tokens)
+             AS tokens_per_word,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe_tokens)
+             AS chars_per_token
+    FROM {view}
+    WHERE text_ok
+    GROUP BY lang
+    """
+    )
     spark.catalog.dropTempView(view)  # plan resolved at sql() time
     return df
 
