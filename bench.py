@@ -201,13 +201,18 @@ def main() -> None:
         "sf": sf_val,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # The durable record is the sf0.1 run (what the driver measures and the
-    # docs cite). Probe runs at other scale factors (e.g. the verify skill's
-    # sf0.001 fast probe) write a suffixed file instead of clobbering it.
+    # The durable record is the sf0.1 run AT THE DEFAULT CORE PROFILE (what
+    # the driver measures and the docs cite). Off-profile runs — other scale
+    # factors (the verify skill's sf0.001 fast probe) or other core counts
+    # (the driver's 8-core scaling validation) — write a suffixed file
+    # instead of clobbering it (VERDICT r10 item 2: the 8-core validation
+    # run overwrote the committed record).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    csuffix = "" if cpus == "32" else f"_c{cpus}"
     record = (
-        "BENCH_full.json"
+        f"BENCH_full{csuffix}.json"
         if isinstance(sf_val, float) and abs(sf_val - 0.1) < 1e-9
-        else f"BENCH_full_sf{sf_val}.json"
+        else f"BENCH_full_sf{sf_val}{csuffix}.json"
     )
     with open(os.path.join(repo_dir, record), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -220,6 +225,13 @@ def main() -> None:
     # the line carries every total plus as many of the SLOWEST per-query
     # steady times as fit the budget (the tail the judge audits), shrinking
     # the headline set until the serialized line is under budget.
+    # The trim must be SELF-DESCRIBING (VERDICT r10 item 5: 11 fast queries
+    # silently absent from the line were mis-read as dropped from the bench):
+    # `trimmed` counts the fast queries elided from `queries`, and
+    # `trimmed_total`/`trimmed_max` bound their contribution, so
+    # n_queries == len(queries) + trimmed and value ≈ sum(queries) +
+    # trimmed_total always reconcile from the line alone. The complete
+    # per-query map is still BENCH_full.json.
     _LINE_BUDGET = 1900
     worst = dict(
         sorted(ratio.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -227,6 +239,7 @@ def main() -> None:
     by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     k = len(by_cost)
     while k > 0:
+        trimmed = by_cost[k:]
         headline = {
             "metric": "steady_state_query_time",
             "unit": "sec",
@@ -234,6 +247,11 @@ def main() -> None:
             "full": record,
             "n_queries": len(timings),
             "queries": {n: round(v, 2) for n, v in sorted(by_cost[:k])},
+            "trimmed": len(trimmed),
+            "trimmed_total": round(sum(v for _, v in trimmed), 2),
+            "trimmed_max": round(
+                max((v for _, v in trimmed), default=0.0), 2
+            ),
             "worst_ratios": worst,
             "spark_oracle_total": spark_oracle_total,
             "duck_total": duck_total,
