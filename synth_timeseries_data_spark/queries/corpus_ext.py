@@ -1166,6 +1166,23 @@ _BPE_MERGES_SPARK = (
 )
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> "list[tuple[str, str]]":
+    """The corpus's rank-ordered BPE merge table as driver-side planning
+    scalars — session-memoized (one vocab²-bounded job per (session,
+    corpus)). The ONE collection point for every merge-table consumer
+    (bpe_encode, tokenizer_stats): the key, rank ordering and row shape
+    are the merge discipline, and duplicating the collect at call sites
+    lets them silently drift apart."""
+    from .llm_pipeline import _indexed
+
+    return [
+        (r.a, r.b)
+        for r in _indexed(
+            spark, f"bpe_merges|{sf_dir}", _BPE_MERGES_SPARK
+        ).collect()
+    ]
+
+
 @register("bpe_encode", _BPE_ENC_DUCK)
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-EXT: BPE merge-table APPLICATION — induce the top-8 merge
@@ -1195,13 +1212,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-materialized like vec_topk_pq's ADC table: the merge table
     # is a planning-scalar read per call, but its vocab²-bounded job
     # should run once per (session, corpus), not once per invocation
-    merges = [
-        (r.a, r.b)
-        for r in _indexed(
-            spark, f"bpe_merges|{sf_dir}", _BPE_MERGES_SPARK
-        ).collect()
-    ]
-    return spark.sql(_bpe_encode_spark_sql(merges))
+    return spark.sql(_bpe_encode_spark_sql(_bpe_merges(spark, sf_dir)))
 
 
 # --------------------------------------------------------------------------

@@ -1009,20 +1009,14 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is gone; aggregates are expression-identical, output unchanged."""
     import uuid
 
-    from .corpus_ext import _BPE_MERGES_SPARK, _bpe_encode_spark_sql
-    from .llm_pipeline import _indexed, _register_docs
+    from .corpus_ext import _bpe_encode_spark_sql, _bpe_merges
+    from .llm_pipeline import _register_docs
 
     _register_docs(spark, sf_dir)
-    merges = [
-        (r.a, r.b)
-        for r in _indexed(
-            spark, f"bpe_merges|{sf_dir}", _BPE_MERGES_SPARK
-        ).collect()
-    ]
     view = f"_tok_stats_enc_{uuid.uuid4().hex[:12]}"
     spark.sql(
         _bpe_encode_spark_sql(
-            merges,
+            _bpe_merges(spark, sf_dir),
             carry=("d.lang", "d.n_chars", "d.text IS NOT NULL AS text_ok"),
         )
     ).createOrReplaceTempView(view)
@@ -1099,17 +1093,15 @@ def _qlr_y_sql(d) -> str:
     )
 
 
-def _qlr_round_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
-    """One training round: logit -> snapped sigmoid -> integer gradient ->
-    integer weight step. Returns the CTE chain ending in w{t}.
+def _qlr_grad_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
+    """One training round's GRADIENT: logit -> snapped sigmoid -> integer
+    gradient. Returns the CTE chain ending in g{t}.
 
     Spark side carries an explicit BROADCAST hint on the weight relation
-    (r10 optimization): w is a localCheckpointed LogicalRDD with no size
-    statistics and ≤ _QLR_FEATS rows, so without the hint the planner
-    fell back to a SortMergeJoin that shuffled the FULL design matrix by
-    feature once per round — the dominant per-round exchange
-    (plan-verified; the z aggregation's own doc-keyed exchange is the
-    only fx shuffle left)."""
+    (r10 optimization): w is a bounded (≤ _QLR_FEATS rows) relation that
+    must never push the corpus-proportional design matrix into a
+    feature-keyed SortMergeJoin shuffle (plan-verified; the z
+    aggregation's own doc-keyed exchange is the only fx shuffle left)."""
     hint = "/*+ BROADCAST(w) */ " if d is _SPARK_D else ""
     return f"""
     z{t} AS (
@@ -1132,13 +1124,62 @@ def _qlr_round_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
       JOIN p{t} p ON p.doc_id = x.doc_id
       JOIN {y} y ON y.doc_id = x.doc_id
       GROUP BY x.f
-    ),
+    )"""
+
+
+def _qlr_round_ctes(d, fx: str, y: str, wprev: str, t: int) -> str:
+    """One full training round (gradient + integer weight step) as CTEs
+    ending in w{t} — the DuckDB twin's form; the Spark side runs the
+    gradient CTEs only and steps the weights on the driver
+    (_qlr_step_weights), the two pinned bit-equal by the oracle replay."""
+    return (
+        _qlr_grad_ctes(d, fx, y, wprev, t)
+        + f""",
     w{t} AS {'MATERIALIZED ' if d is not _SPARK_D else ''}(
       SELECT COALESCE(w.f, g.f) AS f,
              COALESCE(w.wm, 0) - (COALESCE(g.gm, 0)
                {'DIV' if d is _SPARK_D else '//'} {_QLR_LR_SHIFT}) AS wm
       FROM {wprev} w FULL JOIN g{t} g ON g.f = w.f
     )"""
+    )
+
+
+def _qlr_w_view(spark: SparkSession, w: "dict[int, int]", name: str) -> None:
+    """Register the driver-held weight dict as a temp view. Non-empty
+    weights become a VALUES literal — a true LocalRelation, so each
+    round's BroadcastExchange builds DRIVER-SIDE with no job — bounded at
+    _QLR_FEATS rows by the hashing trick. (createDataFrame was A/B'd and
+    REJECTED: it parallelizes into a stats-less 32-partition LogicalRDD,
+    re-adding a broadcast-build job per round — interleaved min-of-4 at
+    sf0.1: VALUES 2.81 s, old full-join form 3.43 s, createDataFrame
+    5.12 s end-to-end.) The empty round-1 relation stays a typed empty
+    createDataFrame: VALUES cannot express zero rows, and a WHERE-FALSE
+    subquery folds to a one-column dummy relation (verify-skill gotcha)."""
+    if not w:
+        spark.createDataFrame([], "f bigint, wm bigint").createOrReplaceTempView(name)
+        return
+    vals = ", ".join(
+        f"(CAST({f} AS BIGINT), CAST({m} AS BIGINT))"
+        for f, m in sorted(w.items())
+    )
+    spark.sql(
+        f"SELECT f, wm FROM (VALUES {vals}) AS w(f, wm)"
+    ).createOrReplaceTempView(name)
+
+
+def _qlr_step_weights(w: "dict[int, int]", grad_rows) -> "dict[int, int]":
+    """The w{t} CTE's integer weight step, driver-side: for every feature
+    in w ∪ grad, wm' = COALESCE(wm, 0) - COALESCE(gm, 0) DIV 16. Both
+    engines' integer division (Spark DIV = Java long division, DuckDB //)
+    TRUNCATES TOWARD ZERO — floor division would differ on every negative
+    gradient not divisible by the shift, so Python's flooring // needs the
+    sign split below (pinned by test_qlr_step_div_matches_spark)."""
+    out = dict(w)
+    for r in grad_rows:
+        f, gm = r[0], r[1] or 0
+        q = abs(gm) // _QLR_LR_SHIFT
+        out[f] = out.get(f, 0) - (-q if gm < 0 else q)
+    return out
 
 
 def _qlr_final_sql(d, fx: str, y: str, wlast: str) -> str:
@@ -1203,10 +1244,17 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     10x, the measured bpe_encode failure class); each round is two
     codegen'd aggregations (logit join keyed by feature against the
     4096-row broadcast-sized weight relation; gradient keyed by feature)
-    plus a 4096-row localCheckpoint — driver coordinates rounds, weights
-    never leave the cluster, nothing is corpus-quadratic. Learnability
-    is pinned on a planted two-vocabulary corpus; cross-engine
-    bit-exactness of all five training rounds is the oracle pin."""
+    ending in ONE bounded collect of the per-round gradient, and the
+    integer weight step runs on the DRIVER (r11 optimization — the
+    weights are MODEL STATE, hashing-trick-bounded at _QLR_FEATS rows at
+    ANY corpus size, so stepping them distributed cost a full-join +
+    localCheckpoint + broadcast-rebuild job per round for 4096 rows; the
+    kmeans-centroid / bpe-merge-table planning-scalar discipline).
+    Nothing is corpus-quadratic. Learnability is pinned on a planted
+    two-vocabulary corpus; cross-engine bit-exactness of all five
+    training rounds is the oracle pin (the DuckDB twin keeps the
+    full-join weight-step form; _qlr_step_weights replicates it exactly,
+    including truncation-toward-zero integer division)."""
     from .llm_pipeline import _indexed, _register_docs
 
     _register_docs(spark, sf_dir)
@@ -1216,29 +1264,23 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     tag = uuid.uuid4().hex[:12]
-    fx.createOrReplaceTempView(f"_qlr_fx_{tag}")
-    yv.createOrReplaceTempView(f"_qlr_y_{tag}")
-    w = spark.createDataFrame([], "f bigint, wm bigint")
+    fxv, yvv, wv = f"_qlr_fx_{tag}", f"_qlr_y_{tag}", f"_qlr_w_{tag}"
+    fx.createOrReplaceTempView(fxv)
+    yv.createOrReplaceTempView(yvv)
+    w: "dict[int, int]" = {}
     for t in range(1, _QLR_ROUNDS + 1):
-        w.createOrReplaceTempView(f"_qlr_w_{tag}_{t - 1}")
-        w = spark.sql(
+        _qlr_w_view(spark, w, wv)
+        grad = spark.sql(
             "WITH "
-            + _qlr_round_ctes(
-                d, f"_qlr_fx_{tag}", f"_qlr_y_{tag}", f"_qlr_w_{tag}_{t - 1}", t
-            ).strip()
-            + f" SELECT f, wm FROM w{t}"
-        ).localCheckpoint()
-    w.createOrReplaceTempView(f"_qlr_w_{tag}_{_QLR_ROUNDS}")
+            + _qlr_grad_ctes(d, fxv, yvv, wv, t).strip()
+            + f" SELECT f, gm FROM g{t}"
+        ).collect()
+        w = _qlr_step_weights(w, grad)
+    _qlr_w_view(spark, w, wv)
     out = spark.sql(
-        "WITH "
-        + _qlr_final_sql(
-            d, f"_qlr_fx_{tag}", f"_qlr_y_{tag}",
-            f"_qlr_w_{tag}_{_QLR_ROUNDS}",
-        ).strip()
+        "WITH " + _qlr_final_sql(d, fxv, yvv, wv).strip()
     )
-    for v in [f"_qlr_fx_{tag}", f"_qlr_y_{tag}"] + [
-        f"_qlr_w_{tag}_{t}" for t in range(_QLR_ROUNDS + 1)
-    ]:
+    for v in (fxv, yvv, wv):
         spark.catalog.dropTempView(v)
     return out
 
@@ -1380,13 +1422,23 @@ def winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches); the materialized form runs it once and the tail's three
     references scan the leaf. This is exactly the relation the persisted
     winnowing serving index stores (functions/neardup_index.py)."""
+    import uuid
+
     from .llm_pipeline import _SPARK_D, _indexed, _register_docs
 
     _register_docs(spark, sf_dir)
+    # uuid-suffixed view, dropped after sql() resolves the plan (the
+    # tokenizer_stats pattern): a fixed session-global view name raced
+    # under the driver's parallel gate workers — two concurrent builds for
+    # DIFFERENT sf_dirs could interleave createOrReplaceTempView/sql and
+    # resolve against the other corpus's fingerprint relation.
+    view = f"_wd_uf_{uuid.uuid4().hex[:12]}"
     _indexed(
         spark,
         f"wd_uf|{sf_dir}",
         f"WITH fp AS ({_winnowing_sql(_SPARK_D)}) "
         "SELECT DISTINCT doc_id, fp FROM fp",
-    ).createOrReplaceTempView("wd_uf")
-    return spark.sql("WITH " + _winnow_dup_tail("wd_uf"))
+    ).createOrReplaceTempView(view)
+    df = spark.sql("WITH " + _winnow_dup_tail(view))
+    spark.catalog.dropTempView(view)  # plan resolved at sql() time
+    return df
