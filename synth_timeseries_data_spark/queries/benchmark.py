@@ -80,14 +80,31 @@ def _score_sql(meta_sql: str) -> str:
     -- CAST(t)+1 projection was measured-and-REJECTED in the r10
     -- optimization round (29,940 misaligned samples on the registry
     -- sub-grid; only a1/c1 are dense-arange).
-    ser AS (
+    -- ONE config_id-keyed exchange feeds the whole screener (r11
+    -- optimization): hashpartitioning(config_id) satisfies every
+    -- downstream clustered-distribution requirement — the ROW_NUMBER
+    -- window's (config_id, var), both sides of the lag-aligned
+    -- self-join's (config_id, r), the correlation aggregation's
+    -- (config_id, vs, vt, k) and the ranking window's (config_id) — so
+    -- the per-stage re-shuffles of the sweep-proportional relation
+    -- collapse into this one exchange (per-partition sorts remain; the
+    -- DISTRIBUTE BY must sit in its own block BELOW the window, because
+    -- a repartition on the window's own block lands ABOVE the
+    -- projection). Skew bound unchanged: the largest single config.
+    serc AS (
       SELECT config_id,
              CAST(SUBSTRING(var, 2) AS INT) AS v,
+             var, t, value
+      FROM gen_series
+      WHERE var LIKE 'X%'
+      DISTRIBUTE BY config_id
+    ),
+    ser AS (
+      SELECT config_id, v,
              ROW_NUMBER() OVER (PARTITION BY config_id, var
                                 ORDER BY t) AS r,
              value
-      FROM gen_series
-      WHERE var LIKE 'X%'
+      FROM serc
     ),
     tgts AS (
       SELECT /*+ BROADCAST(m) */ s.config_id, s.v AS vt, s.r,
