@@ -1152,11 +1152,17 @@ def _qlr_w_view(spark: SparkSession, w: "dict[int, int]", name: str) -> None:
     REJECTED: it parallelizes into a stats-less 32-partition LogicalRDD,
     re-adding a broadcast-build job per round — interleaved min-of-4 at
     sf0.1: VALUES 2.81 s, old full-join form 3.43 s, createDataFrame
-    5.12 s end-to-end.) The empty round-1 relation stays a typed empty
-    createDataFrame: VALUES cannot express zero rows, and a WHERE-FALSE
-    subquery folds to a one-column dummy relation (verify-skill gotcha)."""
+    5.12 s end-to-end.) The empty round-1 relation is a never-true-filter
+    subquery with BOTH columns aliased — plan-verified to keep the
+    two-column schema AND fold to a known-empty relation, so
+    PropagateEmptyRelation eliminates round 1's join outright (an empty
+    createDataFrame is a stats-less LogicalRDD the optimizer cannot see
+    through)."""
     if not w:
-        spark.createDataFrame([], "f bigint, wm bigint").createOrReplaceTempView(name)
+        spark.sql(
+            "SELECT f, wm FROM (SELECT CAST(NULL AS BIGINT) AS f,"
+            " CAST(NULL AS BIGINT) AS wm) WHERE 1 = 0"
+        ).createOrReplaceTempView(name)
         return
     vals = ", ".join(
         f"(CAST({f} AS BIGINT), CAST({m} AS BIGINT))"
